@@ -1,0 +1,251 @@
+"""Deduplication operators over the documents table (training-data pipeline).
+
+Scale design: every variant avoids O(n²) comparison. Exact dedup groups on a
+content hash; MinHash/LSH only pairs documents that collide in a band bucket;
+Jaccard is computed only for candidate pairs that share a shingle. At 100 TB
+the shuffles are all on hash/band keys — uniform by construction — and the
+per-document shingle/signature work is embarrassingly parallel column math.
+
+The md5-based MinHash (min over shingles of md5(seed|shingle), compared as
+hex strings) is chosen over xxhash64 so the DuckDB oracle can reproduce the
+exact signatures: md5 is bit-identical everywhere, and taking the MIN of hex
+strings is a valid uniform min-hash on a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_cdc_gps_spark.functions.text import fingerprint, word_shingles
+from stream_cdc_gps_spark.operators.common import t
+from stream_cdc_gps_spark.registry import query
+
+N_MINHASH = 6
+BAND_SIZE = 2  # 3 bands of 2 hashes each
+
+# Distinct word-3-gram shingles per doc, identically in SQL (chr(32)=space to
+# survive any quoting) and DataFrame form.
+SHINGLES_SQL = """
+SELECT DISTINCT doc_id, tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS sh
+FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+     UNNEST(range(1, len(tokens) - 1)) AS r(i)
+"""
+
+_MINHASH_COLS = ", ".join(
+    f"min(md5('{k}|' || sh)) AS h{k}" for k in range(N_MINHASH)
+)
+MINHASH_SQL = f"SELECT doc_id, {_MINHASH_COLS} FROM ({SHINGLES_SQL}) GROUP BY doc_id"
+
+_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, h{BAND_SIZE * b} || h{BAND_SIZE * b + 1} AS band_key"
+    f" FROM mh"
+    for b in range(N_MINHASH // BAND_SIZE)
+)
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — explode happens here, once."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(word_shingles(F.col("toks"), 3)).alias("sh"))
+        .filter(F.col("sh") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K min-hashes per doc: one groupBy over the shingle explosion.
+
+    Map-side partial min keeps the shuffle at O(docs x K), independent of
+    shingle count."""
+    sh = shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")
+        for k in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: (doc_id, band, band_key) — docs sharing a band_key are
+    near-dup candidates."""
+    mh = minhash_signatures(spark, sf_dir)
+    bands = [
+        mh.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(F.col(f"h{BAND_SIZE * b}"), F.col(f"h{BAND_SIZE * b + 1}")).alias(
+                "band_key"
+            ),
+        )
+        for b in range(N_MINHASH // BAND_SIZE)
+    ]
+    out = bands[0]
+    for other in bands[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+@query(
+    "q50_dedup_exact",
+    oracle="""
+SELECT h, CAST(n AS BIGINT) AS n, keeper FROM (
+    SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+    FROM documents GROUP BY md5(text)
+) WHERE n > 1
+""",
+)
+def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group identical content hashes, keep the min doc_id.
+
+    The 100 TB plan: one shuffle on a 128-bit uniform key — no skew possible
+    beyond true duplicate groups."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@query(
+    "q51_dedup_fingerprint",
+    oracle="""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents WHERE doc_id < 200
+""",
+)
+def q51_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizing fingerprint (lowercase + whitespace collapse + md5) —
+    catches trivially-reformatted duplicates that exact hashing misses."""
+    d = t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 200).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "q52_minhash_signatures",
+    oracle=MINHASH_SQL,
+)
+def q52_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (K=6) per document."""
+    return minhash_signatures(spark, sf_dir)
+
+
+@query(
+    "q53_lsh_candidate_pairs",
+    oracle=f"""
+WITH mh AS ({MINHASH_SQL}),
+bands AS ({_BAND_SELECTS})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+)
+def q53_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates: docs colliding in ≥1 LSH band.
+
+    The self-join keys on (band, band_key) — only docs in the same bucket
+    ever meet, which is the property that keeps near-dedup sub-quadratic at
+    scale."""
+    bands = band_buckets(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@query(
+    "q54_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+""",
+)
+def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Candidate generation by shingle join (inverted-index style), then
+    |A∩B| / (|A|+|B|-|A∩B|); only near-dup pairs (≥0.2) survive."""
+    sh = shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "q55_simhash",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(toks) AS u(t)
+),
+bits AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN (('0x' || substr(md5(t), 1, 2))::BIGINT >> b) & 1 = 1
+                    THEN 1 ELSE -1 END) AS s
+    FROM tok, UNNEST(range(0, 8)) AS r(b)
+    GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash8
+FROM bits GROUP BY doc_id
+""",
+)
+def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit SimHash per document (sign of per-bit token-hash vote).
+
+    Deliberately narrow (first md5 byte) so the oracle reproduces it exactly;
+    widening to 64 bits is the same plan with 8 byte-columns. Near-dup test
+    is then hamming distance ≤ k on the signature — O(n) per doc."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    byte = F.conv(F.substring(F.md5("t"), 1, 2), 16, 10).cast("bigint")
+    # v >> b and 1 << b via exact power-of-two arithmetic (shiftleft/right
+    # builtins require a literal shift amount).
+    pow2 = F.pow(F.lit(2.0), F.col("b"))
+    bit = F.floor(F.col("v") / pow2).cast("bigint") % 2
+    bits = (
+        tok.select("doc_id", byte.alias("v"), F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b"))
+        .select("doc_id", "b", F.when(bit == 1, 1).otherwise(-1).alias("vote"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, pow2).otherwise(0.0))
+        .cast("bigint")
+        .alias("simhash8")
+    )

@@ -1,0 +1,281 @@
+"""GPS / CDC operators in batch form (SURVEY.md §2A ops #2,#3,#4,#9,#10 and
+§7.2 M3 analytics).
+
+The streaming graph (stream_cdc_gps_spark.streaming) is built from pure
+DataFrame->DataFrame functions; these queries exercise the SAME transforms on
+a deterministic batch of GPS fixes derived from the events corpus table, so
+the DuckDB oracle can check them. The derivation (lat/lon as arithmetic over
+user_id/event_id/value) is replicated exactly in the oracle SQL.
+
+Reference semantics preserved on purpose (SURVEY.md §7.3):
+- WKT is ``POINT(lon lat)`` — longitude FIRST (``cmd/main.go:210``),
+- record id is a string, not a parsed timestamp (``cmd/main.go:103``),
+- CDC handling is insert-only after-image extraction (``cmd/main.go:233-240``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stream_cdc_gps_spark.functions.geo import HAVERSINE_SQL, haversine_m, wkt_point
+from stream_cdc_gps_spark.operators.common import t
+from stream_cdc_gps_spark.registry import query
+
+# Deterministic synthetic GPS fixes derived from the events table — the SQL
+# and DataFrame versions are the same arithmetic, term for term.
+FIXES_SQL = """
+SELECT CAST(event_id AS VARCHAR)                          AS gps_id,
+       'dev-' || lpad(CAST(user_id AS VARCHAR), 3, '0')   AS device_id,
+       ts,
+       epoch_us(ts)                                       AS us,
+       35.0 + (user_id % 100) * CAST(0.01 AS DOUBLE)
+            + value * CAST(0.0001 AS DOUBLE)              AS lat,
+       51.0 + (event_id % 1000) * CAST(0.001 AS DOUBLE)   AS lon
+FROM events
+"""
+
+
+def fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> deterministic GPS fixes (device_id, ts, lat, lon)."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").cast("string").alias("gps_id"),
+        F.concat(F.lit("dev-"), F.lpad(F.col("user_id").cast("string"), 3, "0")).alias(
+            "device_id"
+        ),
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        (35.0 + (F.col("user_id") % 100) * 0.01 + F.col("value") * 0.0001).alias("lat"),
+        (51.0 + (F.col("event_id") % 1000) * 0.001).alias("lon"),
+    )
+
+
+@query(
+    "q40_wkt_points",
+    oracle=f"""
+SELECT gps_id,
+       printf('POINT(%f %f)', lon, lat) AS geo_point,
+       lat AS latitude,
+       lon AS longitude
+FROM ({FIXES_SQL})
+""",
+)
+def q40_wkt_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry construction — the landed ``location_instances`` shape.
+
+    WKT built with format_string exactly as the reference's
+    ``fmt.Sprintf("POINT(%f %f)", lon, lat)`` (``cmd/main.go:210``): lon
+    first, %f six decimals. Pure column expression, no UDF."""
+    return fixes(spark, sf_dir).select(
+        "gps_id",
+        wkt_point(F.col("lon"), F.col("lat")).alias("geo_point"),
+        F.col("lat").alias("latitude"),
+        F.col("lon").alias("longitude"),
+    )
+
+
+_HAV = HAVERSINE_SQL.format(
+    lat1="lag(lat) OVER w", lon1="lag(lon) OVER w", lat2="lat", lon2="lon"
+)
+
+
+@query(
+    "q41_derived_motion",
+    oracle=f"""
+SELECT gps_id, device_id, ts, lat, lon,
+       round({_HAV}, 3) AS dist_m,
+       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 0
+            THEN round(({_HAV}) / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0), 6)
+       END AS speed_ms
+FROM ({FIXES_SQL})
+WINDOW w AS (PARTITION BY device_id ORDER BY ts, gps_id)
+""",
+)
+def q41_derived_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device derived motion: haversine distance + speed between
+    consecutive fixes (lag over event time) — the analytics the reference's
+    PostGIS table exists to serve, as pure column expressions."""
+    fx = fixes(spark, sf_dir)
+    w = Window.partitionBy("device_id").orderBy("ts", "gps_id")
+    plat, plon = F.lag("lat").over(w), F.lag("lon").over(w)
+    dist = haversine_m(plat, plon, F.col("lat"), F.col("lon"))
+    gap_us = F.col("us") - F.lag("us").over(w)
+    return fx.select(
+        "gps_id",
+        "device_id",
+        "ts",
+        "lat",
+        "lon",
+        F.round(dist, 3).alias("dist_m"),
+        F.when(gap_us > 0, F.round(dist / (gap_us / 1_000_000.0), 6)).alias("speed_ms"),
+    )
+
+
+@query(
+    "q42_trip_sessions",
+    oracle=f"""
+WITH flagged AS (
+    SELECT device_id, gps_id, ts, us,
+           CASE WHEN us - lag(us) OVER (PARTITION BY device_id ORDER BY ts, gps_id)
+                     > 1800000000
+                  OR lag(us) OVER (PARTITION BY device_id ORDER BY ts, gps_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM ({FIXES_SQL})
+), sessions AS (
+    SELECT device_id, ts, us,
+           CAST(sum(is_new) OVER (PARTITION BY device_id ORDER BY ts, gps_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT device_id, session_seq, count(*) AS n_fixes,
+       min(us) AS start_us, max(us) AS end_us
+FROM sessions
+GROUP BY device_id, session_seq
+""",
+)
+def q42_trip_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip segmentation: a >30 min gap starts a new session.
+
+    Batch analogue of ``session_window`` (the streaming path in
+    streaming/gps_pipeline.py uses the native session window); expressed as
+    gap-flag + running-sum so the oracle can verify identical semantics."""
+    fx = fixes(spark, sf_dir)
+    w = Window.partitionBy("device_id").orderBy("ts", "gps_id")
+    prev_us = F.lag("us").over(w)
+    flagged = fx.withColumn(
+        "is_new",
+        F.when((F.col("us") - prev_us > 1_800_000_000) | prev_us.isNull(), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("device_id")
+        .orderBy("ts", "gps_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("is_new").over(w_run))
+    return sessions.groupBy("device_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_fixes"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+@query(
+    "q43_tumbling_hourly",
+    oracle=f"""
+SELECT device_id,
+       date_trunc('hour', ts)  AS window_start,
+       count(*)                AS n_fixes,
+       round(avg(lat), 6)      AS avg_lat,
+       round(avg(lon), 6)      AS avg_lon
+FROM ({FIXES_SQL})
+GROUP BY device_id, date_trunc('hour', ts)
+""",
+)
+def q43_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate per device (Spark ``window()``).
+
+    Epoch-aligned 1h windows coincide with date_trunc('hour'), which is what
+    the oracle checks; in the streaming graph the same expression runs
+    incrementally with a watermark."""
+    fx = fixes(spark, sf_dir)
+    return (
+        fx.groupBy("device_id", F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.round(F.avg("lat"), 6).alias("avg_lat"),
+            F.round(F.avg("lon"), 6).alias("avg_lon"),
+        )
+        .select("device_id", F.col("win.start").alias("window_start"), "n_fixes", "avg_lat", "avg_lon")
+    )
+
+
+# Debezium-style envelope schema: only the fields the engine consumes
+# (reference models after.{id,latitude,longitude} only, ``cmd/main.go:233-240``;
+# we add op/source/ts_us for the full-CDC mode, FIXTURES.md A3).
+DEBEZIUM_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField(
+            "after",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType()),
+                    T.StructField("latitude", T.DoubleType()),
+                    T.StructField("longitude", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField("source", T.StructType([T.StructField("table", T.StringType())])),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+
+@query(
+    "q44_cdc_roundtrip",
+    oracle=f"""
+SELECT gps_id, printf('POINT(%f %f)', lon, lat) AS geo_point,
+       lat AS latitude, lon AS longitude
+FROM ({FIXES_SQL})
+""",
+)
+def q44_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC envelope encode → decode → after-image extraction → geometry.
+
+    Builds a Debezium-style change event per fix with to_json (the wire shape
+    the reference consumes), parses it back with from_json, filters to
+    inserts, projects ``after.*`` (``cmd/main.go:203-210``), and lands the
+    ``location_instances`` shape. The oracle computes the same rows directly —
+    any encode/decode infidelity (type coercion, precision loss) fails the
+    diff. Doubles survive exactly: JSON encoding uses shortest round-trip
+    representation."""
+    fx = fixes(spark, sf_dir)
+    envelope = fx.select(
+        F.to_json(
+            F.struct(
+                F.lit("c").alias("op"),
+                F.struct(
+                    F.col("gps_id").alias("id"),
+                    F.col("lat").alias("latitude"),
+                    F.col("lon").alias("longitude"),
+                ).alias("after"),
+                F.struct(F.lit("gps-data").alias("table")).alias("source"),
+                F.col("us").alias("ts_us"),
+            )
+        ).alias("value")
+    )
+    decoded = envelope.select(F.from_json("value", DEBEZIUM_SCHEMA).alias("m"))
+    return (
+        decoded.filter(F.col("m.op") == "c")
+        .filter(F.col("m.after").isNotNull())
+        .select(
+            F.col("m.after.id").alias("gps_id"),
+            wkt_point(F.col("m.after.longitude"), F.col("m.after.latitude")).alias("geo_point"),
+            F.col("m.after.latitude").alias("latitude"),
+            F.col("m.after.longitude").alias("longitude"),
+        )
+    )
+
+
+@query(
+    "q45_cdc_dedup",
+    oracle=f"""
+SELECT DISTINCT gps_id, lat, lon FROM (
+    SELECT gps_id, lat, lon FROM ({FIXES_SQL})
+    UNION ALL
+    SELECT gps_id, lat, lon FROM ({FIXES_SQL}) WHERE CAST(gps_id AS BIGINT) % 3 = 0
+)
+""",
+)
+def q45_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay dedup: re-delivered change events collapse on the record id.
+
+    Batch analogue of ``dropDuplicatesWithinWatermark([\"gps_id\"])`` — the
+    reference's id (raw timestamp string, ``cmd/main.go:103``) is its natural
+    dedup key; replays are identical rows so keep-first is deterministic."""
+    fx = fixes(spark, sf_dir).select("gps_id", "lat", "lon")
+    replayed = fx.filter(F.col("gps_id").cast("bigint") % 3 == 0)
+    return fx.unionByName(replayed).dropDuplicates(["gps_id"])

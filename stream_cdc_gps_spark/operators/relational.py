@@ -1,0 +1,743 @@
+"""Relational batch operators (SURVEY.md §2B — all EXT rows).
+
+The reference has zero relational operators (SURVEY.md §2A: its whole surface
+is ingest/flatten/produce/consume/insert, ``cmd/main.go``), so this module is
+the standard suite any real query over the landed tables needs: scan, filter,
+project, every join type, hash aggregation, rollup/cube/grouping sets,
+percentiles, set ops, scalar function families.
+
+Everything is declarative DataFrame / Spark SQL — Catalyst gets full freedom
+for pushdown, pruning, join selection and AQE. Broadcast hints are placed
+where a dimension is guaranteed small at ANY scale factor (region/nation:
+fixed cardinality 5/25).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream_cdc_gps_spark.operators.common import prepare, t
+from stream_cdc_gps_spark.registry import query
+from stream_cdc_gps_spark.tables import register_views
+
+# ---------------------------------------------------------------------------
+# Scan + filter + hash aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary (scan→filter→hash-agg).
+
+    Partial aggregation happens map-side (2 grouping keys x 6 states), so the
+    shuffle carries O(|groups| x partitions) rows no matter the input size —
+    the plan that survives 100 TB.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_predicates",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag,
+       CASE WHEN l_quantity < 15 THEN 'low' ELSE 'high' END AS qty_band
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND l_returnflag IN ('A', 'R')
+  AND NOT (l_discount < 0.02)
+""",
+)
+def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate suite: between / isin / boolean negation / conditional expr.
+
+    All three predicates push down to the parquet scan (PushedFilters)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & ~(F.col("l_discount") < 0.02)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_discount",
+        "l_returnflag",
+        F.when(F.col("l_quantity") < 15, "low").otherwise("high").alias("qty_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins — every type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03_top_revenue_orders",
+    oracle="""
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way equi join → agg → deterministic top-k (TPC-H-Q3 shape).
+
+    Catalyst broadcasts the filtered customer side under AQE at small SF and
+    falls back to shuffled joins at scale; ORDER BY carries o_orderkey as a
+    total tiebreak so LIMIT is well-defined."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q04_left_join_counts",
+    oracle="""
+SELECT c_custkey, c_name,
+       count(o_orderkey)                          AS order_cnt,
+       round(coalesce(sum(o_totalprice), 0), 2)   AS total_spent
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+""",
+)
+def q04_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "q05_semi_join",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+""",
+)
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ EXISTS: customers holding at least one open order."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q06_anti_join",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≡ NOT EXISTS: customers with no orders at all."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+@query(
+    "q07_full_outer_join",
+    oracle="""
+SELECT n_name,
+       coalesce(cust_cnt, 0) AS cust_cnt,
+       coalesce(supp_cnt, 0) AS supp_cnt
+FROM (SELECT n_name, count(*) AS cust_cnt
+      FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name) c
+FULL OUTER JOIN
+     (SELECT n_name, count(*) AS supp_cnt
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name) s
+USING (n_name)
+""",
+)
+def q07_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (nations with customers vs suppliers)."""
+    n = t(spark, sf_dir, "nation")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("supp_cnt"))
+    )
+    return cust.join(supp, on="n_name", how="full_outer").select(
+        "n_name",
+        F.coalesce("cust_cnt", F.lit(0)).alias("cust_cnt"),
+        F.coalesce("supp_cnt", F.lit(0)).alias("supp_cnt"),
+    )
+
+
+@query(
+    "q08_regional_revenue",
+    oracle="""
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def q08_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicit broadcast of the fixed-cardinality dims.
+
+    nation (25 rows) and region (5 rows) are broadcast at ANY scale factor —
+    the fact-side join never shuffles on the dim keys; only the final
+    2-key aggregation shuffles."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q09_range_join",
+    oracle="""
+SELECT b.bucket, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders o JOIN (
+    SELECT 'small' AS bucket, 0.0 AS lo, 50000.0 AS hi
+    UNION ALL SELECT 'medium', 50000.0, 200000.0
+    UNION ALL SELECT 'large', 200000.0, 1000000000.0
+) b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.bucket
+""",
+)
+def q09_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny broadcast band table.
+
+    The band side is 3 rows → broadcast nested-loop join, which is the right
+    physical plan for banding at any scale (never a cartesian shuffle)."""
+    o = t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("medium", 50000.0, 200000.0), ("large", 200000.0, 1e9)],
+        "bucket string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation variants
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                              AS n,
+       min(l_quantity)                       AS min_qty,
+       max(l_quantity)                       AS max_qty,
+       round(avg(l_quantity), 6)             AS avg_qty,
+       round(stddev_samp(l_quantity), 6)     AS std_qty,
+       round(var_samp(l_quantity), 6)        AS var_qty,
+       round(avg(l_discount), 6)             AS avg_disc
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q10_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate suite: count/min/max/avg/stddev/variance."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+@query(
+    "q11_count_distinct",
+    oracle="""
+SELECT c_mktsegment,
+       count(*)                   AS n_customers,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q11_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under the hood)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@query(
+    "q12_rollup",
+    oracle="""
+SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "q13_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "q14_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL."""
+    prepare(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def _pct_sql(q: str) -> str:
+    """quantile_cont as explicit rank/interpolation SQL (DuckDB side).
+
+    Same arithmetic expression shape as the Spark side (a*(1-f)+b*f with
+    f=(n-1)*q-floor((n-1)*q)) so the two engines produce bit-identical
+    doubles — built-in percentile functions interpolate in engine-specific
+    operation orders that diverge by an ulp and then round differently.
+    """
+    idx = f"(n - 1) * {q}"
+    a = f"max(CASE WHEN rn = CAST(floor({idx}) AS BIGINT) + 1 THEN v END)"
+    b = f"max(CASE WHEN rn = least(CAST(floor({idx}) AS BIGINT) + 2, n) THEN v END)"
+    f_ = f"max({idx} - floor({idx}))"  # constant per group, but must aggregate
+    # no round(): inputs are picked elements + identical-order arithmetic, so
+    # both engines produce bit-identical doubles; round() itself is NOT
+    # portable at exact-half values (HALF_UP on decimal vs x100 double trick).
+    return f"{a} * (1 - {f_}) + {b} * {f_}"
+
+
+@query(
+    "q15_percentiles",
+    oracle=f"""
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice AS v,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+           count(*)    OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+)
+SELECT l_returnflag,
+       {_pct_sql('0.25')} AS p25,
+       {_pct_sql('0.50')} AS p50,
+       {_pct_sql('0.75')} AS p75
+FROM ranked
+GROUP BY l_returnflag
+""",
+)
+def q15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (quantile_cont semantics) as an explicit
+    rank + boundary-row + linear-interpolation plan.
+
+    Scale shape: one shuffle on the group key, per-group sort for the window
+    rank, then an ordinary hash agg — the standard exact-percentile plan for
+    data too big to collect. Ties are safe: equal values make row_number
+    order among them irrelevant."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    ranked = li.select(
+        "l_returnflag",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+
+    def pct(q: float):
+        idx = (F.col("n") - 1) * q
+        lo = F.floor(idx).cast("bigint") + 1
+        hi = F.least(F.floor(idx).cast("bigint") + 2, F.col("n"))
+        a = F.max(F.when(F.col("rn") == lo, F.col("v")))
+        b = F.max(F.when(F.col("rn") == hi, F.col("v")))
+        f_ = F.max(idx - F.floor(idx))  # constant per group, but must aggregate
+        return a * (1 - f_) + b * f_
+
+    return ranked.groupBy("l_returnflag").agg(
+        pct(0.25).alias("p25"), pct(0.50).alias("p50"), pct(0.75).alias("p75")
+    )
+
+
+@query(
+    "q16_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12
+""",
+)
+def q16_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "q17_conditional_agg",
+    oracle="""
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0 END), 2) AS price_a,
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0 END), 2) AS price_n,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2) AS price_r,
+       count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def q17_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation (sum/count over CASE)."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def price_when(flag: str):
+        return F.round(
+            F.sum(F.when(F.col("l_returnflag") == flag, F.col("l_extendedprice")).otherwise(0.0)),
+            2,
+        )
+
+    return li.groupBy("l_linestatus").agg(
+        price_when("A").alias("price_a"),
+        price_when("N").alias("price_n"),
+        price_when("R").alias("price_r"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+)
+def q18_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): nations having both customers and suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "q19_except",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+""",
+)
+def q19_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): nations with customers but no suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "q20_union_all",
+    oracle="""
+SELECT kind, nationkey, count(*) AS n FROM (
+    SELECT 'customer' AS kind, c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT 'supplier' AS kind, s_nationkey AS nationkey FROM supplier
+) GROUP BY kind, nationkey
+""",
+)
+def q20_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name + aggregation over the union."""
+    c = t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_nationkey").alias("nationkey")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).groupBy("kind", "nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q21_distinct",
+    oracle="""
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""",
+)
+def q21_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (dedup on the projected key set)."""
+    return t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name)                          AS name_upper,
+       substr(p_name, 1, 5)                   AS name_pfx,
+       length(p_name)                         AS name_len,
+       concat_ws('|', p_brand, p_type)        AS brand_type,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       split_part(p_name, ' ', 1)             AS first_word,
+       replace(p_type, 'PROMO', 'PROMOTION')  AS type_full
+FROM part
+WHERE p_name LIKE '%bolt%'
+""",
+)
+def q22_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: case, substring, regex, split, replace, LIKE."""
+    p = t(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.replace(F.col("p_type"), F.lit("PROMO"), F.lit("PROMOTION")).alias("type_full"),
+    )
+
+
+@query(
+    "q23_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT)    AS order_year,
+       CAST(month(o_orderdate) AS INT)   AS order_month,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS INT)
+                                         AS days_to_98,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS ship_by
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+""",
+)
+def q23_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract, trunc, diff, arithmetic.
+
+    The reference keeps timestamps as raw strings (``cmd/main.go:103``);
+    the engine treats event time as a first-class TimestampType."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_98"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("ship_by"),
+    )
+
+
+@query(
+    "q24_json_funcs",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT))           AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q24_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events.props payload column.
+
+    Mirrors the reference's schema-on-read JSON handling
+    (``cmd/main.go:203-208``) as a column expression."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "q25_hash_funcs",
+    oracle="""
+SELECT doc_id,
+       md5(text)                 AS text_md5,
+       substr(md5(text), 1, 8)   AS md5_pfx
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def q25_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hashing (md5) — the basis for dedup keys."""
+    d = t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.substring(F.md5("text"), 1, 8).alias("md5_pfx"),
+    )
+
+
+@query("q26_approx_stats", oracle=None)
+def q26_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL++ distinct, approximate percentile).
+
+    No oracle: approximate answers are implementation-defined; the driver
+    records a rows-only check. Exact counterparts are covered by
+    q11/q15."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )

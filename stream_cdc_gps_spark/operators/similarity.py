@@ -1,0 +1,180 @@
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+Two paths, per SURVEY.md §2B:
+- brute-force cosine top-k as the correctness baseline (query set broadcast
+  against the full candidate side — no shuffle of the big side);
+- a bucketed (LSH-style) variant as the scale path: candidates meet queries
+  only inside a shared hash bucket, turning the cross join into an equi join.
+
+All vector math is higher-order column expressions (functions/vector.py) —
+JVM-side, Arrow-free, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream_cdc_gps_spark.functions.vector import as_double, cosine
+from stream_cdc_gps_spark.operators.common import t
+from stream_cdc_gps_spark.registry import query
+
+# DuckDB-side cosine between two DOUBLE[] lists, sequential fold — mirrors
+# functions.vector.dot/cosine exactly (same accumulation order).
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+_COS = _sql_cosine("q.emb", "c.emb")
+
+EMB_D = "SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings"
+
+
+@query(
+    "q60_cosine_topk",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+           round({_COS}, 6) AS cos_sim
+    FROM (SELECT * FROM e WHERE vec_id < 20) q
+    JOIN e c ON c.vec_id != q.vec_id
+)
+SELECT query_id, candidate_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, candidate_id) AS rn
+    FROM scored
+) WHERE rn <= 5
+""",
+)
+def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 20 query vectors.
+
+    The query side is broadcast; the candidate scan streams through codegen
+    computing 64-d cosines per row — at cluster scale this is the exact-kNN
+    baseline you run on a sample to validate the ANN path."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "candidate_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "candidate_id", "cos_sim")
+    )
+
+
+# Sign-pattern bucket over the first 4 dimensions: 16 buckets, computable as
+# pure arithmetic in both engines.
+_BUCKET_SQL = (
+    "(CASE WHEN {e}[1] > 0 THEN 8 ELSE 0 END + CASE WHEN {e}[2] > 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN {e}[3] > 0 THEN 2 ELSE 0 END + CASE WHEN {e}[4] > 0 THEN 1 ELSE 0 END)"
+)
+
+
+def _bucket(emb: F.Column) -> F.Column:
+    b = F.lit(0)
+    for i, w in ((1, 8), (2, 4), (3, 2), (4, 1)):
+        b = b + F.when(F.element_at(emb, i) > 0, w).otherwise(0)
+    return b
+
+
+@query(
+    "q61_ann_bucketed_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                  {_BUCKET_SQL.format(e="(embedding::DOUBLE[])")} AS bucket
+           FROM embeddings),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+           round({_COS}, 6) AS cos_sim
+    FROM (SELECT * FROM e WHERE vec_id < 50) q
+    JOIN e c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+)
+SELECT query_id, candidate_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, candidate_id) AS rn
+    FROM scored
+) WHERE rn <= 3
+""",
+)
+def q61_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via sign-pattern LSH buckets (the scale path).
+
+    Queries meet only same-bucket candidates — an equi join on the bucket
+    key instead of a cross join, the structural move that makes ANN feasible
+    at 100 TB (with more/better hash bits, same plan)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    e = e.withColumn("bucket", _bucket(F.col("emb")))
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "candidate_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "candidate_id", "cos_sim")
+    )
+
+
+@query(
+    "q62_embedding_stats",
+    oracle=f"""
+SELECT label,
+       count(*) AS n,
+       round(avg(sqrt({_SQL_DOT.format(a="emb", b="emb")})), 6) AS avg_norm,
+       round(min(emb[1]), 6) AS min_d1,
+       round(max(emb[1]), 6) AS max_d1
+FROM ({EMB_D})
+GROUP BY label
+""",
+)
+def q62_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics (norm distribution sanity check)."""
+    from stream_cdc_gps_spark.functions.vector import norm
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("emb")
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm(F.col("emb"))), 6).alias("avg_norm"),
+        F.round(F.min(F.element_at("emb", 1)), 6).alias("min_d1"),
+        F.round(F.max(F.element_at("emb", 1)), 6).alias("max_d1"),
+    )
