@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}. The driver records this per-round
+as BENCH_r{N}.json and grades against BASELINE.md (first full run self-sets
+the baseline; later revisions must stay within 2x — BASELINE.md).
+
+Methodology: one shared session (cluster-style reuse), one untimed warmup
+query to JIT/codegen-prime the executors, then each headline query timed
+end-to-end (plan + execute + collect-to-count). Headliners span every
+operator family so a regression anywhere shows up here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stream_cdc_gps_spark.registry import queries  # noqa: E402
+from stream_cdc_gps_spark.session import get_spark  # noqa: E402
+
+# One per operator family (SURVEY.md §2B): scan+agg, star join, window,
+# GPS motion, CDC roundtrip, exact dedup, LSH candidates, jaccard,
+# brute-force ANN, bucketed ANN, text quality, term frequency.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q08_regional_revenue",
+    "q15_percentiles",
+    "q30_topk_per_group",
+    "q33_window_frames",
+    "q41_derived_motion",
+    "q44_cdc_roundtrip",
+    "q50_dedup_exact",
+    "q53_lsh_candidate_pairs",
+    "q54_ngram_jaccard",
+    "q60_cosine_topk",
+    "q61_ann_bucketed_topk",
+    "q71_token_quality",
+    "q72_top_terms",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    # untimed warmup: prime codegen/JIT + parquet footer caches
+    qs["q01_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

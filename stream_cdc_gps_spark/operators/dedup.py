@@ -55,37 +55,51 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K min-hashes per doc: one groupBy over the shingle explosion.
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, array of shingles) — per-row, no explode/shuffle.
 
-    Map-side partial min keeps the shuffle at O(docs x K), independent of
-    shingle count."""
-    sh = shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")
-        for k in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    No array_distinct: min-hash is duplicate-invariant (min over a multiset
+    equals min over its distinct set), so signatures match the oracle's
+    DISTINCT-shingle formulation without paying for per-row dedup."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    shs = F.filter(word_shingles(F.col("toks"), 3), lambda s: s != "")
+    return toks.select("doc_id", shs.alias("shs")).filter(F.size("shs") > 0)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K min-hashes per doc as pure per-row array math — ZERO shuffles.
+
+    array_min over md5(seed|shingle) of the per-doc distinct-shingle array is
+    the same min the explode→groupBy plan computes, but stays entirely inside
+    codegen: at 100 TB the signature stage is an embarrassingly parallel map
+    with no exchange (the explode version shuffles O(total shingles) rows)."""
+    sh = _shingle_arrays(spark, sf_dir)
+
+    def minhash_col(k: int):
+        # NB: the lambda must stay single-argument — pyspark treats a
+        # two-parameter lambda (even with a default) as (element, index).
+        seed = f"{k}|"
+        return F.array_min(
+            F.transform("shs", lambda s: F.md5(F.concat(F.lit(seed), s)))
+        ).alias(f"h{k}")
+
+    return sh.select("doc_id", *[minhash_col(k) for k in range(N_MINHASH)])
 
 
 def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: (doc_id, band, band_key) — docs sharing a band_key are
-    near-dup candidates."""
+    """LSH banding: (doc_id, band, band_key) via ONE posexplode pass.
+
+    A single plan node instead of a per-band union — the signature stage is
+    computed once, not once per band."""
     mh = minhash_signatures(spark, sf_dir)
-    bands = [
-        mh.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(F.col(f"h{BAND_SIZE * b}"), F.col(f"h{BAND_SIZE * b + 1}")).alias(
-                "band_key"
-            ),
-        )
-        for b in range(N_MINHASH // BAND_SIZE)
-    ]
-    out = bands[0]
-    for other in bands[1:]:
-        out = out.unionByName(other)
-    return out
+    keys = F.array(
+        *[
+            F.concat(F.col(f"h{BAND_SIZE * b}"), F.col(f"h{BAND_SIZE * b + 1}"))
+            for b in range(N_MINHASH // BAND_SIZE)
+        ]
+    )
+    return mh.select("doc_id", F.posexplode(keys).alias("band", "band_key"))
 
 
 @query(
