@@ -1,0 +1,209 @@
+"""Pipeline-semantics tests (SURVEY.md §5.2 items 2-3).
+
+Feed synthetic GPS JSON and Debezium envelopes (FIXTURES.md A1/A3 shapes)
+through the streaming graphs using file sources + availableNow triggers, and
+assert the landed rows match what the reference's Go pipeline would insert —
+including WKT lon-lat ordering and the id/deviceId renames. Failure paths:
+malformed JSON routed (not crash), CDC replays deduped.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_cdc_gps_spark.streaming import pipeline as P
+from stream_cdc_gps_spark.streaming import transforms as X
+
+
+def gps_fix(ts: str, dev: str, lat: float, lon: float) -> str:
+    return json.dumps(
+        {
+            "location": {
+                "timestamp": ts,
+                "coords": {
+                    "latitude": lat,
+                    "longitude": lon,
+                    "accuracy": 5.0,
+                    "speed": 12.4,
+                    "heading": 87.5,
+                    "altitude": 1200.0,
+                },
+            },
+            "device_id": dev,
+        }
+    )
+
+
+def debezium_event(op: str, id_: str, lat: float, lon: float, ts_ms: int) -> str:
+    return json.dumps(
+        {
+            "op": op,
+            "before": None,
+            "after": {"id": id_, "latitude": lat, "longitude": lon},
+            "source": {"table": "gps-data"},
+            "ts_ms": ts_ms,
+        }
+    )
+
+
+@pytest.fixture()
+def gps_lines(spark):
+    rows = [
+        gps_fix("2026-02-06T10:15:30.123Z", "dev-042", 35.6892, 51.3890),
+        gps_fix("2026-02-06T10:15:31.000Z", "dev-007", 48.8566, 2.3522),
+        "{not valid json",
+        json.dumps({"unexpected": "shape"}),
+    ]
+    return spark.createDataFrame([(r,) for r in rows], "value string")
+
+
+def test_ingest_graph_flatten_and_envelope(spark, gps_lines):
+    """A: parse -> flatten (id/deviceId renames) -> in-band-schema envelope."""
+    out = P.ingest_graph(gps_lines).collect()
+    assert len(out) == 2  # two valid fixes
+    by_key = {r["key"]: json.loads(r["value"]) for r in out}
+    assert set(by_key) == {"address-dev-042", "address-dev-007"}
+    env = by_key["address-dev-042"]
+    # envelope schema block exactly as the reference builds it (cmd/main.go:111-124)
+    assert env["schema"]["type"] == "struct"
+    assert [f["field"] for f in env["schema"]["fields"]] == [
+        "id", "deviceId", "heading", "speed", "accuracy", "altitude",
+        "latitude", "longitude",
+    ]
+    assert [f["type"] for f in env["schema"]["fields"]] == ["string"] * 2 + ["float"] * 6
+    # renames: location.timestamp -> id, device_id -> deviceId (cmd/main.go:103-104)
+    assert env["payload"]["id"] == "2026-02-06T10:15:30.123Z"
+    assert env["payload"]["deviceId"] == "dev-042"
+    assert env["payload"]["latitude"] == 35.6892
+
+
+def test_rejects_routed_not_dropped(spark, gps_lines):
+    """Malformed payloads surface on the dead-letter branch (vs HTTP 400)."""
+    rejects = P.rejects_graph(gps_lines).collect()
+    assert len(rejects) == 2
+    assert {r["value"] for r in rejects} == {
+        "{not valid json",
+        json.dumps({"unexpected": "shape"}),
+    }
+
+
+def test_envelope_roundtrip(spark, gps_lines):
+    """B: envelope encode -> decode lands the exact flat row."""
+    env = P.ingest_graph(gps_lines).select("value")
+    flat = P.landing_graph(env).orderBy("deviceId").collect()
+    assert [r["deviceId"] for r in flat] == ["dev-007", "dev-042"]
+    r = flat[1]
+    assert (r["id"], r["latitude"], r["longitude"]) == (
+        "2026-02-06T10:15:30.123Z", 35.6892, 51.3890,
+    )
+
+
+def test_cdc_graph_insert_only_and_wkt(spark):
+    """C: after-image extraction + WKT landing, insert-only semantics."""
+    rows = [
+        debezium_event("c", "2026-02-06T10:15:30.123Z", 35.6892, 51.3890, 1_000),
+        debezium_event("u", "2026-02-06T10:15:31.000Z", 48.8566, 2.3522, 2_000),
+        debezium_event("d", "2026-02-06T10:15:32.000Z", 1.0, 2.0, 3_000),
+        "junk{",
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "value string")
+    landed = P.cdc_graph(df).orderBy("gps_id").collect()
+    # insert-only mode mirrors the reference: op ignored, all after-images land
+    assert len(landed) == 3
+    r = landed[0]
+    assert r["gps_id"] == "2026-02-06T10:15:30.123Z"
+    # WKT lon FIRST with %f (6 decimals), per cmd/main.go:210
+    assert r["geo_point"] == "POINT(51.389000 35.689200)"
+    assert (r["latitude"], r["longitude"]) == (35.6892, 51.3890)
+    # full-CDC mode excludes deletes and keeps op
+    full = P.cdc_graph(df, insert_only=False).collect()
+    assert len(full) == 2
+
+
+def test_cdc_replay_dedup(spark):
+    """Replayed change events collapse on the record id."""
+    e = debezium_event("c", "id-1", 10.0, 20.0, 1_000)
+    df = spark.createDataFrame([(e,), (e,), (e,)], "value string")
+    assert P.cdc_graph(df, dedup=True).count() == 1
+    assert P.cdc_graph(df, dedup=False).count() == 3
+
+
+def test_streaming_file_source_end_to_end(spark, tmp_path):
+    """The SAME graph runs as a real stream: file source -> availableNow ->
+    checkpointed parquet sink; output equals the batch run of the graph."""
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    lines = [
+        debezium_event("c", f"id-{i}", 30.0 + i, 50.0 + i, 1_000 * i) for i in range(10)
+    ] + [debezium_event("c", "id-3", 33.0, 53.0, 3_000), "garbage["]
+    (src / "batch0.jsonl").write_text("\n".join(lines))
+
+    stream = spark.readStream.schema("value string").format("text").load(str(src))
+    assert stream.isStreaming
+    q = (
+        P.cdc_graph(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(str(out))
+    assert landed.count() == 10  # replayed id-3 deduped, garbage dropped
+    assert set(landed.columns) == {"gps_id", "geo_point", "latitude", "longitude"}
+    # restart with same checkpoint: no new input -> no duplicate output
+    q2 = (
+        P.cdc_graph(spark.readStream.schema("value string").format("text").load(str(src)))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == 10
+
+
+def test_watermarked_dedup_streaming_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: duplicates across micro-batches
+    within the delay are suppressed; state is watermark-bounded."""
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        "\n".join(
+            [
+                json.dumps({"id": "a", "ts": "2026-02-06 10:00:00"}),
+                json.dumps({"id": "a", "ts": "2026-02-06 10:00:01"}),
+                json.dumps({"id": "b", "ts": "2026-02-06 10:00:02"}),
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("value string").format("text").load(str(src))
+        .select(F.from_json("value", "id string, ts string").alias("m"))
+        .select("m.id", F.col("m.ts").cast("timestamp").alias("ts"))
+    )
+    deduped = X.dedup_replays(stream, id_col="id", ts_col="ts", delay="1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {"a", "b"}
+    assert spark.read.parquet(str(out)).count() == 2
