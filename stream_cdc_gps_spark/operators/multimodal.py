@@ -1,0 +1,144 @@
+"""Multimodal column convention + decode/feature plumbing (SURVEY.md §2B).
+
+Convention: media payloads are opaque ``binary`` columns travelling beside a
+typed metadata struct (modality, mime, width/height/duration, source uri).
+All Spark-side plumbing — schema, partition sizing, Arrow batch shape through
+``mapInPandas`` — is real and tested; only the codec call itself is stubbed
+(image/audio libraries are not in this environment) behind
+``decode_stub_features``, a deterministic fake with the exact signature a real
+decoder plugs into.
+
+Scale notes: binary payloads make rows wide, so the pipeline (a) never
+shuffles the blob — feature extraction is a map-only ``mapInPandas`` stage
+reading the scan directly; (b) keeps Arrow batches bounded via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` rather than row counts, so a
+4 MB image and a 4 KB thumbnail batch to similar memory; (c) drops the blob
+column (projection) the moment features are extracted.
+
+The corpus has no real media, so payloads are synthesized deterministically
+from the documents table (utf-8 text bytes as the "blob") — which also makes
+every query DuckDB-checkable at the byte level.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_cdc_gps_spark.operators.common import t
+from stream_cdc_gps_spark.registry import query
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, payload binary, "
+    "meta struct<modality:string, mime:string, n_bytes:bigint, uri:string>"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> multimodal convention table (binary payload + metadata).
+
+    Deterministic: payload = utf-8 bytes of text, so every downstream feature
+    has a closed-form oracle."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text").alias("modality"),
+            F.lit("text/plain").alias("mime"),
+            F.length(F.encode("text", "utf-8")).cast("bigint").alias("n_bytes"),
+            F.concat(F.lit("synthetic://docs/"), F.col("doc_id")).alias("uri"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub_features(payload: bytes) -> dict[str, float]:
+    """STUB for the real codec (PIL / torchaudio / ffmpeg not installed).
+
+    Deterministic fake features from raw bytes; a real decoder replaces this
+    one function — the Spark plumbing (batching, schema, projection) is
+    unchanged. Raises on None so missing payloads surface, mirroring a codec
+    error."""
+    if payload is None:
+        raise NotImplementedError("no payload — real decoder would surface a codec error")
+    n = len(payload)
+    return {
+        "byte_len": float(n),
+        "byte_sum_mod": float(sum(payload) % 997),
+        "first_byte": float(payload[0]) if n else -1.0,
+    }
+
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, modality string, byte_len double, byte_sum_mod double, "
+    "first_byte double"
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas).
+
+    Map-only: no shuffle touches the blob; the output projects the payload
+    away. Batch size is governed by Arrow's maxRecordsPerBatch so executor
+    memory is bounded regardless of blob size."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_stub_features(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "modality", [m["modality"] for m in pdf["meta"]])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "q80_media_metadata",
+    oracle="""
+SELECT doc_id,
+       'text'                                   AS modality,
+       'text/plain'                             AS mime,
+       octet_length(encode(text))               AS n_bytes,
+       'synthetic://docs/' || doc_id            AS uri
+FROM documents
+""",
+)
+def q80_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal convention: typed metadata beside an opaque binary payload
+    (payload checked byte-exactly via its length; the struct is flattened
+    because the oracle hash compares scalar columns)."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.uri").alias("uri"),
+    )
+
+
+@query(
+    "q81_media_features",
+    # corpus text is pure ASCII (verified octet_length == length), so the
+    # utf-8 byte sum equals the sum of ascii() codes per character.
+    oracle="""
+SELECT doc_id,
+       'text' AS modality,
+       CAST(length(text) AS DOUBLE) AS byte_len,
+       CAST(list_reduce(list_transform(range(1, length(text) + 1),
+                                       i -> ascii(substr(text, i, 1))),
+                        (a, b) -> a + b) % 997 AS DOUBLE) AS byte_sum_mod,
+       CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS first_byte
+FROM documents
+""",
+)
+def q81_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched (mapInPandas) feature extraction over binary payloads —
+    the real multimodal plumbing with the codec call stubbed."""
+    return extract_features(media_table(spark, sf_dir)).select(
+        "doc_id", "modality", "byte_len", "byte_sum_mod", "first_byte"
+    )

@@ -741,3 +741,114 @@ def q26_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / pivot / arg-extremes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q27_correlated_subquery",
+    oracle="""
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                   WHERE c2.c_mktsegment = c.c_mktsegment)
+""",
+)
+def q27_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their segment's average).
+
+    Catalyst decorrelates this into an aggregate + join — same plan you'd
+    write by hand, but expressed declaratively."""
+    prepare(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_mktsegment = c.c_mktsegment)
+        """
+    )
+
+
+@query(
+    "q28_pivot",
+    oracle="""
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (explicit list = single-pass plan;
+    without it Spark runs an extra distinct-values job)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.select(
+        "l_linestatus",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    )
+
+
+@query(
+    "q29_min_max_by",
+    oracle="""
+SELECT o_orderstatus,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       round(min(o_totalprice), 2)       AS min_price,
+       round(max(o_totalprice), 2)       AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q29_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-extreme aggregates (min_by/max_by ≡ DuckDB arg_min/arg_max).
+
+    o_totalprice is unique per status group in this corpus, so the argmin is
+    deterministic (both engines break ties arbitrarily otherwise)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "q35_collect_sorted",
+    oracle="""
+SELECT n_name,
+       list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       count(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q35_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation (collect_set) with a deterministic sort —
+    unsorted collect output order is engine-defined, so sort_array is the
+    portability contract for array results."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )

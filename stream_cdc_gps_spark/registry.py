@@ -75,8 +75,10 @@ def _ensure_loaded() -> None:
         return
     # Imports deferred to avoid circular imports at package import time.
     from stream_cdc_gps_spark.operators import (  # noqa: F401
+        asof,
         dedup,
         gps,
+        multimodal,
         relational,
         similarity,
         textops,
