@@ -21,6 +21,10 @@ from stream_cdc_gps_spark.functions.text import fingerprint, word_shingles
 from stream_cdc_gps_spark.operators.common import t
 from stream_cdc_gps_spark.registry import query
 
+SQL_DOT_AB = "list_reduce(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i]), (acc, x) -> acc + x)"
+SQL_DOT_AA = "list_reduce(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * a.emb[i]), (acc, x) -> acc + x)"
+SQL_DOT_BB = "list_reduce(list_transform(range(1, len(b.emb) + 1), i -> b.emb[i] * b.emb[i]), (acc, x) -> acc + x)"
+
 N_MINHASH = 6
 BAND_SIZE = 2  # 3 bands of 2 hashes each
 
@@ -262,4 +266,53 @@ def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("s") > 0, pow2).otherwise(0.0))
         .cast("bigint")
         .alias("simhash8")
+    )
+
+
+@query(
+    "q56_embedding_near_dup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ({SQL_DOT_AB}) / (sqrt({SQL_DOT_AA}) * sqrt({SQL_DOT_BB})) AS cos_sim
+    FROM e a JOIN e b
+      ON a.vec_id < b.vec_id
+     AND list_reduce(list_transform(range(1, 9),
+                     i -> CASE WHEN (a.emb[i] > 0) = (b.emb[i] > 0) THEN 0 ELSE 1 END),
+                     (x, y) -> x + y) = 0
+)
+SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
+FROM pairs WHERE cos_sim >= 0.3
+""",
+)
+def q56_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, LSH-pruned.
+
+    Candidate pairs must agree on the sign pattern of the first 8 dimensions
+    (a 256-bucket random-hyperplane LSH — the standard-basis variant); cosine
+    is computed only within buckets, and pairs >= 0.3 survive (random 64-d cosines concentrate at 0 +- 0.125, so 0.3 = 2.4 sigma marks genuine outlier similarity). The bucket
+    equi-join is what keeps this sub-quadratic at 100 TB — the same structural
+    move as MinHash banding (q53), applied to dense vectors."""
+    from stream_cdc_gps_spark.functions.vector import as_double, cosine
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    bucket = F.lit(0)
+    for i in range(8):
+        bucket = bucket * 2 + F.when(F.element_at("emb", i + 1) > 0, 1).otherwise(0)
+    e = e.withColumn("bucket", bucket)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(sim >= 0.3)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
     )

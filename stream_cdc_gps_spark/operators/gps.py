@@ -279,3 +279,46 @@ def q45_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = fixes(spark, sf_dir).select("gps_id", "lat", "lon")
     replayed = fx.filter(F.col("gps_id").cast("bigint") % 3 == 0)
     return fx.unionByName(replayed).dropDuplicates(["gps_id"])
+
+
+@query(
+    "q46_session_window_native",
+    oracle=f"""
+WITH flagged AS (
+    SELECT device_id, gps_id, ts, us,
+           CASE WHEN us - lag(us) OVER (PARTITION BY device_id ORDER BY ts, gps_id)
+                     > 1800000000
+                  OR lag(us) OVER (PARTITION BY device_id ORDER BY ts, gps_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM ({FIXES_SQL})
+), sessions AS (
+    SELECT device_id, us,
+           CAST(sum(is_new) OVER (PARTITION BY device_id ORDER BY ts, gps_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT device_id,
+       epoch_us(to_timestamp(min(us) / 1000000.0))            AS session_start_us,
+       epoch_us(to_timestamp(max(us) / 1000000.0)) + 1800000000 AS session_end_us,
+       count(*) AS n_fixes
+FROM sessions
+GROUP BY device_id, session_seq
+""",
+)
+def q46_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (30-min gap), checked against the
+    manual gap-flag + running-sum sessionization (q42's formulation) — a
+    differential test that the built-in operator and the from-first-principles
+    SQL agree. Session end in Spark's definition = last event + gap."""
+    fx = fixes(spark, sf_dir)
+    return (
+        fx.groupBy("device_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_fixes"))
+        .select(
+            "device_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_fixes",
+        )
+    )

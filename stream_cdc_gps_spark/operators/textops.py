@@ -186,3 +186,58 @@ def q74_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("n_chars") / 1000.0, 4).alias("kchars"),
     )
+
+
+@query(
+    "q75_bpe_token_estimate",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT)                    AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))
+            AS BIGINT)                                                 AS bpe_ish_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT)                        AS byte_estimate
+FROM documents
+""",
+)
+def q75_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    (letter-runs / digit-runs / punctuation-runs — the GPT-2 pre-tokenizer
+    family), and the chars/4 rule of thumb. All JVM-side regex, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"), 0))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("byte_estimate"),
+    )
+
+
+@query(
+    "q76_rolling_hash",
+    oracle="""
+SELECT doc_id,
+       CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(text, ' '),
+                                       t -> CAST(('0x' || substr(md5(t), 1, 8))::BIGINT AS BIGINT))),
+           (acc, h) -> (acc * 31 + h) % 1000000007) AS BIGINT) AS roll_hash
+FROM documents
+WHERE doc_id < 300
+""",
+)
+def q76_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over the
+    token sequence (acc*31 + md5-prefix(token) mod p). Unlike the set-based
+    md5/MinHash fingerprints, token ORDER matters — reordered duplicates get
+    different hashes. Pure fold over the token array, no UDF, no shuffle."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    tok_hash = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")  # noqa: E731
+    roll = F.aggregate(
+        F.transform("toks", tok_hash),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % 1000000007,
+    )
+    return toks.select("doc_id", roll.cast("bigint").alias("roll_hash"))

@@ -1,0 +1,75 @@
+"""Physical-plan assertions (SURVEY.md §4.2 / 100 TB design contract).
+
+These tests pin the PLAN, not the answer: filters pushed to the scan, columns
+pruned, fixed-cardinality dims broadcast, map-only stages shuffle-free. A
+regression here means a query silently got 10-100x more expensive at scale
+even though its output is still correct.
+"""
+
+from __future__ import annotations
+
+from stream_cdc_gps_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    plan_string,
+    pushed_filters,
+    read_schema_columns,
+)
+from stream_cdc_gps_spark.registry import queries
+from tests.conftest import SF_SMOKE
+
+Q = queries()
+
+
+def test_q01_pushdown_pruning_single_shuffle(spark):
+    df = Q["q01_pricing_summary"](spark, SF_SMOKE)
+    # shipdate predicate reaches the parquet reader
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # scan reads only the 8 needed columns of lineitem's 11
+    (cols,) = read_schema_columns(df, "lineitem")
+    assert set(cols) == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+    # exactly one shuffle: the 2-key final aggregation
+    assert exchange_count(df) == 1
+
+
+def test_q02_all_predicates_pushed(spark):
+    df = Q["q02_filter_predicates"](spark, SF_SMOKE)
+    fs = " ".join(pushed_filters(df))
+    assert "l_quantity" in fs and "l_returnflag" in fs and "l_discount" in fs
+    assert exchange_count(df) == 0  # pure scan+filter+project: map-only
+
+
+def test_q08_star_join_broadcasts_dims(spark):
+    df = Q["q08_regional_revenue"](spark, SF_SMOKE)
+    # nation and region must be broadcast (fixed cardinality 25/5)
+    assert broadcast_join_count(df) >= 2
+    # lineitem scan pruned to join key + measures
+    (cols,) = read_schema_columns(df, "lineitem")
+    assert set(cols) == {"l_orderkey", "l_extendedprice", "l_discount"}
+
+
+def test_q52_minhash_is_map_only(spark):
+    df = Q["q52_minhash_signatures"](spark, SF_SMOKE)
+    assert exchange_count(df) == 0  # the whole signature stage is a map
+
+
+def test_q61_ann_broadcasts_query_side(spark):
+    df = Q["q61_ann_bucketed_topk"](spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_q30_single_shuffle_topk(spark):
+    df = Q["q30_topk_per_group"](spark, SF_SMOKE)
+    # one shuffle on the window partition key; no global sort anywhere
+    assert exchange_count(df) == 1
+    assert "Sort [o_custkey" in plan_string(df) or "Sort" in plan_string(df)
+
+
+def test_q09_range_join_is_broadcast_nested_loop(spark):
+    df = Q["q09_range_join"](spark, SF_SMOKE)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan  # never a cartesian shuffle
+    assert "CartesianProduct" not in plan
