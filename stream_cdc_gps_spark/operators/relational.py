@@ -852,3 +852,133 @@ def q35_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_cust"),
         )
     )
+
+
+@query(
+    "q36_map_functions",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(len(map_keys(m)) AS INT)  AS n_keys,
+       map_keys(m)[1]                 AS first_key,
+       CAST(m['k'][1] AS INT)         AS k_value
+FROM (SELECT event_id, event_type,
+             map(['k'], [json_extract_string(props, '$.k')]) AS m
+      FROM events) t
+WHERE m['k'][1] IS NOT NULL
+""",
+)
+def q36_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: build from JSON, map_keys, element access.
+
+    The reference's dynamic ``map[string]interface{}`` payload
+    (``cmd/main.go:65,97``) as a first-class MapType column."""
+    e = t(spark, sf_dir, "events")
+    m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k"))
+    return (
+        e.select("event_id", "event_type", m.alias("m"))
+        .filter(F.element_at("m", "k").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.size(F.map_keys("m")).alias("n_keys"),
+            F.map_keys("m").getItem(0).alias("first_key"),
+            F.element_at("m", "k").cast("int").alias("k_value"),
+        )
+    )
+
+
+@query(
+    "q37_set_ops_all",
+    oracle="""
+SELECT nationkey, count(*) AS n FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+) GROUP BY nationkey
+""",
+)
+def q37_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics) — multiplicity = min of the two sides."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q38_except_all",
+    oracle="""
+SELECT nationkey, count(*) AS n FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+) GROUP BY nationkey
+""",
+)
+def q38_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics) — multiplicity = left minus right, floor 0."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q39_uncorrelated_subquery",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+""",
+)
+def q39_uncorrelated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate (orders above 1.5x the
+    global average) — Catalyst evaluates the subquery once and broadcasts
+    the scalar into the filter."""
+    prepare(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "q47_hypertable_rollup",
+    oracle="""
+SELECT event_type,
+       CASE WHEN grouping(day) = 0 AND grouping(hour) = 0 THEN 'hour'
+            WHEN grouping(day) = 0 THEN 'day' ELSE 'total' END AS resolution,
+       day, hour,
+       count(*)             AS n,
+       round(sum(value), 4) AS sum_value
+FROM (SELECT event_type, value,
+             CAST(date_trunc('day', ts) AS TIMESTAMP)  AS day,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour
+      FROM events) t
+GROUP BY GROUPING SETS ((event_type, day, hour), (event_type, day), (event_type))
+""",
+)
+def q47_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour, day, and total rollups of
+    the events stream computed in ONE pass via grouping sets (one shuffle for
+    all three resolutions — the batch form of a multi-resolution materialized
+    rollup; the streaming form is the same expression per micro-batch)."""
+    prepare(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               CASE WHEN grouping(day) = 0 AND grouping(hour) = 0 THEN 'hour'
+                    WHEN grouping(day) = 0 THEN 'day' ELSE 'total' END AS resolution,
+               day, hour,
+               count(*)             AS n,
+               round(sum(value), 4) AS sum_value
+        FROM (SELECT event_type, value,
+                     date_trunc('day', ts)  AS day,
+                     date_trunc('hour', ts) AS hour
+              FROM events) t
+        GROUP BY GROUPING SETS ((event_type, day, hour), (event_type, day), (event_type))
+        """
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_cdc_gps_spark.functions.vector import as_double, cosine
+from stream_cdc_gps_spark.functions.vector import dot as dot_col
 from stream_cdc_gps_spark.operators.common import t
 from stream_cdc_gps_spark.registry import query
 
@@ -177,4 +178,82 @@ def q62_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(norm(F.col("emb"))), 6).alias("avg_norm"),
         F.round(F.min(F.element_at("emb", 1)), 6).alias("min_d1"),
         F.round(F.max(F.element_at("emb", 1)), 6).alias("max_d1"),
+    )
+
+
+N_CENTROIDS = 8
+
+# Deterministic "centroids": the first N_CENTROIDS vectors by vec_id (a real
+# deployment k-means-trains them; assignment/search plans are identical).
+_CENTROIDS_SQL = f"SELECT vec_id AS cent_id, emb AS cent FROM ({EMB_D}) WHERE vec_id < {N_CENTROIDS}"
+
+_DOT_EC = _SQL_DOT.format(a="e.emb", b="c.cent")
+
+
+@query(
+    "q63_ivf_topk",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+cents AS ({_CENTROIDS_SQL}),
+assigned AS (
+    SELECT e.vec_id, e.emb, arg_max(c.cent_id, {_DOT_EC}) AS cell
+    FROM e CROSS JOIN cents c
+    GROUP BY e.vec_id, e.emb
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+           round({_COS}, 6) AS cos_sim
+    FROM (SELECT * FROM assigned WHERE vec_id >= 100 AND vec_id < 120) q
+    JOIN assigned c ON c.cell = q.cell AND c.vec_id != q.vec_id
+)
+SELECT query_id, candidate_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, candidate_id) AS rn
+    FROM scored
+) WHERE rn <= 3
+""",
+)
+def q63_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid cell
+    (argmax dot over a broadcast centroid table), then search only within the
+    query's cell. The inverted-file structure turns the cross join into an
+    equi join on cell id — same pruning idea as LSH (q61) but with learned
+    (here: deterministic) cells, the layout every vector database uses.
+
+    At 100 TB: centroids are a tiny broadcast table; assignment is map-only;
+    the only shuffle is the per-cell equi join."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent")
+    )
+    scored_cells = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "emb", "cent_id", dot_col(F.col("emb"), F.col("cent")).alias("d"))
+    )
+    assigned = scored_cells.groupBy("vec_id", "emb").agg(
+        F.max_by("cent_id", "d").alias("cell")
+    )
+    q = assigned.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "candidate_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "candidate_id", "cos_sim")
     )

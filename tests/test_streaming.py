@@ -207,3 +207,110 @@ def test_watermarked_dedup_streaming_state(spark, tmp_path):
     got = {r["id"] for r in spark.read.parquet(str(out)).collect()}
     assert got == {"a", "b"}
     assert spark.read.parquet(str(out)).count() == 2
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time range bound
+    (SURVEY.md §2B joins table): fixes enriched by commands issued to the
+    device within the preceding 10 minutes."""
+    fixes_dir = tmp_path / "fixes"
+    cmds_dir = tmp_path / "cmds"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    fixes_dir.mkdir()
+    cmds_dir.mkdir()
+    (fixes_dir / "f.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"device_id": "A", "fix_ts": "2026-02-06 10:05:00", "lat": 1.0},
+                {"device_id": "A", "fix_ts": "2026-02-06 10:30:00", "lat": 2.0},
+                {"device_id": "B", "fix_ts": "2026-02-06 10:06:00", "lat": 3.0},
+            ]
+        )
+    )
+    (cmds_dir / "c.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"device_id": "A", "cmd_ts": "2026-02-06 10:00:00", "cmd": "ping"},
+                {"device_id": "B", "cmd_ts": "2026-02-06 09:00:00", "cmd": "old"},
+            ]
+        )
+    )
+
+    def src(path, schema):
+        return (
+            spark.readStream.schema("value string").format("text").load(str(path))
+            .select(F.from_json("value", schema).alias("m")).select("m.*")
+        )
+
+    fixes = src(fixes_dir, "device_id string, fix_ts string, lat double").select(
+        "device_id", F.col("fix_ts").cast("timestamp").alias("fix_ts"), "lat"
+    ).withWatermark("fix_ts", "1 hour")
+    cmds = src(cmds_dir, "device_id string, cmd_ts string, cmd string").select(
+        F.col("device_id").alias("cmd_device"),
+        F.col("cmd_ts").cast("timestamp").alias("cmd_ts"),
+        "cmd",
+    ).withWatermark("cmd_ts", "1 hour")
+
+    joined = fixes.join(
+        cmds,
+        (F.col("device_id") == F.col("cmd_device"))
+        & (F.col("cmd_ts") <= F.col("fix_ts"))
+        & (F.col("cmd_ts") >= F.col("fix_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select("device_id", "fix_ts", "lat", "cmd", "cmd_ts")
+
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ck))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(out)).collect()
+    # only A@10:05 is within 10 min of A's 10:00 ping; B's cmd is 66 min stale
+    assert len(got) == 1
+    assert (got[0]["device_id"], got[0]["lat"], got[0]["cmd"]) == ("A", 1.0, "ping")
+
+
+def test_foreachbatch_sink_idempotent_shape(spark, tmp_path):
+    """foreachBatch landing (the JDBC-sink shape, reference connector.json):
+    each micro-batch lands atomically per batch_id; the same callable drives
+    df.write.jdbc in production."""
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    src.mkdir()
+    (src / "b.jsonl").write_text(
+        "\n".join(
+            json.dumps({"id": f"id-{i}", "latitude": 1.0 * i, "longitude": 2.0 * i})
+            for i in range(4)
+        )
+    )
+    stream = (
+        spark.readStream.schema("value string").format("text").load(str(src))
+        .select(F.from_json("value", "id string, latitude double, longitude double").alias("m"))
+        .select("m.*")
+    )
+    landed = X.location_instances(stream)
+
+    seen_batches = []
+
+    def write_batch(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        batch_df.write.mode("append").parquet(str(out))
+
+    q = (
+        landed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(seen_batches) >= 1
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 4
+    assert {r["gps_id"] for r in rows} == {f"id-{i}" for i in range(4)}
