@@ -982,3 +982,180 @@ def q47_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type, day, hour), (event_type, day), (event_type))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Coverage completions: array higher-order functions, unpivot, EXISTS,
+# cross/right joins, generators (SURVEY.md §2B scalar/array + join rows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q48_array_functions",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT vec_id,
+       CAST(len(emb) AS INT)                               AS dim,
+       CAST(len(list_filter(emb, x -> x > 0.0)) AS INT)    AS n_pos,
+       round(list_reduce(emb, (a, x) -> a + x), 6)         AS sum_all,
+       round(list_sort(emb)[-1], 6)                        AS max_val,
+       round(list_reduce(emb[1:8], (a, x) -> a + x), 6)    AS sum_head8
+FROM e
+""",
+)
+def q48_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: transform/filter/aggregate/array_sort/
+    slice as pure column expressions (JVM-side, whole-stage codegen — the
+    no-UDF path for array<float> columns at 100 TB).
+
+    Fold order matters for float equality with the oracle: Spark's
+    ``aggregate(emb, 0.0, (a,x) -> a+x)`` and DuckDB's ``list_reduce`` both
+    fold left-to-right, and ``0.0 + x == x`` exactly, so the sums agree
+    bit-for-bit before rounding."""
+    from stream_cdc_gps_spark.functions.vector import as_double
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    fold = lambda col: F.aggregate(col, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("emb").alias("dim"),
+        F.size(F.filter("emb", lambda x: x > F.lit(0.0))).alias("n_pos"),
+        F.round(fold(F.col("emb")), 6).alias("sum_all"),
+        F.round(F.element_at(F.array_sort("emb"), -1), 6).alias("max_val"),
+        F.round(fold(F.slice("emb", 1, 8)), 6).alias("sum_head8"),
+    )
+
+
+@query(
+    "q49_unpivot",
+    oracle="""
+SELECT measure, round(sum(value), 2) AS total, count(*) AS n
+FROM (
+    SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+    UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+GROUP BY measure
+""",
+)
+def q49_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide measures -> long (measure, value)) + re-aggregate.
+
+    ``DataFrame.unpivot`` is a zero-shuffle narrow transform (each row
+    expands locally); only the follow-up groupBy shuffles, and it carries
+    just 4 groups x partial states."""
+    li = t(spark, sf_dir, "lineitem")
+    unp = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return unp.groupBy("measure").agg(
+        F.round(F.sum("value"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q90_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F')
+"""
+
+
+@query("q90_exists_subqueries", oracle=_Q90_SQL)
+def q90_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS correlated subqueries — Catalyst rewrites them to
+    left-semi and left-anti joins (no per-row subquery execution; same plan
+    shape as q05/q06 but reached through the SQL front door)."""
+    prepare(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_Q90_SQL)
+
+
+@query(
+    "q91_cross_join",
+    oracle="""
+SELECT r_name, seg, r_name || '/' || seg AS cell
+FROM region
+CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+""",
+)
+def q91_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (5 regions x 5 segments = dense grid).
+
+    Safe at any scale because BOTH sides are aggregates of bounded
+    cardinality before the cross join — never cross-join raw fact tables."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    seg = (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+    )
+    return r.crossJoin(seg).select(
+        "r_name", "seg", F.concat_ws("/", "r_name", "seg").alias("cell")
+    )
+
+
+@query(
+    "q92_right_join",
+    oracle="""
+SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q92_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving customers with zero orders, then
+    aggregate; count(o_orderkey) vs count(*) distinguishes matched rows
+    from null-extended ones."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "right")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q93_posexplode",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT CAST(i AS INT) AS pos, count(*) AS n_pos, round(avg(emb[i]), 6) AS avg_val
+FROM e, range(1, 9) r(i)
+WHERE emb[i] > 0.0
+GROUP BY i
+""",
+)
+def q93_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator with ordinality: posexplode over the first 8 embedding
+    dimensions -> per-position stats. The explode is a narrow transform;
+    only the 8-group aggregate shuffles."""
+    from stream_cdc_gps_spark.functions.vector import as_double
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    ex = e.select(F.posexplode(F.slice("emb", 1, 8)).alias("pos0", "val"))
+    return (
+        ex.filter(F.col("val") > 0.0)
+        .select((F.col("pos0") + 1).cast("int").alias("pos"), "val")
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.round(F.avg("val"), 6).alias("avg_val"),
+        )
+    )
