@@ -165,20 +165,34 @@ GROUP BY a.doc_id, b.doc_id
 def q53_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: docs colliding in ≥1 LSH band.
 
-    The self-join keys on (band, band_key) — only docs in the same bucket
-    ever meet, which is the property that keeps near-dedup sub-quadratic at
-    scale."""
+    Plan: ONE pass over the signature stage, ONE exchange. Grouping on
+    (band, band_key) collects each bucket's doc ids, and pairs are generated
+    inside the bucket with array higher-order functions — vs the naive
+    self-join, which evaluates the (shuffle-free, so not reusable) MinHash
+    subtree twice and shuffles both sides. Buckets are tiny by construction
+    (band_key is 2 concatenated md5s), so the in-bucket pair expansion is
+    O(bucket²) on a handful of rows; a pathological hot bucket would mean
+    the banding parameters, not the plan, need retuning."""
     bands = band_buckets(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
@@ -203,14 +217,35 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
-    Candidate generation by shingle join (inverted-index style), then
-    |A∩B| / (|A|+|B|-|A∩B|); only near-dup pairs (≥0.2) survive."""
+    Candidate generation by shingle bucket (inverted-index style), then
+    |A∩B| / (|A|+|B|-|A∩B|); only near-dup pairs (≥0.2) survive.
+
+    Like q53, pairs come from groupBy(sh) → collect_list → in-bucket pair
+    expansion rather than a self-join: the shingle stream is shuffled once
+    instead of twice, and the posting-list exchange is shared with the
+    ``sizes`` branch via ReusedExchange. Output volume is identical to the
+    self-join (every co-occurring pair once per shared shingle)."""
     sh = shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    buckets = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.alias("sa")
