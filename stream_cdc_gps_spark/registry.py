@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
         multimodal,
         relational,
         similarity,
+        skew,
         textops,
         windowed,
     )
