@@ -257,3 +257,100 @@ def q63_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "candidate_id", "cos_sim")
     )
+
+
+_EB_D = (
+    f"SELECT vec_id, emb, {_BUCKET_SQL.format(e='emb')} AS bucket FROM ({EMB_D})"
+)
+
+_Q64_ORACLE = f"""
+WITH e AS ({EMB_D}),
+eb AS ({_EB_D}),
+exact AS (
+    SELECT query_id, candidate_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round({_COS}, 6) DESC, c.vec_id) AS rn
+        FROM (SELECT * FROM e WHERE vec_id < 20) q
+        JOIN e c ON c.vec_id != q.vec_id
+    ) WHERE rn <= 3
+),
+approx AS (
+    SELECT query_id, candidate_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round({_COS}, 6) DESC, c.vec_id) AS rn
+        FROM (SELECT * FROM eb WHERE vec_id < 20) q
+        JOIN eb c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+    ) WHERE rn <= 3
+)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT)            AS n_exact,
+       CAST(count(a.candidate_id) AS BIGINT) AS n_hit,
+       round(count(a.candidate_id) * 1.0 / count(*), 4) AS recall
+FROM exact e
+LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.candidate_id = e.candidate_id
+GROUP BY e.query_id
+"""
+
+
+@query("q64_ann_recall", oracle=_Q64_ORACLE)
+def q64_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the sign-bucket ANN (q61's plan) against the exact kNN
+    baseline (q60's plan), per query — the self-evaluation loop every
+    production ANN deployment runs on a sample to tune its hash bits /
+    probe count. Pure DataFrame composition; both pipelines share the scan."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    eb = e.withColumn("bucket", _bucket(F.col("emb")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "candidate_id")
+
+    def topk(scored: DataFrame, k: int) -> DataFrame:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "candidate_id")
+        )
+
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    exact = topk(
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        ),
+        3,
+    )
+    qb = eb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    approx = topk(
+        eb.join(
+            F.broadcast(qb),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        ),
+        3,
+    )
+    hit = approx.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hit"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+        )
+    )

@@ -65,3 +65,24 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_orders")
         spark.sql("DROP TABLE IF EXISTS bk_customer")
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A filter on the partition column must show up as a PartitionFilter
+    (directory pruning), not a data filter over all rows."""
+    from stream_cdc_gps_spark.sources.writers import read_partitioned, write_partitioned
+    from stream_cdc_gps_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(ev, path, ["event_type"])
+
+    back = read_partitioned(spark, path).filter(F.col("event_type") == "click")
+    plan = plan_string(back)
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "event_type" in pf  # pruned at planning, whole directories skipped
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == n_click
