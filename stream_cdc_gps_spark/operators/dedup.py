@@ -351,3 +351,79 @@ def q56_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(sim >= 0.3)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
     )
+
+
+_PAIRS_SQL = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@query(
+    "q57_neardup_components",
+    oracle=f"""
+WITH RECURSIVE
+mh AS ({MINHASH_SQL}),
+bands AS ({_BAND_SELECTS}),
+pairs AS ({_PAIRS_SQL}),
+edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS d FROM edges),
+reach(s, t) AS (
+    SELECT d, d FROM nodes
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t
+)
+SELECT s AS doc_id, min(t) AS component FROM reach GROUP BY s
+""",
+)
+def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUPS: connected components over the LSH candidate
+    graph (q53's pairs), labeling every involved doc with the min doc_id of
+    its component — the final step that turns pairwise candidates into
+    keep-one-per-group dedup decisions.
+
+    Iterative min-label propagation: each round, a node's label becomes the
+    min of its own and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup components are almost-cliques, so 2-3).
+    Each round is one join + one agg shuffle over the EDGE list only — at
+    100 TB the edge list after LSH is a tiny fraction of the corpus, and
+    ``localCheckpoint`` truncates the growing lineage. The oracle expresses
+    the same fixpoint as a recursive CTE, so even this iterative operator
+    gets the full value-hash check."""
+    pairs = q53_lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("s").alias("d")).distinct().withColumn(
+        "comp", F.col("d")
+    )
+    for _ in range(16):  # diameter bound; real convergence is 2-3 rounds
+        neigh = (
+            edges.join(labels, edges["t"] == labels["d"])
+            .groupBy("s")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["d"] == neigh["s"], "left")
+            .select(
+                labels["d"],
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.d") == F.col("o.d"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("d").alias("doc_id"), F.col("comp").alias("component"))

@@ -314,3 +314,66 @@ def test_foreachbatch_sink_idempotent_shape(spark, tmp_path):
     rows = spark.read.parquet(str(out)).collect()
     assert len(rows) == 4
     assert {r["gps_id"] for r in rows} == {f"id-{i}" for i in range(4)}
+
+
+def test_windowed_agg_drops_late_data(spark, tmp_path):
+    """Tumbling-window agg with watermark: a record arriving after the
+    watermark passed its window's end is dropped; finalized windows emit
+    exactly once in append mode.
+
+    Two availableNow runs over one checkpoint = two micro-batches with the
+    watermark persisted between them (exactly how an incremental production
+    job advances)."""
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    src.mkdir()
+
+    def run_batch():
+        stream = (
+            spark.readStream.schema("value string")
+            .format("text")
+            .load(str(src))
+            .select(F.from_json("value", "dev string, ts string").alias("m"))
+            .select("m.dev", F.col("m.ts").cast("timestamp").alias("ts"))
+        )
+        counts = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("win"), "dev")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "b0.jsonl").write_text(
+        "\n".join(
+            [
+                json.dumps({"dev": "d1", "ts": "2026-02-06 10:00:10"}),
+                json.dumps({"dev": "d1", "ts": "2026-02-06 10:04:50"}),
+                json.dumps({"dev": "d1", "ts": "2026-02-06 10:20:00"}),  # advances wm
+            ]
+        )
+    )
+    run_batch()  # after this run the committed watermark is 10:10
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                # late: watermark 10:10 already passed window [10:00,10:05)
+                json.dumps({"dev": "d1", "ts": "2026-02-06 10:01:00"}),
+                json.dumps({"dev": "d1", "ts": "2026-02-06 10:21:00"}),
+            ]
+        )
+    )
+    run_batch()
+
+    rows = spark.read.parquet(str(out)).collect()
+    emitted = {(r["win"]["start"].strftime("%H:%M"), r["n"]) for r in rows}
+    # only the [10:00,10:05) window finalized; late 10:01 record NOT counted
+    assert emitted == {("10:00", 2)}
