@@ -241,3 +241,47 @@ def q76_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * 31 + h) % 1000000007,
     )
     return toks.select("doc_id", roll.cast("bigint").alias("roll_hash"))
+
+
+_STOPWORDS = (
+    "the a an and or of to in is it for on with as at by from this that".split()
+)
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@query(
+    "q77_stopword_ratio",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS BIGINT)
+           AS n_stop,
+       CAST(len(toks) AS BIGINT) AS n_tok,
+       round(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0
+             / len(toks), 4) AS stop_ratio
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+WHERE len(toks) > 0
+""",
+)
+def q77_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword ratio per document — the classic fluency/quality signal
+    (natural prose has a stable stopword fraction; keyword spam and
+    boilerplate sit at the extremes). Pure array math, no explode: the
+    ratio is computed per row inside codegen."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    n_tok = F.size(toks)
+    return (
+        d.select(
+            "doc_id",
+            n_stop.cast("bigint").alias("n_stop"),
+            n_tok.cast("bigint").alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .select(
+            "doc_id",
+            "n_stop",
+            "n_tok",
+            F.round(F.col("n_stop") * 1.0 / F.col("n_tok"), 4).alias("stop_ratio"),
+        )
+    )

@@ -131,3 +131,34 @@ def q33_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w_mov), 4).alias("moving_avg3"),
         F.first("value").over(w_run).alias("first_value"),
     )
+
+
+@query(
+    "q95_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS trailing_1h
+FROM events
+""",
+)
+def q95_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: per-user trailing-hour sum ordered
+    by event time in epoch seconds — the frame is defined by the ORDER BY
+    VALUE distance, not row count (rows at the same second are peers).
+
+    DuckDB's epoch() is fractional DOUBLE while Spark's unix_timestamp
+    truncates; both sides floor to whole seconds so peer groups agree."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("trailing_1h"),
+    )
