@@ -142,3 +142,73 @@ def q81_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_table(spark, sf_dir)).select(
         "doc_id", "modality", "byte_len", "byte_sum_mod", "first_byte"
     )
+
+
+def sample_frames_stub(
+    payload: bytes, n_frames: int = 4, frame_bytes: int = 16
+) -> list[tuple[int, int, bytes]]:
+    """STUB for a real frame sampler (ffmpeg not installed): deterministic
+    byte-slice "frames" at evenly spaced offsets, each "resized" by clamping
+    to ``frame_bytes``. A real video decoder replaces only this function;
+    the 1→N mapInPandas plumbing is unchanged. Raises on None like a codec
+    error."""
+    if payload is None:
+        raise NotImplementedError("no payload — real decoder would surface a codec error")
+    n = len(payload)
+    if n == 0:
+        return []
+    stride = n // n_frames
+    return [
+        (i, i * stride, bytes(payload[i * stride : i * stride + frame_bytes]))
+        for i in range(n_frames)
+    ]
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, offset bigint, frame binary"
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """Frame sampling: each media row expands to ``n_frames`` frame rows —
+    the one-to-many shape video/audio segmentation needs (vs the 1:1
+    ``extract_features``). Map-only; the blob never shuffles; downstream
+    projects frames, not payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, off, frame in sample_frames_stub(payload, n_frames, frame_bytes):
+                    rows.append((doc_id, i, off, frame))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "offset", "frame"])
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+@query(
+    "q82_media_frames",
+    # corpus text is ASCII (length == octet_length, see q81), so byte slices
+    # of the utf-8 payload equal character slices of the text — md5s agree.
+    oracle="""
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+f AS (SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             CAST(i * (n // 4) AS BIGINT) AS "offset",
+             substr(text, CAST(1 + i * (n // 4) AS BIGINT), 16) AS frame
+      FROM m, range(0, 4) r(i)
+      WHERE n > 0)
+SELECT doc_id, frame_idx, "offset",
+       CAST(length(frame) AS BIGINT) AS frame_len,
+       md5(frame) AS frame_md5
+FROM f
+""",
+)
+def q82_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through mapInPandas (1→N expansion), frames checked
+    byte-exactly via md5 against the oracle's closed-form slicing."""
+    frames = sample_frames(media_table(spark, sf_dir))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "offset",
+        F.length("frame").cast("bigint").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
