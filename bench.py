@@ -38,10 +38,13 @@ HEADLINE = [
     "q50_dedup_exact",
     "q53_lsh_candidate_pairs",
     "q54_ngram_jaccard",
+    "q57_neardup_components",
     "q60_cosine_topk",
     "q61_ann_bucketed_topk",
+    "q64_ann_recall",
     "q71_token_quality",
     "q72_top_terms",
+    "q82_media_frames",
 ]
 
 
