@@ -409,21 +409,18 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
+        # carry old+new label in ONE checkpointed frame: the convergence
+        # check is a cheap filter-count on materialized data, not a re-join
+        stepped = (
             labels.join(neigh, labels["d"] == neigh["s"], "left")
             .select(
                 labels["d"],
+                F.col("comp").alias("old_comp"),
                 F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.d") == F.col("o.d"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("d", "comp")
+        if stepped.filter(F.col("comp") != F.col("old_comp")).count() == 0:
             break
     return labels.select(F.col("d").alias("doc_id"), F.col("comp").alias("component"))
