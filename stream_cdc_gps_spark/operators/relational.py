@@ -1159,3 +1159,45 @@ def q93_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("val"), 6).alias("avg_val"),
         )
     )
+
+
+@query(
+    "q96_date_spine_coverage",
+    oracle="""
+WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM b),
+have AS (SELECT CAST(ts AS DATE) AS day,
+                count(*)                    AS n_events,
+                count(DISTINCT event_type)  AS n_types
+         FROM events GROUP BY 1)
+SELECT s.day,
+       CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(h.n_types, 0) AS BIGINT)  AS n_types
+FROM spine s LEFT JOIN have h ON h.day = s.day
+""",
+)
+def q96_date_spine_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine coverage: generate every day in the stream's range
+    (sequence + explode — no date can hide by having zero rows), left-join
+    daily activity, zero-fill gaps. The monitoring query that catches silent
+    ingestion outages; the spine side is O(days), so the join broadcasts it
+    at any data scale."""
+    e = t(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    have = (
+        e.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("h_events"),
+            F.countDistinct("event_type").alias("h_types"),
+        )
+    )
+    return spine.join(have, "day", "left").select(
+        "day",
+        F.coalesce("h_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("h_types", F.lit(0)).cast("bigint").alias("n_types"),
+    )
