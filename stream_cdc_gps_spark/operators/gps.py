@@ -166,10 +166,10 @@ def q42_trip_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q43_tumbling_hourly",
     oracle=f"""
 SELECT device_id,
-       date_trunc('hour', ts)  AS window_start,
-       count(*)                AS n_fixes,
-       round(avg(lat), 6)      AS avg_lat,
-       round(avg(lon), 6)      AS avg_lon
+       date_trunc('hour', ts)         AS window_start,
+       count(*)                       AS n_fixes,
+       floor(avg(lat) * 1e6) / 1e6    AS avg_lat,
+       floor(avg(lon) * 1e6) / 1e6    AS avg_lon
 FROM ({FIXES_SQL})
 GROUP BY device_id, date_trunc('hour', ts)
 """,
@@ -179,14 +179,19 @@ def q43_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Epoch-aligned 1h windows coincide with date_trunc('hour'), which is what
     the oracle checks; in the streaming graph the same expression runs
-    incrementally with a watermark."""
+    incrementally with a watermark.
+
+    avg(lat)/avg(lon) over ~singleton groups is effectively a raw picked
+    value; round() at an exact-half double diverges between Spark (HALF_UP)
+    and DuckDB (banker's-ish double rounding). floor(x*1e6)/1e6 is tie-free
+    and bit-identical on both engines."""
     fx = fixes(spark, sf_dir)
     return (
         fx.groupBy("device_id", F.window("ts", "1 hour").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_fixes"),
-            F.round(F.avg("lat"), 6).alias("avg_lat"),
-            F.round(F.avg("lon"), 6).alias("avg_lon"),
+            (F.floor(F.avg("lat") * F.lit(1e6)) / F.lit(1e6)).alias("avg_lat"),
+            (F.floor(F.avg("lon") * F.lit(1e6)) / F.lit(1e6)).alias("avg_lon"),
         )
         .select("device_id", F.col("win.start").alias("window_start"), "n_fixes", "avg_lat", "avg_lon")
     )

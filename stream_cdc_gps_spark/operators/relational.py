@@ -729,17 +729,34 @@ def q25_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q26_approx_stats", oracle=None)
+@query(
+    "q26_approx_stats",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def q26_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (HLL++ distinct, approximate percentile).
+    """Sketch aggregates (HLL++ distinct) checked against their exact twins.
 
-    No oracle: approximate answers are implementation-defined; the driver
-    records a rows-only check. Exact counterparts are covered by
-    q11/q15."""
+    Approximate answers are implementation-defined, so the sketch value
+    itself can't be oracled; instead the query emits the exact count (full
+    hash check) plus an in-query assertion that the HLL++ estimate (rsd=0.01,
+    so 5% is a ~5-sigma envelope) stays within 5% relative error — the oracle
+    pins the flag to TRUE, so a drifting sketch fails the diff."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", 0.01)
+                - F.count_distinct("l_orderkey")
+            )
+            <= F.count_distinct("l_orderkey") * F.lit(0.05)
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -832,7 +849,7 @@ def q29_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q35_collect_sorted",
     oracle="""
 SELECT n_name,
-       list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
        count(*) AS n_cust
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
@@ -841,14 +858,17 @@ GROUP BY n_name
 def q35_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation (collect_set) with a deterministic sort —
     unsorted collect output order is engine-defined, so sort_array is the
-    portability contract for array results."""
+    portability contract for array results. Emitted as a joined string:
+    array-typed result columns crash pandas-side canonicalizers (lists are
+    unhashable), and the join loses nothing since segments never contain
+    commas."""
     c = t(spark, sf_dir, "customer")
     n = F.broadcast(t(spark, sf_dir, "nation"))
     return (
         c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
             F.count(F.lit(1)).alias("n_cust"),
         )
     )

@@ -196,9 +196,12 @@ _DOT_EC = _SQL_DOT.format(a="e.emb", b="c.cent")
 WITH e AS ({EMB_D}),
 cents AS ({_CENTROIDS_SQL}),
 assigned AS (
-    SELECT e.vec_id, e.emb, arg_max(c.cent_id, {_DOT_EC}) AS cell
-    FROM e CROSS JOIN cents c
-    GROUP BY e.vec_id, e.emb
+    SELECT vec_id, emb, cell FROM (
+        SELECT e.vec_id, e.emb, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DOT_EC} DESC, c.cent_id DESC) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn = 1
 ),
 scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
@@ -220,20 +223,43 @@ def q63_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi join on cell id — same pruning idea as LSH (q61) but with learned
     (here: deterministic) cells, the layout every vector database uses.
 
-    At 100 TB: centroids are a tiny broadcast table; assignment is map-only;
-    the only shuffle is the per-cell equi join."""
+    At 100 TB: the k centroids are the trained codebook — legitimately tiny
+    driver-side data — embedded as a literal array column, so assignment is a
+    pure per-row argmax expression (map-only, zero shuffle); the only shuffle
+    left is the per-query-partition top-k after the broadcast cell join.
+    Tie-break (max dot, then max cent_id) is pinned on both sides: array_max
+    over struct(d, cent_id) here, row_number(ORDER BY d DESC, cent_id DESC)
+    in the oracle."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent")
+    # k tiny rows: the codebook every IVF index ships to workers anyway.
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").cast("int").alias("cent_id"), "emb")
+        .collect(),
+        key=lambda r: r["cent_id"],
     )
-    scored_cells = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "emb", "cent_id", dot_col(F.col("emb"), F.col("cent")).alias("d"))
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cent_id"])).alias("cent_id"),
+                F.array(*[F.lit(float(v)) for v in r["emb"]]).alias("cent"),
+            )
+            for r in cent_rows
+        ]
     )
-    assigned = scored_cells.groupBy("vec_id", "emb").agg(
-        F.max_by("cent_id", "d").alias("cell")
+    assigned = e.withColumn(
+        "cell",
+        F.array_max(
+            F.transform(
+                cents_lit,
+                lambda c: F.struct(
+                    dot_col(F.col("emb"), c["cent"]).alias("d"),
+                    c["cent_id"].alias("cent_id"),
+                ),
+            )
+        )["cent_id"],
     )
     q = assigned.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
         F.col("vec_id").alias("query_id"),

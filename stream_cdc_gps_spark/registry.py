@@ -50,9 +50,66 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
     return deco
 
 
+# Driver-verification priority. The correctness harness checks registry
+# entries in iteration order and (round 1) capped at the first 50, leaving
+# whole families unverified. Names listed here are emitted FIRST, in this
+# order; everything else follows in registration order. Round 2 front-loads:
+# (a) the 30 queries with no round-1 driver row (windowed, relational tail,
+# similarity, textops, skew families), (b) the round-1 failures after their
+# fixes (q43, q35, q26), (c) queries new this round. Rotate per round until
+# every query has a driver-green row.
+_PRIORITY: list[str] = [
+    # (a) never driver-checked in round 1
+    "q30_topk_per_group",
+    "q31_rank_dense_ntile",
+    "q32_lag_lead",
+    "q33_window_frames",
+    "q37_set_ops_all",
+    "q38_except_all",
+    "q39_uncorrelated_subquery",
+    "q47_hypertable_rollup",
+    "q48_array_functions",
+    "q49_unpivot",
+    "q60_cosine_topk",
+    "q61_ann_bucketed_topk",
+    "q62_embedding_stats",
+    "q63_ivf_topk",
+    "q64_ann_recall",
+    "q70_lang_stats",
+    "q71_token_quality",
+    "q72_top_terms",
+    "q73_lang_id_heuristic",
+    "q74_source_lang_matrix",
+    "q75_bpe_token_estimate",
+    "q76_rolling_hash",
+    "q77_stopword_ratio",
+    "q90_exists_subqueries",
+    "q91_cross_join",
+    "q92_right_join",
+    "q93_posexplode",
+    "q94_skew_salted_join",
+    "q95_range_frame",
+    "q96_date_spine_coverage",
+    # (b) round-1 failures, fixed this round
+    "q43_tumbling_hourly",
+    "q35_collect_sorted",
+    "q26_approx_stats",
+    # (c) new this round
+    "q58_simhash_pairs",
+    "q97_sliding_window_rate",
+    "q84_json_scan",
+    "q85_csv_scan",
+]
+
+
 def all_queries() -> dict[str, QuerySpec]:
     _ensure_loaded()
-    return dict(_REGISTRY)
+    rank = {name: i for i, name in enumerate(_PRIORITY)}
+    ordered = sorted(
+        enumerate(_REGISTRY.values()),
+        key=lambda pair: (rank.get(pair[1].name, len(_PRIORITY) + pair[0]), pair[0]),
+    )
+    return {spec.name: spec for _, spec in ordered}
 
 
 def queries() -> dict[str, SparkQuery]:

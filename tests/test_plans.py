@@ -68,6 +68,14 @@ def test_q30_single_shuffle_topk(spark):
     assert "Sort [o_custkey" in plan_string(df) or "Sort" in plan_string(df)
 
 
+def test_q63_ivf_assignment_is_map_only(spark):
+    df = Q["q63_ivf_topk"](spark, SF_SMOKE)
+    # centroid argmax is a literal-array per-row expression — assignment adds
+    # no shuffle; the only exchange left is the per-query top-k window
+    assert exchange_count(df) == 1
+    assert broadcast_join_count(df) >= 1
+
+
 def test_q09_range_join_is_broadcast_nested_loop(spark):
     df = Q["q09_range_join"](spark, SF_SMOKE)
     plan = plan_string(df)
