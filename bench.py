@@ -7,8 +7,13 @@ the baseline; later revisions must stay within 2x — BASELINE.md).
 
 Methodology: one shared session (cluster-style reuse), one untimed warmup
 query to JIT/codegen-prime the executors, then each headline query timed
-end-to-end (plan + execute + collect-to-count). Headliners span every
-operator family so a regression anywhere shows up here.
+end-to-end (plan + execute + write to a noop sink). The noop sink forces
+EVERY projected expression to evaluate — under ``.count()`` Catalyst prunes
+unreferenced projection columns, so projection-heavy queries (q41's
+haversine chain) would time a bare scan instead of the real work.
+Methodology changed r1→r2 (count → noop); compare like-for-like from r2 on
+(BASELINE.md). Headliners span every operator family so a regression
+anywhere shows up here.
 """
 
 from __future__ import annotations
@@ -55,13 +60,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 
+    def run(name: str) -> None:
+        # noop sink: full execution of every output column, zero write cost
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # untimed warmup: prime codegen/JIT + parquet footer caches
-    qs["q01_pricing_summary"](spark, sf_dir).count()
+    run("q01_pricing_summary")
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
+        run(name)
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -28,6 +28,15 @@ SQL_DOT_BB = "list_reduce(list_transform(range(1, len(b.emb) + 1), i -> b.emb[i]
 N_MINHASH = 6
 BAND_SIZE = 2  # 3 bands of 2 hashes each
 
+# Hot-bucket guard: a shingle or band key shared by more than this many docs
+# contributes O(df²) candidate pairs with almost no signal (a stop-shingle
+# like "the the the" or a degenerate band key). Standard near-dup practice
+# drops these posting lists before pair expansion — the cap bounds per-bucket
+# work at MAX_POSTING² regardless of corpus size, which is what keeps the
+# expansion stage O(n · MAX_POSTING) instead of quadratic at 100 TB. The cap
+# is applied identically in the DuckDB oracles so parity still holds.
+MAX_POSTING = 64
+
 # Distinct word-3-gram shingles per doc, identically in SQL (chr(32)=space to
 # survive any quoting) and DataFrame form.
 SHINGLES_SQL = """
@@ -46,6 +55,26 @@ _BAND_SELECTS = " UNION ALL ".join(
     f" FROM mh"
     for b in range(N_MINHASH // BAND_SIZE)
 )
+
+
+def bucket_pair_expand(buckets: DataFrame, ids: str = "ids") -> DataFrame:
+    """Expand each bucket's sorted element array into ordered pairs (a, b)
+    with a before b in array order — array HOFs inside one projection, no
+    self-join, no extra shuffle. Elements may be atoms or structs.
+
+    Callers must cap bucket size first (``MAX_POSTING``): expansion is
+    O(|bucket|²) by nature, and the cap is what makes that a constant."""
+    c = F.col(ids)
+    pairs = F.flatten(
+        F.transform(
+            c,
+            lambda x, i: F.transform(
+                F.slice(c, i + F.lit(2), F.size(c)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,9 +184,12 @@ def q52_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_lsh_candidate_pairs",
     oracle=f"""
 WITH mh AS ({MINHASH_SQL}),
-bands AS ({_BAND_SELECTS})
+bands AS ({_BAND_SELECTS}),
+ok AS (SELECT band, band_key FROM bands
+       GROUP BY band, band_key HAVING count(*) <= {MAX_POSTING})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-FROM bands a JOIN bands b
+FROM bands a JOIN ok USING (band, band_key)
+JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """,
@@ -170,28 +202,18 @@ def q53_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the bucket with array higher-order functions — vs the naive
     self-join, which evaluates the (shuffle-free, so not reusable) MinHash
     subtree twice and shuffles both sides. Buckets are tiny by construction
-    (band_key is 2 concatenated md5s), so the in-bucket pair expansion is
-    O(bucket²) on a handful of rows; a pathological hot bucket would mean
-    the banding parameters, not the plan, need retuning."""
+    (band_key is 2 concatenated md5s); a degenerate band key (e.g. all-empty
+    shingles) is dropped by the MAX_POSTING cap before expansion, bounding
+    the quadratic tail."""
     bands = band_buckets(spark, sf_dir)
     buckets = (
         bands.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_POSTING))
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        bucket_pair_expand(buckets)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
@@ -202,9 +224,11 @@ def q53_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH sh AS ({SHINGLES_SQL}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {MAX_POSTING}),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    FROM sh a JOIN ok USING (sh)
+    JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -223,28 +247,21 @@ def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Like q53, pairs come from groupBy(sh) → collect_list → in-bucket pair
     expansion rather than a self-join: the shingle stream is shuffled once
     instead of twice, and the posting-list exchange is shared with the
-    ``sizes`` branch via ReusedExchange. Output volume is identical to the
-    self-join (every co-occurring pair once per shared shingle)."""
+    ``sizes`` branch via ReusedExchange. Stop-shingles (document frequency
+    > MAX_POSTING) are dropped before expansion on both sides — they carry
+    ~zero Jaccard signal and are the one input that would make a bucket
+    quadratic at corpus scale. Sizes stay TRUE per-doc counts, so the
+    denominator is exact; only the candidate/intersection side is capped."""
     sh = shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     buckets = (
         sh.groupBy("sh")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    pair_arr = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_POSTING))
     )
     inter = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        bucket_pair_expand(buckets)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -259,9 +276,7 @@ def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q55_simhash",
-    oracle="""
+SIMHASH_SQL = """
 WITH tok AS (
     SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          UNNEST(toks) AS u(t)
@@ -276,14 +291,11 @@ bits AS (
 SELECT doc_id,
        CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash8
 FROM bits GROUP BY doc_id
-""",
-)
-def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-bit SimHash per document (sign of per-bit token-hash vote).
+"""
 
-    Deliberately narrow (first md5 byte) so the oracle reproduces it exactly;
-    widening to 64 bits is the same plan with 8 byte-columns. Near-dup test
-    is then hamming distance ≤ k on the signature — O(n) per doc."""
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash8): 8-bit SimHash — sign of per-bit token-hash vote."""
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     byte = F.conv(F.substring(F.md5("t"), 1, 2), 16, 10).cast("bigint")
@@ -301,6 +313,77 @@ def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("s") > 0, pow2).otherwise(0.0))
         .cast("bigint")
         .alias("simhash8")
+    )
+
+
+@query("q55_simhash", oracle=SIMHASH_SQL)
+def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit SimHash per document (sign of per-bit token-hash vote).
+
+    Deliberately narrow (first md5 byte) so the oracle reproduces it exactly;
+    widening to 64 bits is the same plan with 8 byte-columns. Near-dup test
+    is then hamming distance ≤ k on the signature — O(n) per doc (q58)."""
+    return simhash_signatures(spark, sf_dir)
+
+
+@query(
+    "q58_simhash_pairs",
+    oracle=f"""
+WITH sims AS ({SIMHASH_SQL}),
+halves AS (
+    SELECT doc_id, simhash8, 0 AS half_idx, simhash8 // 16 AS half_val FROM sims
+    UNION ALL
+    SELECT doc_id, simhash8, 1 AS half_idx, simhash8 % 16 AS half_val FROM sims
+),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           min(a.simhash8) AS sig_a, min(b.simhash8) AS sig_b
+    FROM halves a JOIN halves b
+      ON a.half_idx = b.half_idx AND a.half_val = b.half_val
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 1
+""",
+)
+def q58_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing: candidates at hamming distance ≤ 1.
+
+    Pigeonhole banding: split the signature into two halves — any pair
+    differing in ≤ 1 bit agrees exactly on at least one half — equi-join on
+    (half_idx, half_value), then verify true hamming with bit_count(xor).
+    This is the classic Manku/Jain/Das Sarma web-dedup layout: banding makes
+    candidate generation an equi-join (shuffle on the half value), and the
+    exact check is per-pair O(1) bit math. At the real 64-bit width the two
+    32-bit halves make collisions rare and buckets tiny; the 8-bit toy width
+    here (oracle-reproducible, q55) is the same plan with coarser keys."""
+    sims = simhash_signatures(spark, sf_dir)
+    halves = sims.select(
+        "doc_id",
+        "simhash8",
+        F.posexplode(
+            F.array(F.floor(F.col("simhash8") / 16).cast("bigint"), F.col("simhash8") % 16)
+        ).alias("half_idx", "half_val"),
+    )
+    a = halves.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash8").alias("sig_a"),
+        "half_idx", "half_val",
+    )
+    b = halves.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash8").alias("sig_b"),
+        "half_idx", "half_val",
+    )
+    cand = (
+        a.join(b, ["half_idx", "half_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("sig_a").alias("sig_a"), F.min("sig_b").alias("sig_b"))
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.filter(ham <= 1).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
 
 
@@ -355,7 +438,11 @@ def q56_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PAIRS_SQL = f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM bands a
+JOIN (SELECT band, band_key FROM bands
+      GROUP BY band, band_key HAVING count(*) <= {MAX_POSTING}) ok
+  USING (band, band_key)
+JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """
@@ -403,6 +490,7 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("s").alias("d")).distinct().withColumn(
         "comp", F.col("d")
     )
+    converged = False
     for _ in range(16):  # diameter bound; real convergence is 2-3 rounds
         neigh = (
             edges.join(labels, edges["t"] == labels["d"])
@@ -422,5 +510,14 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = stepped.select("d", "comp")
         if stepped.filter(F.col("comp") != F.col("old_comp")).count() == 0:
+            converged = True
             break
+    if not converged:
+        # Silent fallthrough would return wrong labels for any component
+        # with diameter > the round bound — fail loudly instead; the oracle
+        # computes the true transitive closure and would flag it anyway.
+        raise RuntimeError(
+            "neardup_components: min-label propagation did not converge "
+            "within 16 rounds (component diameter exceeds bound)"
+        )
     return labels.select(F.col("d").alias("doc_id"), F.col("comp").alias("component"))

@@ -327,3 +327,44 @@ def q46_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_fixes",
         )
     )
+
+
+@query(
+    "q97_sliding_window_rate",
+    oracle=f"""
+WITH fx AS ({FIXES_SQL}),
+expanded AS (
+    SELECT device_id,
+           time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+               AS window_start
+    FROM fx, UNNEST([0, 1, 2, 3]) AS u(k)
+)
+SELECT device_id, window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       count(*) AS n_fixes
+FROM expanded
+GROUP BY device_id, window_start
+""",
+)
+def q97_sliding_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING window (width 1 h, slide 15 min): rolling per-device fix rate.
+
+    ``window(ts, "1 hour", "15 minutes")`` assigns each fix to the 4
+    overlapping hour windows that contain it — the §2B sliding-windows row
+    (slide != width). The oracle reproduces Spark's assignment from first
+    principles: a fix at time t belongs to windows starting at
+    bucket15(t) - k*15min for k in 0..3 (both engines epoch-align sub-day
+    buckets). In the streaming graph the identical expression runs
+    incrementally under a watermark; state is bounded by
+    (width / slide) * |devices| open windows."""
+    fx = fixes(spark, sf_dir)
+    return (
+        fx.groupBy("device_id", F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_fixes"))
+        .select(
+            "device_id",
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_fixes",
+        )
+    )

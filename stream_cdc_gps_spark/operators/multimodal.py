@@ -124,7 +124,11 @@ def q80_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q81_media_features",
     # corpus text is pure ASCII (verified octet_length == length), so the
-    # utf-8 byte sum equals the sum of ascii() codes per character.
+    # utf-8 byte sum equals the sum of ascii() codes per character. Empty
+    # payloads are excluded on BOTH sides: the stub encodes len==0 as
+    # first_byte=-1 while list_reduce over an empty list errors in DuckDB,
+    # so the guard keeps the oracle total and latent-failure-free if the
+    # corpus ever gains an empty text row (same guard as q82's n > 0).
     oracle="""
 SELECT doc_id,
        'text' AS modality,
@@ -134,13 +138,16 @@ SELECT doc_id,
                         (a, b) -> a + b) % 997 AS DOUBLE) AS byte_sum_mod,
        CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS first_byte
 FROM documents
+WHERE length(text) > 0
 """,
 )
 def q81_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched (mapInPandas) feature extraction over binary payloads —
     the real multimodal plumbing with the codec call stubbed."""
-    return extract_features(media_table(spark, sf_dir)).select(
-        "doc_id", "modality", "byte_len", "byte_sum_mod", "first_byte"
+    return (
+        extract_features(media_table(spark, sf_dir))
+        .filter(F.col("byte_len") > 0)
+        .select("doc_id", "modality", "byte_len", "byte_sum_mod", "first_byte")
     )
 
 

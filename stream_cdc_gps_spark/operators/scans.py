@@ -1,0 +1,145 @@
+"""Schema-on-read scans: JSON / CSV with corrupt-record routing, under the
+DuckDB oracle (SURVEY.md §2B source rows; reference behavior:
+``cmd/main.go:203-208`` tolerates malformed change events by skipping them —
+here they are ROUTED, not dropped, so bad input is observable).
+
+The scanned files are generated deterministically by a pure function of the
+row index (no corpus dependency, no randomness), so the oracle can
+reconstruct the expected result from ``range()`` alone — the file itself
+never has to be readable by DuckDB. That makes the check independent of the
+reader under test: if Spark's schema projection, type coercion, or
+PERMISSIVE-mode corrupt routing misbehaves, the aggregate diverges from the
+arithmetic reconstruction and the diff fails.
+
+Scale note: schema-on-read with explicit schemas is the 100 TB contract —
+never ``inferSchema`` (a full extra pass over the data). Corrupt routing is
+per-row map work; the aggregate shuffles only (cat, n, sum) partials.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_cdc_gps_spark.registry import query
+
+# Scratch home for generated scan fixtures (inside the repo; gitignored).
+_SCRATCH = Path(__file__).resolve().parents[2] / ".scratch"
+
+N_JSON = 400  # rows in the JSON fixture; every 50th line is corrupt
+N_CSV = 300  # rows in the CSV fixture; every 37th has a malformed double
+
+
+def _write_once(path: Path, content: str) -> None:
+    """Idempotent deterministic fixture write (atomic rename)."""
+    if path.exists() and path.read_text() == content:
+        return
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_text(content)
+    os.replace(tmp, path)
+
+
+def json_fixture() -> str:
+    lines = []
+    for i in range(N_JSON):
+        if i % 50 == 0:
+            lines.append('{"id": %d, broken' % i)  # malformed on purpose
+        else:
+            lines.append(
+                json.dumps({"id": i, "cat": f"c{i % 7}", "v": i * 0.5})
+            )
+    path = _SCRATCH / "scan_json" / "data.jsonl"
+    _write_once(path, "\n".join(lines) + "\n")
+    return str(path)
+
+
+def csv_fixture() -> str:
+    rows = ["id,cat,v"]
+    for i in range(N_CSV):
+        v = "oops" if i % 37 == 0 else f"{i * 0.5}"  # type-malformed double
+        rows.append(f"{i},c{i % 5},{v}")
+    path = _SCRATCH / "scan_csv" / "data.csv"
+    _write_once(path, "\n".join(rows) + "\n")
+    return str(path)
+
+
+@query(
+    "q84_json_scan",
+    oracle=f"""
+SELECT CASE WHEN i % 50 = 0 THEN '_corrupt' ELSE 'c' || CAST(i % 7 AS VARCHAR) END AS cat,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(CASE WHEN i % 50 <> 0 THEN i * 0.5 END), 4) AS sum_v
+FROM range(0, {N_JSON}) t(i)
+GROUP BY 1
+""",
+)
+def q84_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scan with explicit schema + PERMISSIVE corrupt-record routing.
+
+    Malformed lines land in the ``_corrupt`` column (all schema fields null)
+    and are counted under cat='_corrupt'; the oracle reconstructs the same
+    aggregate from the generator arithmetic. A reader that silently DROPS
+    bad records (the reference's behavior) would fail the row diff — routing
+    makes data loss visible."""
+    path = json_fixture()
+    df = (
+        spark.read.schema("id BIGINT, cat STRING, v DOUBLE, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return (
+        df.groupBy(
+            F.when(F.col("_corrupt").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("cat"))
+            .alias("cat")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 4).alias("sum_v"),
+        )
+    )
+
+
+@query(
+    "q85_csv_scan",
+    oracle=f"""
+SELECT CASE WHEN i % 37 = 0 THEN '_corrupt' ELSE 'c' || CAST(i % 5 AS VARCHAR) END AS cat,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(CASE WHEN i % 37 <> 0 THEN i * 0.5 END), 4) AS sum_v,
+       CAST(count(CASE WHEN i % 37 = 0 THEN 1 END) AS BIGINT) AS n_corrupt
+FROM range(0, {N_CSV}) t(i)
+GROUP BY 1
+""",
+)
+def q85_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan (header, explicit schema) with type-failure corrupt routing.
+
+    Every 37th row carries a non-numeric value in a DOUBLE column; univocity
+    parses the other fields, nulls the bad one, and stores the raw line in
+    ``_corrupt``. The aggregate separates corrupt rows and counts them
+    explicitly, all checked against the range() reconstruction."""
+    path = csv_fixture()
+    df = (
+        spark.read.schema("id BIGINT, cat STRING, v DOUBLE, _corrupt STRING")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    corrupt = F.col("_corrupt").isNotNull()
+    return (
+        df.groupBy(
+            F.when(corrupt, F.lit("_corrupt")).otherwise(F.col("cat")).alias("cat")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.when(~corrupt, F.col("v"))), 4).alias("sum_v"),
+            F.count(F.when(corrupt, F.lit(1))).cast("bigint").alias("n_corrupt"),
+        )
+    )

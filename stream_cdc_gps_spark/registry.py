@@ -137,6 +137,7 @@ def _ensure_loaded() -> None:
         gps,
         multimodal,
         relational,
+        scans,
         similarity,
         skew,
         textops,

@@ -35,12 +35,12 @@ from pyspark.sql.streaming import DataStreamWriter
 from stream_cdc_gps_spark.streaming import transforms as X
 
 
-def read_json_stream(
-    spark: SparkSession, path: str, schema_ddl: str = "value string"
-) -> DataFrame:
-    """File-based stream of raw JSON lines (test stand-in for the Kafka/HTTP
-    edge, SURVEY.md §2A op #1: the HTTP hop is outside the engine)."""
-    return spark.readStream.format("text").load(path).withColumnRenamed("value", "value")
+def read_json_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based stream of raw JSON lines in a single ``value`` string
+    column (test stand-in for the Kafka/HTTP edge, SURVEY.md §2A op #1: the
+    HTTP hop is outside the engine). Parsing/typing happens downstream in
+    ``transforms.parse_gps_json`` — this reader never applies a schema."""
+    return spark.readStream.format("text").load(path)
 
 
 def read_kafka_stream(
@@ -87,12 +87,25 @@ def landing_graph(envelopes: DataFrame) -> DataFrame:
 
 
 def cdc_graph(
-    cdc_raw: DataFrame, insert_only: bool = True, dedup: bool = True
+    cdc_raw: DataFrame,
+    insert_only: bool = True,
+    dedup: bool = True,
+    dedup_delay: str = "10 minutes",
 ) -> DataFrame:
-    """Entry point C: Debezium JSON -> deduped ``location_instances`` rows."""
-    after = X.after_image(X.parse_debezium(cdc_raw), insert_only=insert_only)
+    """Entry point C: Debezium JSON -> deduped ``location_instances`` rows.
+
+    When deduping, Debezium's ``ts_ms`` is carried through as the event-time
+    column so the STREAMING branch of ``dedup_replays`` uses
+    ``withWatermark + dropDuplicatesWithinWatermark`` — replay-dedup state is
+    bounded by ``dedup_delay`` instead of growing without bound on a
+    long-running Kafka deployment (batch inputs still use plain
+    dropDuplicates; observable output is identical on finite data)."""
+    parsed = X.parse_debezium(cdc_raw)
+    after = X.after_image(parsed, insert_only=insert_only, keep_event_time=dedup)
     if dedup:
-        after = X.dedup_replays(after, id_col="id")
+        after = X.dedup_replays(
+            after, id_col="id", ts_col="_event_ts", delay=dedup_delay
+        )
     return X.location_instances(after)
 
 

@@ -96,19 +96,26 @@ def segment_trips_stream(fixes: DataFrame, gap_us: int = GAP_US) -> DataFrame:
         if state.hasTimedOut:
             if state.exists:
                 seq, last_us, n, start_us, _lat, _lon, dist = state.get
-                state.remove()
-                yield pd.DataFrame(
-                    [
-                        {
-                            "device_id": device_id,
-                            "trip_seq": seq,
-                            "n_fixes": n,
-                            "start_us": start_us,
-                            "end_us": last_us,
-                            "dist_deg": dist,
-                        }
-                    ]
-                )
+                # Keep the seq counter in state (re-seeded, no open trip)
+                # instead of remove(): removing would restart the device's
+                # next trip at trip_seq=1, breaking the monotonic
+                # (device_id, trip_seq) numbering that segment_trips_batch
+                # produces. No new timeout is armed, so the re-seeded state
+                # stays quiet until the device sends data again.
+                state.update((seq, None, 0, None, None, None, 0.0))
+                if n and n > 0:
+                    yield pd.DataFrame(
+                        [
+                            {
+                                "device_id": device_id,
+                                "trip_seq": seq,
+                                "n_fixes": n,
+                                "start_us": start_us,
+                                "end_us": last_us,
+                                "dist_deg": dist,
+                            }
+                        ]
+                    )
             return
 
         rows = pd.concat(list(pdfs)).sort_values(["us", "gps_id"])

@@ -201,18 +201,28 @@ def parse_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
     return df.withColumn("cdc", F.from_json(F.col(value_col).cast("string"), DEBEZIUM_SCHEMA))
 
 
-def after_image(cdc: DataFrame, insert_only: bool = True) -> DataFrame:
+def after_image(
+    cdc: DataFrame, insert_only: bool = True, keep_event_time: bool = False
+) -> DataFrame:
     """Project the after image (``cmd/main.go:203-208``).
 
     ``insert_only=True`` reproduces the reference exactly: every event with a
     non-null after image is treated as an insert (op ignored). With
     ``insert_only=False``, deletes (op='d') are excluded and op is kept so a
     downstream merge can upsert — the full-CDC mode (SURVEY.md §7.3).
+
+    ``keep_event_time=True`` carries Debezium's ``ts_ms`` along as an
+    ``_event_ts`` timestamp column — required for watermark-bounded replay
+    dedup on an unbounded stream (``dedup_replays``); without an event-time
+    column the dedup state would grow forever.
     """
     base = cdc.filter(F.col("cdc").isNotNull() & F.col("cdc.after").isNotNull())
+    event_ts = [F.timestamp_millis(F.col("cdc.ts_ms")).alias("_event_ts")] if keep_event_time else []
     if insert_only:
-        return base.select("cdc.after.*")
-    return base.filter(F.col("cdc.op") != "d").select("cdc.op", "cdc.after.*", "cdc.ts_ms")
+        return base.select("cdc.after.*", *event_ts)
+    return base.filter(F.col("cdc.op") != "d").select(
+        "cdc.op", "cdc.after.*", "cdc.ts_ms", *event_ts
+    )
 
 
 def location_instances(after: DataFrame) -> DataFrame:

@@ -131,6 +131,21 @@ def test_cdc_replay_dedup(spark):
     assert P.cdc_graph(df, dedup=False).count() == 3
 
 
+def test_cdc_streaming_dedup_is_watermark_bounded(spark, tmp_path):
+    """On a STREAMING source, cdc_graph's replay dedup must be
+    dropDuplicatesWithinWatermark under an event-time watermark — plain
+    dropDuplicates would hold unbounded state on a long-running deployment."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b.jsonl").write_text(
+        debezium_event("c", "id-1", 1.0, 2.0, 1_600_000_000_000)
+    )
+    stream = spark.readStream.schema("value string").format("text").load(str(src))
+    plan = str(P.cdc_graph(stream)._jdf.queryExecution().analyzed())
+    assert "DeduplicateWithinWatermark" in plan
+    assert "EventTimeWatermark" in plan
+
+
 def test_streaming_file_source_end_to_end(spark, tmp_path):
     """The SAME graph runs as a real stream: file source -> availableNow ->
     checkpointed parquet sink; output equals the batch run of the graph."""
@@ -138,9 +153,14 @@ def test_streaming_file_source_end_to_end(spark, tmp_path):
     out = tmp_path / "out"
     ckpt = tmp_path / "ckpt"
     src.mkdir()
+    # realistic wall-clock ts_ms (Debezium semantics): an event at exactly
+    # epoch 0 would equal the initial watermark and be dropped as late —
+    # a boundary that real CDC streams never sit on
+    base_ms = 1_600_000_000_000
     lines = [
-        debezium_event("c", f"id-{i}", 30.0 + i, 50.0 + i, 1_000 * i) for i in range(10)
-    ] + [debezium_event("c", "id-3", 33.0, 53.0, 3_000), "garbage["]
+        debezium_event("c", f"id-{i}", 30.0 + i, 50.0 + i, base_ms + 1_000 * i)
+        for i in range(10)
+    ] + [debezium_event("c", "id-3", 33.0, 53.0, base_ms + 3_000), "garbage["]
     (src / "batch0.jsonl").write_text("\n".join(lines))
 
     stream = spark.readStream.schema("value string").format("text").load(str(src))
