@@ -521,3 +521,40 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within 16 rounds (component diameter exceeds bound)"
         )
     return labels.select(F.col("d").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@query(
+    "q59_dedup_keep_one",
+    oracle=f"""
+WITH RECURSIVE
+mh AS ({MINHASH_SQL}),
+bands AS ({_BAND_SELECTS}),
+pairs AS ({_PAIRS_SQL}),
+edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS d FROM edges),
+reach(s, t) AS (
+    SELECT d, d FROM nodes
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t
+),
+comp AS (SELECT s AS doc_id, min(t) AS component FROM reach GROUP BY s)
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+""",
+)
+def q59_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup dedup: the surviving corpus after keep-one-per-
+    component — the materialization step a training-data pipeline actually
+    ships. Composes signatures → LSH candidates → connected components
+    (q52/q53/q57), keeps each component's min doc_id, and anti-joins the
+    rest of the corpus.
+
+    At 100 TB the anti-join's right side is only the DROPPED ids (strictly
+    smaller than the near-dup subset — typically a tiny fraction of the
+    corpus), so it broadcasts; the corpus side never shuffles."""
+    labels = q57_neardup_components(spark, sf_dir)
+    drops = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    d = t(spark, sf_dir, "documents")
+    return d.join(F.broadcast(drops), "doc_id", "left_anti").select("doc_id")

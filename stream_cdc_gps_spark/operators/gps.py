@@ -368,3 +368,48 @@ def q97_sliding_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_fixes",
         )
     )
+
+
+@query(
+    "q86_cdc_snapshot_upsert",
+    oracle=f"""
+WITH fx AS ({FIXES_SQL}),
+chg AS (
+    SELECT device_id, gps_id, ts, lat, lon,
+           CASE WHEN CAST(gps_id AS BIGINT) % 11 = 0 THEN 'd'
+                WHEN CAST(gps_id AS BIGINT) % 3  = 0 THEN 'u'
+                ELSE 'c' END AS op
+    FROM fx
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY device_id
+                                 ORDER BY ts DESC, gps_id DESC) AS rn
+    FROM chg
+)
+SELECT device_id, gps_id, op, lat, lon
+FROM ranked WHERE rn = 1 AND op <> 'd'
+""",
+)
+def q86_cdc_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → snapshot materialization: the keyed upsert view a CDC
+    consumer maintains (the table the reference's JDBC sink would converge
+    to under full-CDC semantics, SURVEY.md §7.3 — c/u set the row, d removes
+    it). Latest change per key wins; keys whose last op is a delete vanish.
+
+    Ops are derived deterministically from the fix id so the oracle can
+    reproduce the changelog. Plan: ONE shuffle on the key (the window
+    partition); per-key state is a single row — exactly the merge a
+    1000-executor foreachBatch MERGE INTO performs, expressed relationally.
+    Tiebreak on (ts, gps_id) is total, so the snapshot is deterministic."""
+    fx = fixes(spark, sf_dir)
+    gid = F.col("gps_id").cast("bigint")
+    chg = fx.select(
+        "device_id", "gps_id", "ts", "lat", "lon",
+        F.when(gid % 11 == 0, "d").when(gid % 3 == 0, "u").otherwise("c").alias("op"),
+    )
+    w = Window.partitionBy("device_id").orderBy(F.desc("ts"), F.desc("gps_id"))
+    return (
+        chg.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("device_id", "gps_id", "op", "lat", "lon")
+    )

@@ -380,3 +380,44 @@ def q64_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
         )
     )
+
+
+@query(
+    "q65_label_centroids",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+per AS (
+    SELECT label, dim, round(avg(emb[dim]), 6) AS c
+    FROM e, UNNEST(range(1, 65)) AS r(dim)
+    GROUP BY label, dim
+),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY label)
+SELECT per.label, n.n, CAST(dim AS INT) AS dim, c
+FROM per JOIN n USING (label)
+""",
+)
+def q65_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors — the k-means/IVF training step's core
+    aggregation (and the codebook refresh for q63), emitted as (label, dim,
+    coordinate) rows.
+
+    Plan: 64 avg aggregates in ONE groupBy(label) — map-side partials, a
+    single shuffle of (label, 64 sums + count) partials per task, NOT a
+    per-(row × dim) explode (the oracle unnests because SQL must; the engine
+    never materializes n×64 rows). The posexplode runs on the k aggregated
+    rows only."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("emb")
+    )
+    agg = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.avg(F.element_at("emb", i + 1)), 6).alias(f"a{i}")
+            for i in range(64)
+        ],
+    )
+    return agg.select(
+        "label",
+        "n",
+        F.posexplode(F.array(*[F.col(f"a{i}") for i in range(64)])).alias("d0", "c"),
+    ).select("label", "n", (F.col("d0") + 1).cast("int").alias("dim"), "c")

@@ -285,3 +285,63 @@ def q77_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_stop") * 1.0 / F.col("n_tok"), 4).alias("stop_ratio"),
         )
     )
+
+
+@query(
+    "q78_tfidf",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(toks) AS u(tok)
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE doc_id < 30
+       GROUP BY doc_id, tok),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, tok AS term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tf * ln(n_docs * 1.0 / df) DESC, tok) AS rn
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf FROM scored WHERE rn <= 3
+""",
+)
+def q78_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 most characteristic terms per document (sample of 30).
+
+    Classic retrieval/relevance scoring: tf from the document's own tokens,
+    df over the WHOLE corpus (never the sample — idf is a corpus statistic),
+    idf = ln(N/df). Plan at scale: tf shuffles only the sampled docs' tokens;
+    df is a map-side-combined count over the (uniform) token key; the df
+    side joins in as a vocabulary-sized table (broadcastable for real
+    vocabularies); one window shuffle for the per-doc top-k."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = (
+        tok.filter(F.col("doc_id") < 30)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    tfidf_raw = F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc(tfidf_raw), "term")
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(tfidf_raw, 6).alias("tfidf"),
+        )
+    )

@@ -99,6 +99,10 @@ _PRIORITY: list[str] = [
     "q97_sliding_window_rate",
     "q84_json_scan",
     "q85_csv_scan",
+    "q59_dedup_keep_one",
+    "q65_label_centroids",
+    "q78_tfidf",
+    "q86_cdc_snapshot_upsert",
 ]
 
 

@@ -76,6 +76,18 @@ def test_q63_ivf_assignment_is_map_only(spark):
     assert broadcast_join_count(df) >= 1
 
 
+def test_q86_snapshot_single_shuffle(spark):
+    df = Q["q86_cdc_snapshot_upsert"](spark, SF_SMOKE)
+    # changelog -> snapshot is ONE shuffle on the merge key (window partition)
+    assert exchange_count(df) == 1
+
+
+def test_q59_keep_one_broadcasts_drop_list(spark):
+    df = Q["q59_dedup_keep_one"](spark, SF_SMOKE)
+    # the corpus anti-joins a broadcast drop list — the big side never shuffles
+    assert broadcast_join_count(df) >= 1
+
+
 def test_q09_range_join_is_broadcast_nested_loop(spark):
     df = Q["q09_range_join"](spark, SF_SMOKE)
     plan = plan_string(df)

@@ -397,3 +397,74 @@ def test_windowed_agg_drops_late_data(spark, tmp_path):
     emitted = {(r["win"]["start"].strftime("%H:%M"), r["n"]) for r in rows}
     # only the [10:00,10:05) window finalized; late 10:01 record NOT counted
     assert emitted == {("10:00", 2)}
+
+
+def test_sliding_window_streaming_matches_batch(spark, tmp_path):
+    """Sliding window (1h width / 15m slide) under a watermark runs
+    incrementally and lands the same windows a batch groupBy(window)
+    produces — the streaming form of q97's operator."""
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    src.mkdir()
+    rows = [
+        {"device_id": "dev-1", "ts": "2026-02-06 10:05:00"},
+        {"device_id": "dev-1", "ts": "2026-02-06 10:20:00"},
+        {"device_id": "dev-1", "ts": "2026-02-06 11:40:00"},
+        {"device_id": "dev-2", "ts": "2026-02-06 10:50:00"},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    # append mode only emits a window once the watermark passes its END, and
+    # the watermark advances at batch boundaries — two late sentinel files
+    # (one per trigger via maxFilesPerTrigger=1) push it past every real
+    # window; the sentinels' own windows stay unemitted and are excluded
+    (src / "b1.jsonl").write_text(
+        json.dumps({"device_id": "flush", "ts": "2026-02-06 23:00:00"})
+    )
+    (src / "b2.jsonl").write_text(
+        json.dumps({"device_id": "flush", "ts": "2026-02-06 23:01:00"})
+    )
+
+    def graph(df):
+        typed = (
+            df.select(F.from_json("value", "device_id string, ts string").alias("m"))
+            .select("m.device_id", F.col("m.ts").cast("timestamp").alias("ts"))
+        )
+        return (
+            typed.withWatermark("ts", "10 minutes")
+            .groupBy("device_id", F.window("ts", "1 hour", "15 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_fixes"))
+            .select("device_id", F.col("win.start").alias("ws"), "n_fixes")
+        )
+
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .format("text")
+        .load(str(src))
+    )
+    q = (
+        graph(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_src = spark.read.format("text").load(str(src))
+    expected = sorted(
+        (r["device_id"], r["ws"], r["n_fixes"])
+        for r in graph(batch_src).collect()
+        if r["device_id"] != "flush"
+    )
+    got = sorted(
+        (r["device_id"], r["ws"], r["n_fixes"])
+        for r in spark.read.parquet(str(out)).collect()
+        if r["device_id"] != "flush"
+    )
+    # each fix falls into exactly width/slide = 4 windows
+    assert len(expected) > 0
+    assert got == expected
