@@ -558,3 +558,45 @@ def q59_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     d = t(spark, sf_dir, "documents")
     return d.join(F.broadcast(drops), "doc_id", "left_anti").select("doc_id")
+
+
+@query(
+    "q79_lev_verify_pairs",
+    oracle=f"""
+WITH mh AS ({MINHASH_SQL}),
+bands AS ({_BAND_SELECTS}),
+pairs AS ({_PAIRS_SQL})
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS INT)
+           AS lev80,
+       levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) <= 24
+           AS confirmed
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+""",
+)
+def q79_lev_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidate pairs: levenshtein over
+    an 80-char prefix confirms (or rejects) each MinHash candidate — the
+    exact-verify stage of a candidate-generate/verify dedup pipeline.
+
+    The quadratic-in-length edit distance runs ONLY on candidate pairs
+    (post-LSH, post-cap) and only on a fixed prefix, so per-pair cost is
+    bounded; the pair list joins the corpus twice on doc_id (at scale the
+    pair list is the small side — broadcastable)."""
+    pairs = q53_lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = t(spark, sf_dir, "documents").select("doc_id", F.substring("text", 1, 80).alias("pfx"))
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b"))
+    lev = F.levenshtein("pfx_a", "pfx_b")
+    return (
+        F.broadcast(pairs)
+        .join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            lev.cast("int").alias("lev80"),
+            (lev <= 24).alias("confirmed"),
+        )
+    )

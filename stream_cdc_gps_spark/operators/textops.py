@@ -345,3 +345,39 @@ def q78_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(tfidf_raw, 6).alias("tfidf"),
         )
     )
+
+
+@query(
+    "q87_train_val_split",
+    oracle="""
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 4)   AS avg_chars
+FROM (
+    SELECT lang, n_chars,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT lang, n_chars,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+          FROM documents)
+)
+GROUP BY split, lang
+""",
+)
+def q87_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (90/5/5) — the held-out
+    split every training-data pipeline needs. Hash-mod bucketing (first 2
+    md5 bytes of the id) instead of rand(): reproducible across runs,
+    engines, and cluster sizes, stable under re-partitioning, and new
+    documents never move existing ones between splits. Map-only except the
+    final stats aggregation."""
+    d = t(spark, sf_dir, "documents")
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split")
+    )
+    return d.select(split, "lang", "n_chars").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

@@ -103,6 +103,9 @@ _PRIORITY: list[str] = [
     "q65_label_centroids",
     "q78_tfidf",
     "q86_cdc_snapshot_upsert",
+    "q79_lev_verify_pairs",
+    "q87_train_val_split",
+    "q98_distribution_ranks",
 ]
 
 
