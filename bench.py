@@ -49,7 +49,10 @@ HEADLINE = [
     "q64_ann_recall",
     "q71_token_quality",
     "q72_top_terms",
+    "q78_tfidf",
     "q82_media_frames",
+    "q86_cdc_snapshot_upsert",
+    "q97_sliding_window_rate",
 ]
 
 

@@ -1221,3 +1221,60 @@ def q96_date_spine_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("h_events", F.lit(0)).cast("bigint").alias("n_events"),
         F.coalesce("h_types", F.lit(0)).cast("bigint").alias("n_types"),
     )
+
+
+@query(
+    "q89_cogroup_stats",
+    oracle="""
+WITH ev AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY user_id),
+oc AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM orders GROUP BY o_custkey)
+SELECT coalesce(ev.k, oc.k)        AS k,
+       coalesce(n_events, 0)       AS n_events,
+       round(coalesce(total_value, 0.0), 4) AS total_value,
+       coalesce(n_orders, 0)       AS n_orders,
+       round(coalesce(total_price, 0.0), 2) AS total_price
+FROM ev FULL OUTER JOIN oc ON ev.k = oc.k
+""",
+)
+def q89_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: per-key fusion of TWO tables in one Arrow
+    batch — the escape hatch for per-key logic that needs both sides at once
+    (custom as-of merges, per-entity reconciliation). Here each (events[k],
+    orders[k]) pair reduces to joint stats; the oracle is the equivalent
+    full-outer join of two aggregates.
+
+    Scale: cogroup shuffles each side once on the key — identical movement
+    to the join it replaces; per-key pandas work is Arrow-batched. Keys
+    missing on one side arrive with an empty frame (coalesced to 0)."""
+    import pandas as pd
+
+    prepare(spark)
+    ev = t(spark, sf_dir, "events").select(F.col("user_id").alias("k"), "value")
+    oc = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"), "o_totalprice")
+
+    def fuse(key: tuple, e: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "k": key[0],
+                    "n_events": len(e),
+                    "total_value": round(float(e["value"].sum()), 4),
+                    "n_orders": len(o),
+                    "total_price": round(float(o["o_totalprice"].sum()), 2),
+                }
+            ]
+        )
+
+    return (
+        ev.groupBy("k")
+        .cogroup(oc.groupBy("k"))
+        .applyInPandas(
+            fuse,
+            schema="k bigint, n_events bigint, total_value double, "
+            "n_orders bigint, total_price double",
+        )
+    )

@@ -143,3 +143,35 @@ def q85_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(corrupt, F.lit(1))).cast("bigint").alias("n_corrupt"),
         )
     )
+
+
+@query(
+    "q88_orc_roundtrip",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT)      AS n,
+       CAST(sum(n_chars) AS BIGINT)  AS total_chars
+FROM documents
+WHERE doc_id < 100
+GROUP BY lang
+""",
+)
+def q88_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read roundtrip (the second columnar format Spark ships
+    in-box). A corpus slice is written to ORC and aggregated from the ORC
+    scan; the oracle computes the same aggregate from the parquet source —
+    any type/value infidelity in the ORC path breaks the diff. The write is
+    keyed by sf_dir so different scale factors don't collide."""
+    from stream_cdc_gps_spark.operators.common import t
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = str(_SCRATCH / f"orc_docs_{key}")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.select("doc_id", "lang", "n_chars").write.format("orc").mode(
+        "overwrite"
+    ).save(path)
+    back = spark.read.orc(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

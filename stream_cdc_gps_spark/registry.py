@@ -106,6 +106,8 @@ _PRIORITY: list[str] = [
     "q79_lev_verify_pairs",
     "q87_train_val_split",
     "q98_distribution_ranks",
+    "q88_orc_roundtrip",
+    "q89_cogroup_stats",
 ]
 
 
