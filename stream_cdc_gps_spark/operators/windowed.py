@@ -190,3 +190,36 @@ def q98_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "q99_value_windows",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_ord,
+       last_value(o_orderkey)  OVER w AS latest_ord,
+       nth_value(o_orderkey, 2) OVER w AS second_ord
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q99_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full-partition
+    frame. The frame is spelled out because last_value's DEFAULT frame
+    (unbounded preceding .. current row) returns the current row — the
+    classic window gotcha; pinning the frame makes the semantics portable."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ord"),
+        F.last("o_orderkey").over(w).alias("latest_ord"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ord"),
+    )

@@ -108,6 +108,7 @@ _PRIORITY: list[str] = [
     "q98_distribution_ranks",
     "q88_orc_roundtrip",
     "q89_cogroup_stats",
+    "q99_value_windows",
 ]
 
 

@@ -1,0 +1,91 @@
+"""Semantic invariants on edge-case inputs (SURVEY.md §5 robustness model).
+
+One Spark job per test over a batch of adversarial strings — whitespace
+variants, empties, unicode, repeated tokens — asserting the properties the
+dedup/text operators depend on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_cdc_gps_spark.functions.geo import haversine_m
+from stream_cdc_gps_spark.functions.text import fingerprint, word_shingles
+
+EDGE_TEXTS = [
+    "plain text here",
+    "plain  text   here",          # multi-space
+    "  plain text here  ",         # leading/trailing
+    "plain\ttext\there",           # tabs
+    "PLAIN TEXT HERE",             # case
+    "",                            # empty
+    " ",                           # whitespace only
+    "one",                         # single token
+    "the the the the",             # repeated stop-token
+    "naïve café déjà-vu",          # unicode
+]
+
+
+def test_fingerprint_whitespace_and_case_invariance(spark):
+    """fingerprint() must collapse whitespace runs and case so that
+    trivially-reformatted duplicates collide."""
+    df = spark.createDataFrame([(t,) for t in EDGE_TEXTS], "text string")
+    fps = [r["fp"] for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    # rows 0-4 are the same content reformatted -> one fingerprint
+    assert len({fps[0], fps[1], fps[2], fps[4]}) == 1
+    # tabs are whitespace too
+    assert fps[3] == fps[0]
+    # empty and whitespace-only collapse together, distinct from content
+    assert fps[5] == fps[6] != fps[0]
+
+
+def test_minhash_duplicate_invariance(spark):
+    """min over a shingle MULTISET equals min over its distinct set — the
+    property that lets signatures skip per-row array_distinct."""
+    a = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame([(a,), (a,)], "text string")
+    toks = df.select(F.split("text", " ").alias(
+        "toks"
+    ))
+    shs = toks.select(word_shingles(F.col("toks"), 3).alias("shs"))
+    sig = shs.select(
+        F.array_min(F.transform("shs", lambda s: F.md5(F.concat(F.lit("0|"), s)))).alias("h")
+    )
+    h1, h2 = [r["h"] for r in sig.collect()]
+    assert h1 == h2
+    # and explicitly: min over dupes == min over distinct
+    dup = spark.createDataFrame([(["x y z", "x y z", "a b c"],)], "shs array<string>")
+    dis = spark.createDataFrame([(["x y z", "a b c"],)], "shs array<string>")
+    m = lambda d: d.select(
+        F.array_min(F.transform("shs", lambda s: F.md5(s))).alias("h")
+    ).collect()[0]["h"]
+    assert m(dup) == m(dis)
+
+
+def test_haversine_symmetry_and_zero(spark):
+    df = spark.createDataFrame(
+        [(35.7, 51.4, 48.85, 2.35), (10.0, 20.0, 10.0, 20.0)],
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    out = df.select(
+        haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d12"),
+        haversine_m(F.col("lat2"), F.col("lon2"), F.col("lat1"), F.col("lon1")).alias("d21"),
+    ).collect()
+    assert abs(out[0]["d12"] - out[0]["d21"]) < 1e-9  # symmetric
+    assert out[1]["d12"] == 0.0  # identical points
+    # Tehran -> Paris is ~4200 km; sanity-bound the magnitude
+    assert 4_000_000 < out[0]["d12"] < 4_500_000
+
+
+def test_hash_split_is_repartition_stable(spark):
+    """q87's split depends only on doc_id — identical under any partitioning."""
+    from stream_cdc_gps_spark.operators.textops import q87_train_val_split
+
+    sf = "/root/testdata/sf0.001"
+    a = {(r["split"], r["lang"]): r["n_docs"] for r in q87_train_val_split(spark, sf).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = {(r["split"], r["lang"]): r["n_docs"] for r in q87_train_val_split(spark, sf).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
