@@ -244,34 +244,39 @@ def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation by shingle bucket (inverted-index style), then
     |A∩B| / (|A|+|B|-|A∩B|); only near-dup pairs (≥0.2) survive.
 
-    Like q53, pairs come from groupBy(sh) → collect_list → in-bucket pair
-    expansion rather than a self-join: the shingle stream is shuffled once
-    instead of twice, and the posting-list exchange is shared with the
-    ``sizes`` branch via ReusedExchange. Stop-shingles (document frequency
-    > MAX_POSTING) are dropped before expansion on both sides — they carry
-    ~zero Jaccard signal and are the one input that would make a bucket
-    quadratic at corpus scale. Sizes stay TRUE per-doc counts, so the
-    denominator is exact; only the candidate/intersection side is capped."""
-    sh = shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    TWO exchanges, zero joins: each doc's distinct-shingle set is built
+    per-row (array_distinct — map-only), so its TRUE size ``n_sh`` is known
+    before the explode and rides along into the posting-list buckets; pairs
+    expanded in-bucket then carry both sizes, making the Jaccard denominator
+    a plain expression instead of two post-hoc joins against a sizes table
+    (the previous design paid 7 exchanges for the same answer).
+    Stop-shingles (document frequency > MAX_POSTING) are dropped before
+    expansion on both sides — they carry ~zero Jaccard signal and are the
+    one input that would make a bucket quadratic at corpus scale. Sizes stay
+    TRUE per-doc counts; only the candidate/intersection side is capped."""
+    sh = _shingle_arrays(spark, sf_dir)
+    docs = sh.select(
+        "doc_id", F.array_distinct("shs").alias("shs")
+    ).withColumn("n_sh", F.size("shs"))
+    exploded = docs.select("doc_id", "n_sh", F.explode("shs").alias("sh"))
     buckets = (
-        sh.groupBy("sh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        exploded.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_POSTING))
     )
     inter = (
         bucket_pair_expand(buckets)
-        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.2)
+        inter.filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 

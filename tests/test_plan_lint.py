@@ -1,0 +1,51 @@
+"""Plan lint: sweep EVERY registered query's physical plan for scale
+hazards. This is the 100 TB smoke alarm — a new operator that sneaks in a
+cartesian product or an accidental full-table re-shuffle fails here even if
+its answers are correct at test scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from stream_cdc_gps_spark.plans import plan_string
+from stream_cdc_gps_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+# q91 is the intentional fixed-cardinality (5x5) cross join demo.
+CARTESIAN_OK = {"q91_cross_join"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, spec in all_queries().items():
+        out[name] = plan_string(spec.fn(spark, SF_SMOKE))
+    return out
+
+
+def test_no_unintended_cartesian_products(plans):
+    bad = [
+        n for n, p in plans.items()
+        if "CartesianProduct" in p and n not in CARTESIAN_OK
+    ]
+    assert not bad, f"cartesian product leaked into: {bad}"
+
+
+def test_broadcast_nested_loop_only_where_bounded(plans):
+    """BNLJ is acceptable only when one side is a broadcast of bounded size
+    (range join q09, centroid/query-side broadcasts). A BNLJ whose build
+    side scales with the corpus would be a scale bug — keep the set pinned
+    so additions are a conscious decision."""
+    bnlj = sorted(n for n, p in plans.items() if "BroadcastNestedLoopJoin" in p)
+    allowed = {
+        "q09_range_join",        # broadcast small side + range predicate
+        "q27_correlated_subquery",  # decorrelated scalar agg broadcast
+        "q39_uncorrelated_subquery",
+        "q60_cosine_topk",       # broadcast 20-query sample (documented)
+        "q64_ann_recall",        # same sample, exact baseline
+        "q90_exists_subqueries",
+        "q91_cross_join",
+        "q78_tfidf",             # broadcast 1-row corpus-size aggregate
+    }
+    unexpected = [n for n in bnlj if n not in allowed]
+    assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"

@@ -56,6 +56,14 @@ def test_q52_minhash_is_map_only(spark):
     assert exchange_count(df) == 0  # the whole signature stage is a map
 
 
+def test_q54_jaccard_two_exchanges_no_joins(spark):
+    df = Q["q54_ngram_jaccard"](spark, SF_SMOKE)
+    # sizes ride inside the bucket structs: bucket groupBy + pair groupBy
+    # are the only shuffles, and there is no join anywhere in the plan
+    assert exchange_count(df) == 2
+    assert "Join" not in plan_string(df)
+
+
 def test_q61_ann_broadcasts_query_side(spark):
     df = Q["q61_ann_bucketed_topk"](spark, SF_SMOKE)
     assert broadcast_join_count(df) >= 1
