@@ -1,0 +1,126 @@
+"""Driver simulator: replicate the harness's sf0.01 CORRECTNESS pass exactly.
+
+Differences from tests/oracle.py (the lenient local gate): this canonicalizer
+goes through pandas ``sort_values`` over object columns — the same code path
+that crashed q35 in round 1 on array-typed results (lists are unhashable for
+pandas factorize). Running it here catches driver-only failures before the
+driver does.
+
+Usage: python scripts/driver_sim.py [sf_dir] [first_n]
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import math
+import sys
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+
+def _norm(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        return repr(round(v + 0.0, 9))
+    if isinstance(v, _dt.datetime):
+        v = v.replace(tzinfo=None)
+        # DATE columns surface as midnight datetimes via DuckDB's .df() but
+        # as datetime.date via Spark's toPandas(); the driver treats them as
+        # equal, so collapse exact-midnight datetimes to their date.
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, int):
+        return repr(float(v)) if -(2**52) < v < 2**52 else repr(v)
+    if isinstance(v, bool):
+        return repr(v)
+    return str(v)
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    # Driver-style: sort columns by name, then pandas sort_values over ALL
+    # columns (this is the step that chokes on list-valued cells).
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns))
+    return [tuple(_norm(v) for v in row) for row in df.itertuples(index=False)]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    first_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10**9
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    import __spark_entry__ as E
+    from stream_cdc_gps_spark.tables import TABLE_NAMES, table_path
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{table_path(sf_dir, name)}')"
+        )
+
+    qs, osql = E.queries(), E.oracle_sql()
+    results: dict[str, dict] = {}
+    n_fail = 0
+    for i, (name, fn) in enumerate(qs.items()):
+        if i >= first_n:
+            break
+        row: dict = {}
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            if name not in osql:
+                row = {"err": "no_oracle", "spark_rows": len(sdf)}
+            else:
+                ddf = con.execute(osql[name]).df()
+                rows_match = len(sdf) == len(ddf)
+                schema_match = sorted(c.lower() for c in sdf.columns) == sorted(
+                    c.lower() for c in ddf.columns
+                )
+                sdf.columns = [c.lower() for c in sdf.columns]
+                ddf.columns = [c.lower() for c in ddf.columns]
+                hash_match = schema_match and rows_match and (
+                    _canon(sdf) == _canon(ddf)
+                )
+                row = {
+                    "rows_match": rows_match,
+                    "schema_match": schema_match,
+                    "hash_match": hash_match,
+                    "spark_rows": len(sdf),
+                    "oracle_rows": len(ddf),
+                    "err": None,
+                }
+        except Exception:
+            row = {"err": traceback.format_exc(limit=3)}
+        results[name] = row
+        ok = row.get("hash_match")
+        status = "OK" if ok else ("no_oracle" if row.get("err") == "no_oracle" else "FAIL")
+        if status == "FAIL":
+            n_fail += 1
+        print(f"[{i+1:3d}] {name:32s} {status}", flush=True)
+        if status == "FAIL":
+            print(json.dumps(row, indent=1)[:1500], flush=True)
+
+    print(f"\n{len(results)} checked, {n_fail} failed")
+    with open("/tmp/driver_sim_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
