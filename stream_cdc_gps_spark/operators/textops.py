@@ -315,10 +315,11 @@ def q78_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Classic retrieval/relevance scoring: tf from the document's own tokens,
     df over the WHOLE corpus (never the sample — idf is a corpus statistic),
-    idf = ln(N/df). Plan at scale: tf shuffles only the sampled docs' tokens;
-    df is a map-side-combined count over the (uniform) token key; the df
-    side joins in as a vocabulary-sized table (broadcastable for real
-    vocabularies); one window shuffle for the per-doc top-k."""
+    idf = ln(N/df). Plan at scale: tf shuffles only the sampled docs' tokens
+    and then BROADCASTS into the join — the vocabulary-sized df side is the
+    big side and must never reshuffle just to meet a 30-doc sample; the one
+    remaining full-corpus shuffle pair is the exact distinct-doc count
+    behind df. The final top-k window only moves the joined sample rows."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
@@ -333,7 +334,7 @@ def q78_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf_raw = F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(F.desc(tfidf_raw), "term")
     return (
-        tf.join(df, "term")
+        df.join(F.broadcast(tf), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
