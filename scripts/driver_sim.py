@@ -20,6 +20,7 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
+import numpy as _np  # noqa: E402
 import pandas as pd  # noqa: E402
 
 
@@ -38,10 +39,14 @@ def _norm(v):
         return v.isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
+    # bool BEFORE int: bool is an int subclass, so the int branch would
+    # swallow Python bools as '1.0'/'0.0' while numpy.bool_ (not an int
+    # subclass) str()'d to 'True'/'False' — same logical value, different
+    # canonical form depending on which dtype pandas surfaced.
+    if isinstance(v, (bool, _np.bool_)):
+        return repr(bool(v))
     if isinstance(v, int):
         return repr(float(v)) if -(2**52) < v < 2**52 else repr(v)
-    if isinstance(v, bool):
-        return repr(v)
     return str(v)
 
 

@@ -281,53 +281,79 @@ def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIMHASH_SQL = """
+# 64-bit SimHash, represented as two 32-bit halves (sim_hi = bits 32..63,
+# sim_lo = bits 0..31) so every intermediate stays inside signed-BIGINT range
+# on both engines (conv()/CAST of a full 16-hex-char value would overflow).
+# Bit b's vote comes from bit (b%8) of md5 byte (b//8) of the token hash.
+_SIMHASH_SUMS = ",\n       ".join(
+    f"sum(CASE WHEN (('0x' || substr(h, {2 * (b // 8) + 1}, 2))::BIGINT >> {b % 8}) & 1 = 1"
+    f" THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(64)
+)
+_SIMHASH_HI = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << (b - 32)} ELSE 0 END)" for b in range(32, 64)
+)
+_SIMHASH_LO = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(0, 32)
+)
+SIMHASH_SQL = f"""
 WITH tok AS (
-    SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    SELECT doc_id, md5(t) AS h
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          UNNEST(toks) AS u(t)
 ),
-bits AS (
-    SELECT doc_id, b,
-           sum(CASE WHEN (('0x' || substr(md5(t), 1, 2))::BIGINT >> b) & 1 = 1
-                    THEN 1 ELSE -1 END) AS s
-    FROM tok, UNNEST(range(0, 8)) AS r(b)
-    GROUP BY doc_id, b
-)
+s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id)
 SELECT doc_id,
-       CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash8
-FROM bits GROUP BY doc_id
+       CAST({_SIMHASH_HI} AS BIGINT) AS sim_hi,
+       CAST({_SIMHASH_LO} AS BIGINT) AS sim_lo
+FROM s
 """
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash8): 8-bit SimHash — sign of per-bit token-hash vote."""
+    """(doc_id, sim_hi, sim_lo): REAL 64-bit SimHash as two 32-bit halves.
+
+    All 64 per-bit vote sums run in ONE groupBy(doc_id) — 64 conditional-sum
+    aggregate columns with map-side partials, zero explode beyond the token
+    explode itself (the round-2 8-bit version exploded a bit index per token;
+    this computes 8× the bits with one exchange less). The shift amounts and
+    byte offsets are compile-time literals, so the whole vote matrix stays
+    inside whole-stage codegen."""
     d = t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    byte = F.conv(F.substring(F.md5("t"), 1, 2), 16, 10).cast("bigint")
-    # v >> b and 1 << b via exact power-of-two arithmetic (shiftleft/right
-    # builtins require a literal shift amount).
-    pow2 = F.pow(F.lit(2.0), F.col("b"))
-    bit = F.floor(F.col("v") / pow2).cast("bigint") % 2
-    bits = (
-        tok.select("doc_id", byte.alias("v"), F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b"))
-        .select("doc_id", "b", F.when(bit == 1, 1).otherwise(-1).alias("vote"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("s"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t")).withColumn(
+        "h", F.md5("t")
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, pow2).otherwise(0.0))
-        .cast("bigint")
-        .alias("simhash8")
+
+    def byte(j: int):
+        return F.conv(F.substring("h", 2 * j + 1, 2), 16, 10).cast("bigint")
+
+    votes = [
+        F.sum(
+            F.when(F.shiftright(byte(b // 8), b % 8) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    s = tok.groupBy("doc_id").agg(*votes)
+    hi = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(1 << (b - 32))).otherwise(0) for b in range(32, 64)),
+        F.lit(0),
+    )
+    lo = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(0, 32)),
+        F.lit(0),
+    )
+    return s.select(
+        "doc_id", hi.cast("bigint").alias("sim_hi"), lo.cast("bigint").alias("sim_lo")
     )
 
 
 @query("q55_simhash", oracle=SIMHASH_SQL)
 def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-bit SimHash per document (sign of per-bit token-hash vote).
-
-    Deliberately narrow (first md5 byte) so the oracle reproduces it exactly;
-    widening to 64 bits is the same plan with 8 byte-columns. Near-dup test
-    is then hamming distance ≤ k on the signature — O(n) per doc (q58)."""
+    """64-bit SimHash per document (sign of per-bit token-hash votes),
+    emitted as two 32-bit halves — the production-width signature (the
+    round-2 8-bit toy width is gone; same plan, full width, per the Charikar
+    / Manku-Jain-Das-Sarma design). Near-dup test is hamming distance ≤ k
+    over the 64 bits (q58)."""
     return simhash_signatures(spark, sf_dir)
 
 
@@ -335,108 +361,168 @@ def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q58_simhash_pairs",
     oracle=f"""
 WITH sims AS ({SIMHASH_SQL}),
-halves AS (
-    SELECT doc_id, simhash8, 0 AS half_idx, simhash8 // 16 AS half_val FROM sims
+quarters AS (
+    SELECT doc_id, sim_hi, sim_lo, 0 AS q_idx, sim_lo % 65536 AS q_val FROM sims
     UNION ALL
-    SELECT doc_id, simhash8, 1 AS half_idx, simhash8 % 16 AS half_val FROM sims
+    SELECT doc_id, sim_hi, sim_lo, 1, sim_lo // 65536 FROM sims
+    UNION ALL
+    SELECT doc_id, sim_hi, sim_lo, 2, sim_hi % 65536 FROM sims
+    UNION ALL
+    SELECT doc_id, sim_hi, sim_lo, 3, sim_hi // 65536 FROM sims
 ),
+ok AS (SELECT q_idx, q_val FROM quarters
+       GROUP BY q_idx, q_val HAVING count(*) <= {MAX_POSTING}),
 cand AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           min(a.simhash8) AS sig_a, min(b.simhash8) AS sig_b
-    FROM halves a JOIN halves b
-      ON a.half_idx = b.half_idx AND a.half_val = b.half_val
-     AND a.doc_id < b.doc_id
+           min(a.sim_hi) AS ha, min(a.sim_lo) AS la,
+           min(b.sim_hi) AS hb, min(b.sim_lo) AS lb
+    FROM quarters a JOIN ok USING (q_idx, q_val)
+    JOIN quarters b
+      ON a.q_idx = b.q_idx AND a.q_val = b.q_val AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
-       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 1
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
 """,
 )
 def q58_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairing: candidates at hamming distance ≤ 1.
+    """SimHash near-dup pairing at the REAL 64-bit width: candidates at
+    hamming distance ≤ 3.
 
-    Pigeonhole banding: split the signature into two halves — any pair
-    differing in ≤ 1 bit agrees exactly on at least one half — equi-join on
-    (half_idx, half_value), then verify true hamming with bit_count(xor).
-    This is the classic Manku/Jain/Das Sarma web-dedup layout: banding makes
-    candidate generation an equi-join (shuffle on the half value), and the
-    exact check is per-pair O(1) bit math. At the real 64-bit width the two
-    32-bit halves make collisions rare and buckets tiny; the 8-bit toy width
-    here (oracle-reproducible, q55) is the same plan with coarser keys."""
+    Pigeonhole banding (Manku/Jain/Das Sarma): split the 64-bit signature
+    into four 16-bit quarters — any pair differing in ≤ 3 bits agrees
+    exactly on at least one quarter. Bucket on (q_idx, q_val), expand pairs
+    in-bucket (array HOFs, no self-join), verify true hamming with
+    bit_count(xor) over both halves. 2^16 quarter values keep buckets tiny
+    at corpus scale; a pathological hot quarter (e.g. boilerplate-dominated
+    corpora voting the same signs) is dropped by the MAX_POSTING cap before
+    expansion — mirrored in the oracle — bounding in-bucket work exactly as
+    q53/q54 do."""
     sims = simhash_signatures(spark, sf_dir)
-    halves = sims.select(
+    quarters = sims.select(
         "doc_id",
-        "simhash8",
+        "sim_hi",
+        "sim_lo",
         F.posexplode(
-            F.array(F.floor(F.col("simhash8") / 16).cast("bigint"), F.col("simhash8") % 16)
-        ).alias("half_idx", "half_val"),
+            F.array(
+                F.col("sim_lo") % 65536,
+                F.floor(F.col("sim_lo") / 65536).cast("bigint"),
+                F.col("sim_hi") % 65536,
+                F.floor(F.col("sim_hi") / 65536).cast("bigint"),
+            )
+        ).alias("q_idx", "q_val"),
     )
-    a = halves.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash8").alias("sig_a"),
-        "half_idx", "half_val",
-    )
-    b = halves.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash8").alias("sig_b"),
-        "half_idx", "half_val",
+    buckets = (
+        quarters.groupBy("q_idx", "q_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "sim_hi", "sim_lo"))
+            ).alias("ids")
+        )
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_POSTING))
     )
     cand = (
-        a.join(b, ["half_idx", "half_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.min("sig_a").alias("sig_a"), F.min("sig_b").alias("sig_b"))
+        bucket_pair_expand(buckets)
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.min("a.sim_hi").alias("ha"),
+            F.min("a.sim_lo").alias("la"),
+            F.min("b.sim_hi").alias("hb"),
+            F.min("b.sim_lo").alias("lb"),
+        )
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.filter(ham <= 1).select(
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return cand.filter(ham <= 3).select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
+
+
+_Q56_BANDS_SQL = " UNION ALL ".join(
+    f"""SELECT vec_id, {g} AS band,
+       list_sum(list_transform(range(0, 16),
+         i -> CASE WHEN emb[{g} * 16 + i + 1] > 0
+                   THEN (1::BIGINT << (15 - i)) ELSE 0 END)) AS band_key
+FROM e"""
+    for g in range(4)
+)
 
 
 @query(
     "q56_embedding_near_dup",
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-pairs AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ({SQL_DOT_AB}) / (sqrt({SQL_DOT_AA}) * sqrt({SQL_DOT_BB})) AS cos_sim
-    FROM e a JOIN e b
-      ON a.vec_id < b.vec_id
-     AND list_reduce(list_transform(range(1, 9),
-                     i -> CASE WHEN (a.emb[i] > 0) = (b.emb[i] > 0) THEN 0 ELSE 1 END),
-                     (x, y) -> x + y) = 0
+bands AS ({_Q56_BANDS_SQL}),
+ok AS (SELECT band, band_key FROM bands
+       GROUP BY band, band_key HAVING count(*) <= {MAX_POSTING}),
+cand AS (
+    SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+    FROM bands x JOIN ok USING (band, band_key)
+    JOIN bands y
+      ON x.band = y.band AND x.band_key = y.band_key AND x.vec_id < y.vec_id
 )
-SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
-FROM pairs WHERE cos_sim >= 0.3
+SELECT c.vec_a, c.vec_b,
+       round(({SQL_DOT_AB}) / (sqrt({SQL_DOT_AA}) * sqrt({SQL_DOT_BB})), 6) AS cos_sim
+FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
+WHERE ({SQL_DOT_AB}) / (sqrt({SQL_DOT_AA}) * sqrt({SQL_DOT_BB})) >= 0.3
 """,
 )
 def q56_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection, LSH-pruned.
+    """Embedding-cosine near-duplicate detection via MULTI-TABLE sign-LSH.
 
-    Candidate pairs must agree on the sign pattern of the first 8 dimensions
-    (a 256-bucket random-hyperplane LSH — the standard-basis variant); cosine
-    is computed only within buckets, and pairs >= 0.3 survive (random 64-d cosines concentrate at 0 +- 0.125, so 0.3 = 2.4 sigma marks genuine outlier similarity). The bucket
-    equi-join is what keeps this sub-quadratic at 100 TB — the same structural
-    move as MinHash banding (q53), applied to dense vectors."""
+    Four independent hash tables, one per 16-dimension block: a pair is a
+    candidate iff the two vectors agree on the full sign pattern of at least
+    one block (standard-basis random-hyperplane LSH, L=4 tables × k=16 bits).
+    Cosine is computed only for candidates; pairs >= 0.3 survive (random
+    64-d cosines concentrate at 0 ± 0.125, so 0.3 = 2.4σ marks genuine
+    outlier similarity).
+
+    Scale: 2^16 buckets PER TABLE keeps expected bucket size n/65536 — the
+    round-2 single-table 8-bit width (256 buckets) went quadratic in-bucket
+    at corpus scale; k=16 defers that by 256× and the MAX_POSTING cap bounds
+    the pathological tail (mirrored in the oracle). L=4 tables buy back the
+    recall that a single wider table loses — the textbook L·p^k trade —
+    while candidate generation stays a capped bucket expansion, never a
+    cross join."""
     from stream_cdc_gps_spark.functions.vector import as_double, cosine
 
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    bucket = F.lit(0)
-    for i in range(8):
-        bucket = bucket * 2 + F.when(F.element_at("emb", i + 1) > 0, 1).otherwise(0)
-    e = e.withColumn("bucket", bucket)
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket"
+
+    def band_key(g: int):
+        key = F.lit(0)
+        for i in range(16):
+            key = key * 2 + F.when(
+                F.element_at("emb", g * 16 + i + 1) > 0, 1
+            ).otherwise(0)
+        return key.cast("bigint")
+
+    bands = e.select(
+        "vec_id",
+        "emb",
+        F.posexplode(F.array(*[band_key(g) for g in range(4)])).alias(
+            "band", "band_key"
+        ),
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
-        F.col("bucket").alias("bucket_b"),
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_POSTING))
+    )
+    cand = (
+        bucket_pair_expand(buckets)
+        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .agg(F.first("a.emb").alias("emb_a"), F.first("b.emb").alias("emb_b"))
     )
     sim = cosine(F.col("emb_a"), F.col("emb_b"))
     return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .filter(sim >= 0.3)
+        cand.filter(sim >= 0.3)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
     )
 

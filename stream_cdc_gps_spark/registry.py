@@ -50,65 +50,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
     return deco
 
 
-# Driver-verification priority. The correctness harness checks registry
-# entries in iteration order and (round 1) capped at the first 50, leaving
-# whole families unverified. Names listed here are emitted FIRST, in this
-# order; everything else follows in registration order. Round 2 front-loads:
-# (a) the 30 queries with no round-1 driver row (windowed, relational tail,
-# similarity, textops, skew families), (b) the round-1 failures after their
-# fixes (q43, q35, q26), (c) queries new this round. Rotate per round until
-# every query has a driver-green row.
+# Driver-verification priority. The correctness harness checks the FIRST ~50
+# registry entries in iteration order; names listed here are emitted FIRST,
+# in this order, everything else follows in registration order.
+#
+# STANDING RULE (round-2 judge): any query whose code OR oracle changed since
+# its last driver-green row goes to the FRONT of the next round's list — a
+# green row certifies the code that was checked, not the current code.
+# Round 3 front-loads: (a) queries rewritten after their only (r1) driver
+# check — their r1 rows are stale; (b) queries changed/added THIS round
+# (64-bit SimHash q55/q58, 16-bit sign-LSH q56, new q83); (c) the remaining
+# r1-only-checked queries, oldest rows first, to keep every row ≤2 rounds old.
 _PRIORITY: list[str] = [
-    # (a) never driver-checked in round 1
-    "q30_topk_per_group",
-    "q31_rank_dense_ntile",
-    "q32_lag_lead",
-    "q33_window_frames",
-    "q37_set_ops_all",
-    "q38_except_all",
-    "q39_uncorrelated_subquery",
-    "q47_hypertable_rollup",
-    "q48_array_functions",
-    "q49_unpivot",
-    "q60_cosine_topk",
-    "q61_ann_bucketed_topk",
-    "q62_embedding_stats",
-    "q63_ivf_topk",
-    "q64_ann_recall",
-    "q70_lang_stats",
-    "q71_token_quality",
-    "q72_top_terms",
-    "q73_lang_id_heuristic",
-    "q74_source_lang_matrix",
-    "q75_bpe_token_estimate",
-    "q76_rolling_hash",
-    "q77_stopword_ratio",
-    "q90_exists_subqueries",
-    "q91_cross_join",
-    "q92_right_join",
-    "q93_posexplode",
-    "q94_skew_salted_join",
-    "q95_range_frame",
-    "q96_date_spine_coverage",
-    # (b) round-1 failures, fixed this round
-    "q43_tumbling_hourly",
-    "q35_collect_sorted",
-    "q26_approx_stats",
-    # (c) new this round
-    "q58_simhash_pairs",
-    "q97_sliding_window_rate",
-    "q84_json_scan",
-    "q85_csv_scan",
-    "q59_dedup_keep_one",
-    "q65_label_centroids",
+    # (a) rewritten after their last driver row (stale r1 rows)
+    "q53_lsh_candidate_pairs",
+    "q54_ngram_jaccard",
+    "q81_media_features",
     "q78_tfidf",
-    "q86_cdc_snapshot_upsert",
-    "q79_lev_verify_pairs",
-    "q87_train_val_split",
-    "q98_distribution_ranks",
-    "q88_orc_roundtrip",
-    "q89_cogroup_stats",
-    "q99_value_windows",
+    # (b) changed or new in round 3
+    "q55_simhash",
+    "q58_simhash_pairs",
+    "q56_embedding_near_dup",
+    "q83_gps_rejects",
+    # (c) r1-only rows (unchanged, but oldest) in registration order
+    "q52_minhash_signatures",
+    "q57_neardup_components",
+    "q40_wkt_points",
+    "q41_derived_motion",
+    "q42_trip_sessions",
+    "q44_cdc_roundtrip",
+    "q45_cdc_dedup",
+    "q46_session_window_native",
+    "q80_media_metadata",
+    "q82_media_frames",
+    "q01_pricing_summary",
+    "q02_filter_predicates",
+    "q03_top_revenue_orders",
+    "q04_left_join_counts",
+    "q05_semi_join",
+    "q06_anti_join",
+    "q07_full_outer_join",
+    "q08_regional_revenue",
+    "q09_range_join",
+    "q10_agg_stats",
+    "q11_count_distinct",
+    "q12_rollup",
+    "q13_cube",
+    "q14_grouping_sets",
+    "q15_percentiles",
+    "q16_having",
+    "q17_conditional_agg",
+    "q18_intersect",
+    "q19_except",
+    "q20_union_all",
+    "q21_distinct",
+    "q22_string_funcs",
+    "q23_date_funcs",
+    "q24_json_funcs",
+    "q25_hash_funcs",
+    "q27_correlated_subquery",
+    "q28_pivot",
+    "q29_min_max_by",
+    "q36_map_functions",
 ]
 
 
