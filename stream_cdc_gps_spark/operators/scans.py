@@ -145,6 +145,93 @@ def q85_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_GPS = 450  # GPS fixture rows: every 45th malformed JSON, every 31st lacks device_id
+
+
+def gps_fixture() -> str:
+    """Deterministic GPS-ingest payload mix (FIXTURES.md A1 shape):
+    well-formed fixes, syntactically-broken JSON (the reference's HTTP-400
+    path, ``cmd/main.go:92-95``), and parseable-but-invalid fixes missing
+    ``device_id`` (null required leaf). Pure function of the row index so
+    the oracle reconstructs the aggregate from range() arithmetic."""
+    lines = []
+    for i in range(N_GPS):
+        if i % 45 == 0:
+            lines.append('{"i": %d, broken' % i)
+        elif i % 31 == 0:
+            lines.append(
+                json.dumps(
+                    {
+                        "location": {
+                            "timestamp": f"2026-02-06T10:00:{i:03d}Z",
+                            "coords": {"latitude": i * 0.25, "longitude": -i * 0.25},
+                        }
+                    }
+                )
+            )
+        else:
+            lines.append(
+                json.dumps(
+                    {
+                        "location": {
+                            "timestamp": f"2026-02-06T10:00:{i:03d}Z",
+                            "coords": {"latitude": i * 0.25, "longitude": -i * 0.25},
+                        },
+                        "device_id": f"d{i % 9}",
+                    }
+                )
+            )
+    path = _SCRATCH / "scan_gps" / "fixes.jsonl"
+    _write_once(path, "\n".join(lines) + "\n")
+    return str(path)
+
+
+@query(
+    "q83_gps_rejects",
+    oracle=f"""
+SELECT CASE WHEN i % 45 = 0 OR i % 31 = 0 THEN '_rejected'
+            ELSE 'd' || CAST(i % 9 AS VARCHAR) END AS device,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(CASE WHEN i % 45 <> 0 AND i % 31 <> 0 THEN i * 0.25e0 END), 4)
+           AS sum_lat
+FROM range(0, {N_GPS}) t(i)
+GROUP BY 1
+""",
+)
+def q83_gps_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS ingest reject routing under the DuckDB oracle (SURVEY.md §2A op
+    #2: the reference answers malformed bodies with HTTP 400 and DROPS them,
+    ``cmd/main.go:92-95`` — the engine routes them, and this query proves no
+    payload is silently lost).
+
+    Runs the REAL ingest parse (``transforms.parse_gps_json`` — the same
+    pure function the streaming graphs A/B use) over a deterministic payload
+    mix, then aggregates per device with rejects under '_rejected'. Both
+    reject classes are exercised: unparseable JSON (null struct from
+    from_json) and parseable fixes with a null required leaf (missing
+    device_id). The oracle reconstructs the aggregate from the generator
+    arithmetic, so a parser that dropped or mis-routed any row diverges."""
+    from stream_cdc_gps_spark.streaming import transforms as X
+
+    path = gps_fixture()
+    raw = spark.read.text(path)
+    parsed = X.parse_gps_json(raw)
+    corrupt = F.col("corrupt")
+    return (
+        parsed.groupBy(
+            F.when(corrupt, F.lit("_rejected"))
+            .otherwise(F.col("fix.device_id"))
+            .alias("device")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.when(~corrupt, F.col("fix.location.coords.latitude"))), 4
+            ).alias("sum_lat"),
+        )
+    )
+
+
 @query(
     "q88_orc_roundtrip",
     oracle="""
