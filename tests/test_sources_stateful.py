@@ -4,10 +4,18 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from stream_cdc_gps_spark.sources import readers
+
+try:  # transformWithStateInPandas speaks protobuf to its state server
+    import google.protobuf  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
 
 
 def test_json_reader_routes_corrupt(spark, tmp_path):
@@ -117,3 +125,131 @@ def test_trip_segmentation_stream_closes_on_gap(spark, tmp_path):
     assert (r["start_us"], r["end_us"]) == (0, 2 * M)
     if len(got) == 2:
         assert (got[1]["trip_seq"], got[1]["n_fixes"]) == (2, 1)
+
+
+@pytest.mark.skipif(not _HAS_PROTOBUF, reason="transformWithStateInPandas needs protobuf (absent in sandbox)")
+def test_trip_segmentation_tws_closes_on_gap(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas trip machine: same scenario as the
+    v1 GroupState test — the in-data gap closes trip 1; the still-open trip
+    may flush on shutdown via the idle timer."""
+    M = 60_000_000
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    src.mkdir()
+    rows = [
+        {"gps_id": "f1", "device_id": "A", "us": 0, "lat": 10.0, "lon": 20.0},
+        {"gps_id": "f2", "device_id": "A", "us": 2 * M, "lat": 10.5, "lon": 20.0},
+        {"gps_id": "f3", "device_id": "A", "us": 60 * M, "lat": 12.0, "lon": 22.0},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "gps_id string, device_id string, us long, lat double, lon double"
+    stream = (
+        spark.readStream.schema("value string").format("text").load(str(src))
+        .select(F.from_json("value", schema).alias("m"))
+        .select("m.*")
+    )
+    from stream_cdc_gps_spark.streaming.stateful import segment_trips_stream_tws
+
+    q = (
+        segment_trips_stream_tws(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ck))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(spark.read.parquet(str(out)).collect(), key=lambda r: r["trip_seq"])
+    assert len(got) in (1, 2)
+    r = got[0]
+    assert (r["device_id"], r["trip_seq"], r["n_fixes"]) == ("A", 1, 2)
+    assert (r["start_us"], r["end_us"]) == (0, 2 * M)
+    assert abs(r["dist_deg"] - 0.5) < 1e-9
+    if len(got) == 2:
+        assert (got[1]["trip_seq"], got[1]["n_fixes"]) == (2, 1)
+
+
+def test_trip_segmentation_tws_matches_v1_and_batch(spark, tmp_path):
+    """Semantic equivalence across the implementations: batch applyInPandas,
+    v1 applyInPandasWithState, and — when the sandbox has protobuf — v2
+    transformWithStateInPandas produce identical CLOSED trips on a
+    multi-device multi-gap feed (open trips may or may not flush on
+    shutdown, so the comparison is on the common closed prefix per device).
+    The v2 leg is environment-gated: its state-server protocol imports
+    google.protobuf, which this sandbox lacks (same gating as the Kafka
+    broker paths)."""
+    M = 60_000_000
+    rows = [
+        {"gps_id": f"f{i}", "device_id": dev, "us": us * M, "lat": la, "lon": lo}
+        for i, (dev, us, la, lo) in enumerate(
+            [
+                ("A", 0, 10.0, 20.0),
+                ("A", 1, 10.1, 20.2),
+                ("A", 45, 11.0, 21.0),   # gap: closes A trip 1
+                ("A", 46, 11.3, 21.1),
+                ("A", 100, 12.0, 22.0),  # gap: closes A trip 2
+                ("B", 5, 50.0, 60.0),
+                ("B", 90, 51.0, 61.0),   # gap: closes B trip 1
+            ]
+        )
+    ]
+    schema = "gps_id string, device_id string, us long, lat double, lon double"
+
+    batch_df = spark.createDataFrame(
+        [(r["gps_id"], r["device_id"], r["us"], r["lat"], r["lon"]) for r in rows],
+        schema,
+    )
+    from stream_cdc_gps_spark.streaming.stateful import (
+        segment_trips_batch,
+        segment_trips_stream,
+        segment_trips_stream_tws,
+    )
+
+    expected_closed = {
+        (r["device_id"], r["trip_seq"]): (
+            r["n_fixes"], r["start_us"], r["end_us"], round(r["dist_deg"], 9)
+        )
+        # batch closes ALL trips; streaming only guarantees gap-closed ones
+        for r in segment_trips_batch(batch_df).collect()
+    }
+
+    def run_stream(factory, tag):
+        src = tmp_path / f"in_{tag}"
+        out = tmp_path / f"out_{tag}"
+        ck = tmp_path / f"ck_{tag}"
+        src.mkdir()
+        (src / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+        stream = (
+            spark.readStream.schema("value string").format("text").load(str(src))
+            .select(F.from_json("value", schema).alias("m"))
+            .select("m.*")
+        )
+        q = (
+            factory(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["device_id"], r["trip_seq"]): (
+                r["n_fixes"], r["start_us"], r["end_us"], round(r["dist_deg"], 9)
+            )
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+    runs = [("v1", run_stream(segment_trips_stream, "v1"))]
+    if _HAS_PROTOBUF:
+        runs.append(("v2", run_stream(segment_trips_stream_tws, "v2")))
+    # every trip a streaming impl emitted must match the batch answer exactly
+    for tag, got in runs:
+        assert got, f"{tag} emitted nothing"
+        for k, v in got.items():
+            assert expected_closed[k] == v, (tag, k, v, expected_closed[k])
+    if len(runs) == 2:
+        assert runs[0][1] == runs[1][1]
