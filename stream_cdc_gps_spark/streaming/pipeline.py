@@ -29,7 +29,8 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 from stream_cdc_gps_spark.streaming import transforms as X
@@ -227,6 +228,62 @@ class ParquetUpsertTarget:
         else:
             merged = batch
         merged.write.mode("overwrite").parquet(self.path)
+
+
+def latest_per_key(
+    df: DataFrame, key: str, order_cols: tuple[str, ...]
+) -> DataFrame:
+    """Latest change per key under a total (desc) order — the reduction at
+    the heart of changelog→snapshot materialization (q86's window, factored
+    out so batch and streaming share it). One shuffle on the key."""
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+class ChangelogSnapshotTarget(ParquetUpsertTarget):
+    """Streaming form of q86_cdc_snapshot_upsert: a foreachBatch body that
+    maintains a keyed snapshot from a CDC changelog.
+
+    The landed parquet holds the latest change per key INCLUDING delete
+    tombstones (op='d'); ``snapshot()`` filters them out. Keeping tombstones
+    makes the merge a pure latest-per-key reduction over
+    (existing ∪ micro-batch) — idempotent under micro-batch replay and
+    robust to out-of-order keys ACROSS batches, because a stale replayed
+    change loses the (ts, tiebreak) ordering against the retained row
+    instead of resurrecting a deleted key. This is the same tombstone
+    retention a log-compacted topic or LSM store uses.
+
+    At scale the rewrite-the-target stand-in becomes MERGE INTO on a
+    key-partitioned table; the reduction itself stays one shuffle on the
+    key with single-row per-key state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "device_id",
+        order_cols: tuple[str, ...] = ("ts", "gps_id"),
+        op_col: str = "op",
+    ):
+        super().__init__(spark, path, key)
+        self.order_cols, self.op_col = order_cols, op_col
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        existing = self._existing()
+        union = existing.unionByName(batch) if existing is not None else batch
+        latest = latest_per_key(union, self.key, self.order_cols).localCheckpoint()
+        latest.write.mode("overwrite").parquet(self.path)
+
+    def snapshot(self) -> DataFrame:
+        """The upserted view: latest change per key, deletes removed."""
+        return self.spark.read.parquet(self.path).filter(
+            F.col(self.op_col) != "d"
+        )
 
 
 def kafka_sink(

@@ -546,3 +546,76 @@ def test_merge_statements_algebra():
         "(SELECT gps_id FROM location_instances__stage)",
         "INSERT INTO location_instances SELECT * FROM location_instances__stage",
     ]
+
+
+def test_changelog_snapshot_streaming_matches_batch(spark, tmp_path):
+    """Streaming form of q86 (changelog -> keyed snapshot upsert): the same
+    changelog fed as two micro-batches through
+    foreachBatch(ChangelogSnapshotTarget.merge) under availableNow lands the
+    snapshot the batch latest-per-key reduction computes over the whole
+    changelog — c/u rows upserted, keys whose latest op is 'd' gone — and a
+    full replay (fresh checkpoint) is a no-op."""
+    src = tmp_path / "in"
+    tgt = tmp_path / "tgt"
+    src.mkdir()
+    schema = "device_id string, gps_id long, ts string, lat double, lon double, op string"
+    b0 = [
+        {"device_id": "A", "gps_id": 1, "ts": "2026-02-06 10:00:00", "lat": 1.0, "lon": 2.0, "op": "c"},
+        {"device_id": "B", "gps_id": 2, "ts": "2026-02-06 10:00:05", "lat": 3.0, "lon": 4.0, "op": "c"},
+        {"device_id": "A", "gps_id": 3, "ts": "2026-02-06 10:01:00", "lat": 1.5, "lon": 2.5, "op": "u"},
+        {"device_id": "C", "gps_id": 4, "ts": "2026-02-06 10:01:30", "lat": 9.0, "lon": 9.0, "op": "c"},
+    ]
+    b1 = [
+        {"device_id": "B", "gps_id": 5, "ts": "2026-02-06 10:02:00", "lat": 3.5, "lon": 4.5, "op": "u"},
+        {"device_id": "C", "gps_id": 6, "ts": "2026-02-06 10:02:30", "lat": 0.0, "lon": 0.0, "op": "d"},
+        {"device_id": "A", "gps_id": 7, "ts": "2026-02-06 10:03:00", "lat": 1.9, "lon": 2.9, "op": "u"},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in b0))
+    (src / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in b1))
+
+    target = P.ChangelogSnapshotTarget(spark, str(tgt))
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", "1")  # two real micro-batches
+            .format("text")
+            .load(str(src))
+            .select(F.from_json("value", schema).alias("m"))
+            .select("m.*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(target.merge)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+
+    # golden: batch latest-per-key over the WHOLE changelog, deletes dropped
+    full = spark.createDataFrame(
+        [tuple(r[c] for c in ["device_id", "gps_id", "ts", "lat", "lon", "op"]) for r in b0 + b1],
+        schema,
+    )
+    golden = sorted(
+        (r["device_id"], r["gps_id"], r["lat"], r["lon"])
+        for r in P.latest_per_key(full, "device_id", ("ts", "gps_id"))
+        .filter(F.col("op") != "d")
+        .collect()
+    )
+    got = sorted(
+        (r["device_id"], r["gps_id"], r["lat"], r["lon"])
+        for r in target.snapshot().collect()
+    )
+    assert got == golden
+    assert [g[0] for g in got] == ["A", "B"]  # C deleted by its tombstone
+
+    # worst-case restart: fresh checkpoint replays the whole changelog;
+    # tombstone retention makes the merge idempotent (C stays deleted)
+    run("ck2")
+    assert sorted(
+        (r["device_id"], r["gps_id"], r["lat"], r["lon"])
+        for r in target.snapshot().collect()
+    ) == golden
