@@ -421,3 +421,63 @@ def q65_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.posexplode(F.array(*[F.col(f"a{i}") for i in range(64)])).alias("d0", "c"),
     ).select("label", "n", (F.col("d0") + 1).cast("int").alias("dim"), "c")
+
+
+@query(
+    "q68_embedding_quantize",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (
+    SELECT vec_id, emb,
+           list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+    FROM e
+),
+quant AS (
+    SELECT vec_id, scale,
+           list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv,
+           emb
+    FROM q WHERE scale > 0
+)
+SELECT vec_id,
+       round(scale, 9)                                   AS scale,
+       CAST(list_sum(qv) AS BIGINT)                      AS q_sum,
+       CAST(list_max(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_absmax,
+       list_max(list_transform(range(1, len(emb) + 1),
+                               i -> abs(qv[i] * scale - emb[i])))
+           <= scale * 0.5000001                          AS err_ok
+FROM quant
+""",
+)
+def q68_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage/
+    serving compression step of an embedding pipeline (4x smaller vectors,
+    SIMD-friendly dot products). Per-vector absmax scaling: scale =
+    max|x|/127, q_i = floor(x_i/scale + 0.5) — round-half-up spelled as
+    floor(+0.5) so Spark and DuckDB compute bit-identical codes (their
+    native round() functions disagree at exact halves).
+
+    Per-row array HOFs only — a map-only pass at 100 TB. The checked output
+    summarizes each vector (scale, code sum, |code| max, reconstruction
+    bound satisfied) rather than emitting the code array: the driver
+    canonicalizer can't sort list cells, and the summary pins the same bits
+    (any code flip moves q_sum; err_ok certifies max dequantization error
+    <= scale/2, as a BOOLEAN because a raw picked double would hit the
+    Spark/DuckDB round()-at-half divergence). Zero vectors (scale = 0) are
+    excluded on both sides."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    scale = F.array_max(F.transform("emb", lambda x: F.abs(x))) / 127.0
+    q = e.select("vec_id", "emb", scale.alias("scale")).filter(F.col("scale") > 0)
+    qv = F.transform("emb", lambda x: F.floor(x / F.col("scale") + 0.5).cast("bigint"))
+    q = q.select("vec_id", "scale", "emb", qv.alias("qv"))
+    max_err = F.array_max(
+        F.zip_with("qv", "emb", lambda v, x: F.abs(v * F.col("scale") - x))
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, v: a + v).alias("q_sum"),
+        F.array_max(F.transform("qv", lambda v: F.abs(v))).cast("bigint").alias("q_absmax"),
+        (max_err <= F.col("scale") * 0.5000001).alias("err_ok"),
+    )

@@ -382,3 +382,176 @@ def q87_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@query(
+    "q66_quality_filter",
+    oracle="""
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       (n_tok BETWEEN 5 AND 2000)
+           AND (avg_len >= 2 AND avg_len <= 12)
+           AND (digit_frac <= 0.2)                       AS keep,
+       CASE WHEN NOT (n_tok BETWEEN 5 AND 2000) THEN 'n_tokens'
+            WHEN NOT (avg_len >= 2 AND avg_len <= 12) THEN 'avg_token_len'
+            WHEN NOT (digit_frac <= 0.2) THEN 'digit_ratio'
+            END                                          AS drop_reason
+FROM (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_len,
+           CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / n_chars AS digit_frac
+    FROM documents WHERE n_chars > 0
+)
+""",
+)
+def q66_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document quality filtering (the Gopher/C4-style gate every
+    pretraining pipeline runs before tokenization): token-count bounds,
+    mean-token-length bounds, digit-character ratio cap — keep/drop plus the
+    FIRST failing rule for auditability (filters must be explainable, not
+    just applied).
+
+    Map-only: every rule is a column expression over per-row stats, so the
+    100 TB corpus pass is a single codegen stage with zero shuffles; the
+    same rule expressions run verbatim in the oracle."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    n_tok = F.size(tokens(F.col("text")))
+    avg_len = (F.col("n_chars") - n_tok + 1).cast("double") / n_tok
+    digit_frac = (
+        F.col("n_chars") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ).cast("double") / F.col("n_chars")
+    r_tok = n_tok.between(5, 2000)
+    r_len = (avg_len >= 2) & (avg_len <= 12)
+    r_dig = digit_frac <= 0.2
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        (r_tok & r_len & r_dig).alias("keep"),
+        F.when(~r_tok, "n_tokens")
+        .when(~r_len, "avg_token_len")
+        .when(~r_dig, "digit_ratio")
+        .alias("drop_reason"),
+    )
+
+
+@query(
+    "q67_stratified_sample",
+    oracle="""
+SELECT doc_id, lang
+FROM (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 100 AS b,
+           CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS pct
+    FROM documents
+)
+WHERE b < pct
+""",
+)
+def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language sampling rates
+    (down-sample the dominant stratum, keep more of the rest — the standard
+    rebalancing move for pretraining mixes) via hash-threshold membership,
+    NOT rand(): md5('strat|'||id) mod 100 < rate. Reproducible across runs,
+    engines, partitionings, and cluster sizes; a namespaced salt ('strat|')
+    decorrelates it from q87's split buckets so sampling and splitting stay
+    independent events.
+
+    Map-only membership test — at 100 TB the sample materializes in one
+    codegen pass with no shuffle at all."""
+    d = t(spark, sf_dir, "documents")
+    b = F.conv(
+        F.substring(F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("bigint") % 100
+    pct = F.when(F.col("lang") == "en", 50).otherwise(20)
+    return d.filter(b < pct).select("doc_id", "lang")
+
+
+@query(
+    "q69_token_pmi",
+    oracle="""
+WITH dt AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               list_sort(list_distinct(list_filter(string_split(text, ' '),
+                                                   x -> length(x) >= 3)))[1:12] AS ts
+        FROM documents
+    ), UNNEST(ts) AS u(tok)
+),
+pc AS (
+    SELECT a.tok AS ta, b.tok AS tb, count(*) AS n_ab
+    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY a.tok, b.tok HAVING count(*) >= 3
+),
+tc AS (SELECT tok, count(*) AS n_t FROM dt GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT ta, tb, CAST(n_ab AS BIGINT) AS n_ab,
+       round(ln(CAST(n_ab AS DOUBLE) * n_docs / (ca.n_t * cb.n_t)), 6) AS pmi
+FROM pc JOIN tc ca ON ca.tok = pc.ta JOIN tc cb ON cb.tok = pc.tb, n
+ORDER BY pmi DESC, ta, tb
+LIMIT 30
+""",
+)
+def q69_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top token co-occurrence pairs by pointwise mutual information —
+    collocation mining over the corpus (phrase detection / tokenizer-merge
+    candidates in a training-data pipeline).
+
+    Per-doc token set is capped at the first 12 sorted distinct tokens
+    (len >= 3), so in-doc pair expansion is a BOUNDED O(12 choose 2) array
+    HOF — the same cap-before-expand discipline as the dedup buckets
+    (dedup.py MAX_POSTING): pair count per doc is a constant, never
+    O(doc_len^2). Pair counts and token counts shuffle on uniform token
+    keys; the PMI join brings in the two marginals and the corpus size
+    rides in via a broadcast of a 1-row aggregate (no driver-side count()).
+    Tiebreak (pmi desc, ta, tb) is total, so top-30 is deterministic."""
+    d = t(spark, sf_dir, "documents")
+    toks12 = F.slice(
+        F.array_sort(
+            F.array_distinct(F.filter(tokens(F.col("text")), lambda x: F.length(x) >= 3))
+        ),
+        1,
+        12,
+    )
+    dt = d.select("doc_id", toks12.alias("ts"))
+    arr = F.col("ts")
+    pair_structs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("ta"), y.alias("tb")),
+            ),
+        )
+    )
+    pc = (
+        dt.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.ta").alias("ta"), F.col("p.tb").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    tc = (
+        dt.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    pmi = F.round(
+        F.log(
+            F.col("n_ab").cast("double") * F.col("n_docs") / (F.col("na") * F.col("nb"))
+        ),
+        6,
+    )
+    return (
+        pc.join(tc.select(F.col("tok").alias("ta"), F.col("n_t").alias("na")), "ta")
+        .join(tc.select(F.col("tok").alias("tb"), F.col("n_t").alias("nb")), "tb")
+        .crossJoin(F.broadcast(n_docs))
+        .select("ta", "tb", F.col("n_ab").cast("bigint").alias("n_ab"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "ta", "tb")
+        .limit(30)
+    )

@@ -72,6 +72,10 @@ _PRIORITY: list[str] = [
     "q58_simhash_pairs",
     "q56_embedding_near_dup",
     "q83_gps_rejects",
+    "q66_quality_filter",
+    "q67_stratified_sample",
+    "q68_embedding_quantize",
+    "q69_token_pmi",
     # (c) r1-only rows (unchanged, but oldest) in registration order
     "q52_minhash_signatures",
     "q57_neardup_components",
