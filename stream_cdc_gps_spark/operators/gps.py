@@ -413,3 +413,106 @@ def q86_cdc_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "d"))
         .select("device_id", "gps_id", "op", "lat", "lon")
     )
+
+
+# Irregular, partially OVERLAPPING geofence boxes (lat/lon bounds): literal
+# dim shared verbatim by the Spark literal DataFrame and the oracle VALUES.
+GEOFENCES = [
+    # (zone, lat_min, lat_max, lon_min, lon_max)
+    ("downtown",  35.20, 35.45, 51.10, 51.40),
+    ("airport",   35.40, 35.60, 51.30, 51.55),  # overlaps downtown corner
+    ("port",      35.05, 35.15, 51.70, 51.95),
+    ("suburb_n",  35.70, 35.99, 51.05, 51.60),
+    ("corridor",  35.10, 35.90, 51.48, 51.52),  # tall thin strip, overlaps
+    ("reserve",   35.55, 35.75, 51.75, 51.90),
+]
+
+_GEOFENCE_VALUES = ", ".join(
+    f"('{z}', {a}, {b}, {c}, {d})" for z, a, b, c, d in GEOFENCES
+)
+
+
+@query(
+    "q100_geofence_join",
+    oracle=f"""
+WITH fx AS ({FIXES_SQL}),
+zones(zone, lat_min, lat_max, lon_min, lon_max) AS (VALUES {_GEOFENCE_VALUES})
+SELECT z.zone,
+       CAST(count(*) AS BIGINT)           AS n_fixes,
+       CAST(count(DISTINCT fx.device_id) AS BIGINT) AS n_devices,
+       round(sum(fx.lat), 4)              AS sum_lat
+FROM fx JOIN zones z
+  ON fx.lat >= z.lat_min AND fx.lat < z.lat_max
+ AND fx.lon >= z.lon_min AND fx.lon < z.lon_max
+GROUP BY z.zone
+""",
+)
+def q100_geofence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence containment join: every fix matched against a small dim of
+    irregular, partially overlapping bounding boxes (a fix inside two
+    fences counts in both) — the point-in-fence analytics the reference's
+    PostGIS ``location_instances`` table exists to serve
+    (``cmd/main.go:212-215``), expressed without a geo extension.
+
+    Plan: the fence dim is broadcast (bytes, not rows, of build side) and
+    the containment predicate runs as a BroadcastNestedLoopJoin — correct
+    at 100 TB because the STREAM side never shuffles and the build side is
+    O(#fences), not O(data). For axis-aligned REGULAR grids use
+    q101_spatial_grid instead (pure arithmetic, no join at all)."""
+    fx = fixes(spark, sf_dir)
+    zones = spark.createDataFrame(
+        GEOFENCES, "zone string, lat_min double, lat_max double, lon_min double, lon_max double"
+    )
+    cond = (
+        (F.col("lat") >= F.col("lat_min"))
+        & (F.col("lat") < F.col("lat_max"))
+        & (F.col("lon") >= F.col("lon_min"))
+        & (F.col("lon") < F.col("lon_max"))
+    )
+    return (
+        fx.join(F.broadcast(zones), cond)
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.countDistinct("device_id").alias("n_devices"),
+            F.round(F.sum("lat"), 4).alias("sum_lat"),
+        )
+    )
+
+
+@query(
+    "q101_spatial_grid",
+    oracle=f"""
+WITH fx AS ({FIXES_SQL})
+SELECT CAST(floor((lat - 35.0) / 0.25) AS BIGINT) * 4
+         + CAST(floor((lon - 51.0) / 0.25) AS BIGINT)  AS cell,
+       CAST(count(*) AS BIGINT)                        AS n_fixes,
+       CAST(count(DISTINCT device_id) AS BIGINT)       AS n_devices,
+       round(avg(lat), 6)                              AS avg_lat,
+       round(avg(lon), 6)                              AS avg_lon
+FROM fx
+WHERE lat >= 35.0 AND lat < 36.0 AND lon >= 51.0 AND lon < 52.0
+GROUP BY 1
+""",
+)
+def q101_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial grid aggregation (geohash-style binning): fixes bucketed into
+    a regular 4x4 lat/lon grid by PURE ARITHMETIC — the scale-correct form
+    of point-in-cell for regular grids: cell id is a map-side expression, so
+    the only shuffle is the final per-cell aggregation on a bounded key
+    space. This is what replaces a geo join whenever fences are a grid
+    (heatmaps, density tiles, H3/geohash rollups)."""
+    fx = fixes(spark, sf_dir).filter(
+        (F.col("lat") >= 35.0) & (F.col("lat") < 36.0)
+        & (F.col("lon") >= 51.0) & (F.col("lon") < 52.0)
+    )
+    cell = (
+        F.floor((F.col("lat") - 35.0) / 0.25).cast("bigint") * 4
+        + F.floor((F.col("lon") - 51.0) / 0.25).cast("bigint")
+    )
+    return fx.groupBy(cell.alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_fixes"),
+        F.countDistinct("device_id").alias("n_devices"),
+        F.round(F.avg("lat"), 6).alias("avg_lat"),
+        F.round(F.avg("lon"), 6).alias("avg_lon"),
+    )

@@ -76,6 +76,8 @@ _PRIORITY: list[str] = [
     "q67_stratified_sample",
     "q68_embedding_quantize",
     "q69_token_pmi",
+    "q100_geofence_join",
+    "q101_spatial_grid",
     # (c) r1-only rows (unchanged, but oldest) in registration order
     "q52_minhash_signatures",
     "q57_neardup_components",

@@ -47,6 +47,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q91_cross_join",
         "q78_tfidf",             # broadcast 1-row corpus-size aggregate
         "q69_token_pmi",         # broadcast 1-row corpus-size aggregate
+        "q100_geofence_join",    # broadcast O(#fences) dim + containment pred
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
