@@ -578,8 +578,14 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    labels = edges.select(F.col("s").alias("d")).distinct().withColumn(
-        "comp", F.col("d")
+    # Seed labels with min(self, neighbors): one aggregate over the edge
+    # list performs what would otherwise be the first propagation round
+    # (identity init + 1 iteration), saving a full join+checkpoint cycle —
+    # on near-clique components most labels are already final after this.
+    labels = (
+        edges.groupBy(F.col("s").alias("d"))
+        .agg(F.min("t").alias("mint"))
+        .select("d", F.least(F.col("d"), F.col("mint")).alias("comp"))
     )
     converged = False
     for _ in range(16):  # diameter bound; real convergence is 2-3 rounds
