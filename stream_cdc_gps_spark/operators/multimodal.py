@@ -219,3 +219,79 @@ def q82_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame").cast("bigint").alias("frame_len"),
         F.md5("frame").alias("frame_md5"),
     )
+
+
+def resize_stub(payload: bytes, target: int = 32) -> bytes:
+    """STUB for a real resizer (PIL.Image.resize / librosa.resample not
+    installed): deterministic nearest-neighbor downsample of the byte
+    stream to ``target`` samples — the 1-D analog of image resizing, with
+    the exact signature a real resizer plugs into (payload in, smaller
+    payload out). Payloads already at or below ``target`` pass through
+    (the stub never upsamples). Raises on None like a codec error."""
+    if payload is None:
+        raise NotImplementedError("no payload — real resizer would surface a codec error")
+    n = len(payload)
+    if n <= target:
+        return bytes(payload)
+    return bytes(payload[(j * n) // target] for j in range(target))
+
+
+RESIZED_SCHEMA = "doc_id bigint, orig_len bigint, resized binary"
+
+
+def resize_media(media: DataFrame, target: int = 32) -> DataFrame:
+    """Resize stage: map-only mapInPandas over the payload, projecting the
+    original blob away immediately (the resized output is what travels
+    downstream — at 100 TB this is the step that shrinks the dataset before
+    any shuffle ever sees a blob)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "orig_len": [len(p) for p in pdf["payload"]],
+                    "resized": [resize_stub(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+@query(
+    "q102_media_resize",
+    # ASCII corpus (see q81/q82): byte j of the utf-8 payload equals
+    # character j+1 of the text, so the oracle gathers the same
+    # nearest-neighbor sample positions with substr and md5s the result.
+    oracle="""
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+r AS (
+    SELECT doc_id, n,
+           CASE WHEN n <= 32 THEN text
+                ELSE array_to_string(
+                    list_transform(range(0, 32),
+                                   j -> substr(text, CAST(1 + (j * n) // 32 AS BIGINT), 1)),
+                    '')
+           END AS resized
+    FROM m
+)
+SELECT doc_id,
+       CAST(n AS BIGINT)                    AS orig_len,
+       CAST(length(resized) AS BIGINT)      AS resized_len,
+       md5(resized)                         AS resized_md5
+FROM r
+""",
+)
+def q102_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize through the multimodal plumbing (mapInPandas, codec stubbed):
+    deterministic nearest-neighbor byte downsampling checked byte-exactly
+    via md5 against the oracle's closed-form gather — completes the
+    decode / feature-extract / resize / frame-sample verb set. Map-only;
+    the original blob is projected away inside the stage."""
+    resized = resize_media(media_table(spark, sf_dir))
+    return resized.select(
+        "doc_id",
+        "orig_len",
+        F.length("resized").cast("bigint").alias("resized_len"),
+        F.md5("resized").alias("resized_md5"),
+    )

@@ -79,6 +79,7 @@ _PRIORITY: list[str] = [
     "q100_geofence_join",
     "q101_spatial_grid",
     "q59_dedup_keep_one",  # composes q57, whose label seeding changed in r3
+    "q102_media_resize",
     # (c) r1-only rows (unchanged, but oldest) in registration order
     "q52_minhash_signatures",
     "q57_neardup_components",

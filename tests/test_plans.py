@@ -101,3 +101,17 @@ def test_q09_range_join_is_broadcast_nested_loop(spark):
     plan = plan_string(df)
     assert "BroadcastNestedLoopJoin" in plan  # never a cartesian shuffle
     assert "CartesianProduct" not in plan
+
+
+def test_multimodal_blob_pipeline_never_shuffles(spark):
+    """The multimodal mandate's core scale claim: binary payloads are
+    map-only — feature extraction (q81), frame sampling (q82), and resize
+    (q102) must show ZERO Exchange nodes in their physical plans (the blob
+    is projected away before anything downstream could shuffle it)."""
+    from stream_cdc_gps_spark.plans import plan_string
+    from stream_cdc_gps_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in ("q81_media_features", "q82_media_frames", "q102_media_resize"):
+        plan = plan_string(qs[name].fn(spark, SF_SMOKE))
+        assert "Exchange" not in plan, f"{name} shuffles the blob pipeline:\n{plan}"
