@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stream_cdc_gps_spark.functions.text import tokens
+from stream_cdc_gps_spark.functions.text import tokens, word_shingles
 from stream_cdc_gps_spark.operators.common import t
 from stream_cdc_gps_spark.registry import query
 
@@ -554,4 +554,118 @@ def q69_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ta", "tb", F.col("n_ab").cast("bigint").alias("n_ab"), pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "ta", "tb")
         .limit(30)
+    )
+
+
+@query(
+    "q103_sequence_packing",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+    FROM documents WHERE n_chars > 0
+),
+c AS (
+    SELECT doc_id, lang, n_tok,
+           sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM d
+),
+packed AS (
+    SELECT lang, (cum - 1) // 512 AS pack_id, n_tok FROM c
+)
+SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_tok) AS BIGINT)    AS pack_tokens
+FROM packed
+GROUP BY lang, pack_id
+""",
+)
+def q103_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget (512)
+    training packs by running token count — the batching step between a
+    cleaned corpus and a tokenizer/dataloader. Cumulative-sum assignment
+    (pack = (cumsum-1) div budget) is the deterministic, repartition-stable
+    form of greedy packing; packs can overflow by at most one document,
+    the standard trade for a one-pass parallel packer.
+
+    Scale: the running sum is windowed PER STRATUM (lang), never a single
+    global partition — each stratum's cumsum is an independent sorted
+    window, so a 100 TB corpus packs as N_strata parallel streams (in a
+    real pipeline the stratum is (split, shard), thousands of bounded
+    partitions). One shuffle on the stratum key."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.select(
+        "lang",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - 1) / 512).cast("bigint").alias("pack_id"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@query(
+    "q104_repetition_stats",
+    oracle="""
+WITH sh AS (
+    SELECT doc_id, tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+         UNNEST(range(1, len(tokens) - 1)) AS r(i)
+),
+counts AS (
+    SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s
+),
+per_doc AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+           CAST(max(c) AS BIGINT) AS max_rep
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, max_rep,
+       round(CAST(max_rep AS DOUBLE) / n_shingles, 4) AS rep_ratio,
+       CAST(max_rep AS DOUBLE) / n_shingles > 0.2     AS flagged
+FROM per_doc
+""",
+)
+def q104_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection — the Gopher rule q66 doesn't cover: the share
+    of a document's 3-gram shingles taken by its single most repeated
+    shingle; documents above 20% are flagged (boilerplate, keyword
+    stuffing, degenerate generations).
+
+    Counts ride on (doc_id, shingle) then reduce to (doc_id) — both keys
+    are uniform (doc_id dominates the hash), so the two shuffles stay
+    balanced at corpus scale; the shingle arrays themselves are per-row
+    HOFs shared with the MinHash stage (functions/text.py)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    sh = toks.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), 3)).alias("s")
+    )
+    counts = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_shingles"),
+        F.max("c").cast("bigint").alias("max_rep"),
+    )
+    ratio = F.col("max_rep").cast("double") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "max_rep",
+        F.round(ratio, 4).alias("rep_ratio"),
+        (ratio > 0.2).alias("flagged"),
     )

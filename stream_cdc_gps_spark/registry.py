@@ -80,6 +80,8 @@ _PRIORITY: list[str] = [
     "q101_spatial_grid",
     "q59_dedup_keep_one",  # composes q57, whose label seeding changed in r3
     "q102_media_resize",
+    "q103_sequence_packing",
+    "q104_repetition_stats",
     # (c) r1-only rows (unchanged, but oldest) in registration order
     "q52_minhash_signatures",
     "q57_neardup_components",
