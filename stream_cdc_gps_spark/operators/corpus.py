@@ -1,0 +1,253 @@
+"""Corpus-hygiene operators for training-data pipelines.
+
+Benchmark decontamination, exact-substring passage mining, Zipf-law fit, and
+temperature-scaled source mixture weights — the curation steps that run after
+dedup/quality filtering and before a training job reads the corpus.
+
+Reference parity note: the reference engine (cmd/main.go) has no corpus
+surface; these extend the mandated LLM-pipeline family (task spec) alongside
+dedup.py / textops.py.
+
+Scale design (100 TB corpus):
+- q105: the benchmark side (held-out split / external eval set) is small by
+  construction, so BOTH joins against the big corpus are broadcast:
+  corpus shingles -> broadcast-semi-join against benchmark shingles (map-side
+  filter; only contaminated candidates survive, a tiny set) -> distinct ->
+  broadcast back for the per-benchmark-doc flag join. The corpus never
+  shuffles.
+- q106: window-stride passages make ExactSubstr-style duplicate-passage
+  mining SQL-expressible (a suffix array is exact but not distributable);
+  one shuffle on (doc_id, passage) distinct + one vocabulary-sized groupBy.
+- q107: term frequency shuffles O(vocab) after map-side partials; the
+  row_number window runs over the 25-row top-k output, never the vocab.
+- q108: one O(sources) aggregate; the normalizing window sum runs over the
+  handful of source rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream_cdc_gps_spark.functions.text import tokens, word_shingles
+from stream_cdc_gps_spark.operators.common import t
+from stream_cdc_gps_spark.registry import query
+
+# q87's reproducible hash-mod split (first 2 md5 bytes of doc_id, % 100):
+# train = bucket < 90, benchmark ("test") = bucket >= 95. Decontamination
+# treats the held-out split as the benchmark set to screen training docs
+# against, mirroring how eval-benchmark n-gram screens run in production.
+_TRAIN_BUCKET_LT = 90
+_BENCH_BUCKET_GE = 95
+
+_DECONTAM_N = 5  # word n-gram width for the contamination screen
+_PASSAGE_LEN = 30  # char window width for shared-passage mining
+_PASSAGE_STRIDE = 10
+
+
+def _split_bucket() -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint") % 100
+
+
+@query(
+    "q105_decontamination",
+    oracle="""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, b, u.s AS shingle
+    FROM base, UNNEST(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+             i -> array_to_string(toks[i:i+4], ' '))) AS u(s)
+),
+train_sh AS (SELECT DISTINCT shingle FROM sh WHERE b < 90),
+bench_sh AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE b >= 95)
+SELECT bs.doc_id,
+       CAST(count(*) AS BIGINT)              AS n_shingles,
+       CAST(count(tr.shingle) AS BIGINT)     AS n_contaminated,
+       floor(count(tr.shingle) / CAST(count(*) AS DOUBLE) * 10000 + 0.5e0) / 10000.0
+                                             AS contamination_rate,
+       count(tr.shingle) / CAST(count(*) AS DOUBLE) >= 0.5e0 AS contaminated
+FROM bench_sh bs LEFT JOIN train_sh tr ON bs.shingle = tr.shingle
+GROUP BY bs.doc_id
+""",
+)
+def q105_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: per held-out ("benchmark") document,
+    the fraction of its word 5-grams that also occur anywhere in the train
+    split. Docs over 50% overlap are flagged contaminated.
+
+    Plan: corpus shingles are filtered map-side by a broadcast semi-join
+    against the (small) benchmark shingle set, so only contaminated-candidate
+    shingles — a tiny intersection — ever aggregate; the corpus itself never
+    shuffles. Rounding uses portable half-up floor(x*1e4+0.5)/1e4 (both
+    engines' round() disagrees at representable halves such as 5/32)."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        _split_bucket().alias("b"),
+        F.explode(word_shingles(tokens(F.col("text")), _DECONTAM_N)).alias("shingle"),
+    )
+    bench_sh = (
+        sh.filter(F.col("b") >= _BENCH_BUCKET_GE).select("doc_id", "shingle").distinct()
+    )
+    bench_set = bench_sh.select("shingle").distinct()
+    # Contaminated shingles = train ∩ benchmark. Semi-join BEFORE distinct:
+    # the broadcast filter runs map-side over the train scan and only the
+    # tiny surviving set is deduplicated.
+    contaminated = (
+        sh.filter(F.col("b") < _TRAIN_BUCKET_LT)
+        .join(F.broadcast(bench_set), "shingle", "left_semi")
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    rate = F.count("hit") / F.count(F.lit(1)).cast("double")
+    return (
+        bench_sh.join(F.broadcast(contaminated), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count("hit").cast("bigint").alias("n_contaminated"),
+            (F.floor(rate * 10000 + 0.5e0) / 10000.0).alias("contamination_rate"),
+            (rate >= 0.5e0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "q106_shared_passages",
+    oracle="""
+WITH pas AS (
+    SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 30) AS passage
+    FROM (SELECT doc_id, text, len(text) AS l FROM documents),
+         UNNEST(range(1, greatest(l - 29, 0) + 1, 10)) AS u(p)
+)
+SELECT passage, CAST(count(*) AS BIGINT) AS n_docs
+FROM pas
+GROUP BY passage
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, passage
+LIMIT 50
+""",
+)
+def q106_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-passage mining: 30-char windows every 10 chars, shared by
+    >= 2 documents, top-50 by document frequency.
+
+    Stride windows approximate ExactSubstr suffix-array dedup with a fully
+    distributable plan: map-side window expansion, one (doc_id, passage)
+    distinct, one passage groupBy with map-side partials, TakeOrdered top-k.
+    A passage duplicated across docs is guaranteed to surface once the
+    shared run covers a full aligned window (run >= len + stride - 1)."""
+    d = t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    pos = F.when(
+        ln >= _PASSAGE_LEN,
+        F.sequence(F.lit(1), ln - (_PASSAGE_LEN - 1), F.lit(_PASSAGE_STRIDE)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    pas = (
+        d.select("doc_id", "text", F.explode(pos).alias("p"))
+        .select(
+            "doc_id",
+            F.expr(f"substring(text, p, {_PASSAGE_LEN})").alias("passage"),
+        )
+        .distinct()
+    )
+    return (
+        pas.groupBy("passage")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "passage")
+        .limit(50)
+    )
+
+
+@query(
+    "q107_zipf_fit",
+    oracle="""
+WITH tf AS (
+    SELECT tok, count(*) AS cnt
+    FROM (SELECT string_split(text, ' ') AS toks FROM documents), UNNEST(toks) AS u(tok)
+    GROUP BY tok
+),
+rk AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+    FROM tf ORDER BY cnt DESC, tok LIMIT 25
+)
+SELECT CAST(count(*) AS BIGINT)                    AS n_ranks,
+       round(regr_slope(ln(cnt), ln(rank)), 4)     AS zipf_slope,
+       round(regr_intercept(ln(cnt), ln(rank)), 4) AS zipf_intercept,
+       round(regr_r2(ln(cnt), ln(rank)), 4)        AS r2
+FROM rk
+""",
+)
+def q107_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the term-frequency distribution: OLS slope of
+    log(freq) ~ log(rank) for the top-25 ranks (linear-regression aggregates
+    regr_slope / regr_intercept / regr_r2).
+
+    Corpus-health check: natural text fits slope ~ -1; a flat or broken curve
+    signals boilerplate or synthetic contamination. The vocab groupBy uses
+    map-side partials; top-k is TakeOrdered; the rank window runs over the
+    25-row result only (never a single-partition pass over the vocab)."""
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = tf.orderBy(F.desc("cnt"), "tok").limit(25)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), "tok"))
+    )
+    lc, lr = F.log(F.col("cnt")), F.log(F.col("rank"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 4).alias("r2"),
+    )
+
+
+@query(
+    "q108_mixture_weights",
+    oracle="""
+WITH src AS (
+    SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+    FROM documents GROUP BY source
+),
+w AS (SELECT source, tokens, sqrt(CAST(tokens AS DOUBLE)) AS wt FROM src)
+SELECT source, tokens,
+       floor(wt / sum(wt) OVER () * 10000 + 0.5e0) / 10000.0            AS weight,
+       CAST(floor(wt / sum(wt) OVER () * 1000000 + 0.5e0) AS BIGINT)    AS tokens_per_million
+FROM w
+""",
+)
+def q108_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights (alpha = 0.5): per-source
+    sampling weight w_i = sqrt(c_i) / sum_j sqrt(c_j) over token counts, plus
+    the per-million-token budget each source receives.
+
+    alpha = 0.5 is the standard up-sampling temperature for low-resource
+    sources; sqrt (unlike pow(x, 0.7)) is IEEE-correctly-rounded in both
+    engines, so the oracle matches bit-for-bit before rounding. One
+    O(sources) aggregate; the normalizing window sum covers only the handful
+    of source rows."""
+    d = t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("tokens")
+    )
+    wt = F.sqrt(F.col("tokens").cast("double"))
+    total = F.sum(wt).over(Window.partitionBy())
+    share = wt / total
+    return src.select(
+        "source",
+        "tokens",
+        (F.floor(share * 10000 + 0.5e0) / 10000.0).alias("weight"),
+        F.floor(share * 1000000 + 0.5e0).cast("bigint").alias("tokens_per_million"),
+    )

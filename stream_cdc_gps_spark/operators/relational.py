@@ -1278,3 +1278,38 @@ def q89_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders bigint, total_price double",
         )
     )
+
+
+@query(
+    "q109_lateral_topk",
+    oracle="""
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n, LATERAL (
+    SELECT c_name, c_acctbal FROM customer
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name LIMIT 3
+) c
+""",
+)
+def q109_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL surface): top-3 customers by balance
+    per nation, expressed as JOIN LATERAL with a correlated ORDER BY/LIMIT.
+
+    Exercises Spark's lateral-join decorrelation: Catalyst rewrites the
+    per-row LIMIT into a window/rank over a single equi-join — the same plan
+    the DataFrame top-k-per-group (q30) builds by hand, so the SQL surface
+    costs nothing extra at scale. Views are registered per-query from the
+    given sf_dir (names prefixed to avoid cross-query collisions)."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("q109_nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("q109_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM q109_nation n
+        JOIN LATERAL (
+            SELECT c_name, c_acctbal FROM q109_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 3
+        ) c
+        """
+    )

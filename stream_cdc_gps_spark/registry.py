@@ -68,6 +68,11 @@ _PRIORITY: list[str] = [
     "q81_media_features",
     "q78_tfidf",
     # (b) changed or new in round 3
+    "q105_decontamination",
+    "q106_shared_passages",
+    "q107_zipf_fit",
+    "q108_mixture_weights",
+    "q109_lateral_topk",
     "q55_simhash",
     "q58_simhash_pairs",
     "q56_embedding_near_dup",
@@ -156,6 +161,7 @@ def _ensure_loaded() -> None:
     # Imports deferred to avoid circular imports at package import time.
     from stream_cdc_gps_spark.operators import (  # noqa: F401
         asof,
+        corpus,
         dedup,
         gps,
         multimodal,

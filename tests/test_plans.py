@@ -115,3 +115,22 @@ def test_multimodal_blob_pipeline_never_shuffles(spark):
     for name in ("q81_media_features", "q82_media_frames", "q102_media_resize"):
         plan = plan_string(qs[name].fn(spark, SF_SMOKE))
         assert "Exchange" not in plan, f"{name} shuffles the blob pipeline:\n{plan}"
+
+
+def test_q105_corpus_never_shuffles_on_decontam(spark):
+    df = Q["q105_decontamination"](spark, SF_SMOKE)
+    # bench shingle set, contaminated set, and the flag join are ALL
+    # broadcast — the full corpus scan feeds only map-side semi/left joins
+    assert broadcast_join_count(df) >= 3
+    p = plan_string(df)
+    assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
+
+
+def test_q109_lateral_decorrelates_to_window_topk(spark):
+    df = Q["q109_lateral_topk"](spark, SF_SMOKE)
+    p = plan_string(df)
+    # the per-row LIMIT must become a rank-based group limit over ONE
+    # equi-join, not a nested-loop re-execution of the subquery
+    assert "WindowGroupLimit" in p or "Window" in p
+    assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
+    assert broadcast_join_count(df) >= 1  # nation side broadcast
