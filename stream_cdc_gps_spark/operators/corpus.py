@@ -251,3 +251,106 @@ def q108_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(share * 10000 + 0.5e0) / 10000.0).alias("weight"),
         F.floor(share * 1000000 + 0.5e0).cast("bigint").alias("tokens_per_million"),
     )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def _cms_bucket(tok: F.Column, i: int) -> F.Column:
+    """Row-i CMS bucket: independent hash via a per-row salt on md5."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), tok)), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % _CMS_WIDTH
+    )
+
+
+@query(
+    "q113_heavy_hitters_cms",
+    oracle=f"""
+WITH tok AS (
+    SELECT u.tok AS tok
+    FROM (SELECT string_split(text, ' ') AS toks FROM documents), UNNEST(toks) AS u(tok)
+),
+rb AS (
+    SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+               % {_CMS_WIDTH} AS bucket
+    FROM tok, UNNEST([0, 1, 2, 3]) AS u(i)
+),
+counters AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt FROM rb GROUP BY i, bucket),
+exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY tok
+          ORDER BY exact_n DESC, tok LIMIT 10),
+cand AS (
+    SELECT tok, exact_n, i,
+           ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+               % {_CMS_WIDTH} AS bucket
+    FROM exact, UNNEST([0, 1, 2, 3]) AS u(i)
+)
+SELECT c.tok AS token, c.exact_n,
+       min(ct.cnt)               AS cms_n,
+       min(ct.cnt) - c.exact_n   AS overestimate,
+       min(ct.cnt) >= c.exact_n  AS admissible
+FROM cand c JOIN counters ct ON c.i = ct.i AND c.bucket = ct.bucket
+GROUP BY c.tok, c.exact_n
+""",
+)
+def q113_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: a {_CMS_DEPTH}x{_CMS_WIDTH} counter
+    sketch built in one aggregation, then the exact top-10 tokens' counts
+    estimated from it (min over rows) with the admissibility bound
+    (estimate >= truth always) checked in-query.
+
+    THE sketch story at 100 TB: the counter aggregation's shuffle is
+    O(depth x width) = 1024 rows after map-side partials — independent of
+    corpus size — where an exact count shuffles O(vocab). The exact side here
+    exists only to ground-truth the estimate; the candidate and counter sets
+    are both tiny and broadcast."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    rows = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cms_bucket(F.col("tok"), i).alias("bucket")
+                    )
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.i", "rb.bucket")
+    counters = rows.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(10)
+    )
+    cand = exact.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cms_bucket(F.col("tok"), i).alias("bucket")
+                    )
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("tok", "exact_n", "rb.i", "rb.bucket")
+    est = F.min("cnt")
+    return (
+        cand.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy(F.col("tok").alias("token"), "exact_n")
+        .agg(
+            est.alias("cms_n"),
+            (est - F.col("exact_n")).alias("overestimate"),
+            (est >= F.col("exact_n")).alias("admissible"),
+        )
+    )

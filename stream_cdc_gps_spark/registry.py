@@ -68,6 +68,10 @@ _PRIORITY: list[str] = [
     "q81_media_features",
     "q78_tfidf",
     # (b) changed or new in round 3
+    "q110_exact_percentiles",
+    "q111_event_funnel",
+    "q112_retention_cohorts",
+    "q113_heavy_hitters_cms",
     "q105_decontamination",
     "q106_shared_passages",
     "q107_zipf_fit",
@@ -160,6 +164,7 @@ def _ensure_loaded() -> None:
         return
     # Imports deferred to avoid circular imports at package import time.
     from stream_cdc_gps_spark.operators import (  # noqa: F401
+        analytics,
         asof,
         corpus,
         dedup,

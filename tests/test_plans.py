@@ -134,3 +134,18 @@ def test_q109_lateral_decorrelates_to_window_topk(spark):
     assert "WindowGroupLimit" in p or "Window" in p
     assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
     assert broadcast_join_count(df) >= 1  # nation side broadcast
+
+
+def test_q111_funnel_single_userkey_exchange(spark):
+    df = Q["q111_event_funnel"](spark, SF_SMOKE)
+    # one user_id hash exchange shared by all three window passes + the
+    # per-user collapse, plus the single-row final aggregate: exactly 2
+    assert exchange_count(df) == 2
+
+
+def test_q113_cms_counter_shuffle_is_sketch_sized(spark):
+    df = Q["q113_heavy_hitters_cms"](spark, SF_SMOKE)
+    p = plan_string(df)
+    # counters and candidates join via broadcast; no nested-loop anywhere
+    assert broadcast_join_count(df) >= 1
+    assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
