@@ -171,3 +171,239 @@ def q112_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", off.cast("bigint").alias("day_offset"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
+
+
+@query(
+    "q114_scd2_history",
+    oracle="""
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       value,
+       ts                                  AS valid_from,
+       lead(ts) OVER w                     AS valid_to,
+       lead(ts) OVER w IS NULL             AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q114_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: each keyed change
+    becomes a versioned validity interval [valid_from, valid_to), open-ended
+    for the current row — the standard way a CDC changelog (the reference's
+    domain, cmd/main.go:187-240) materializes into a queryable dimension.
+
+    Scale: one window pass partitioned by the business key — a single
+    user-keyed shuffle; version, valid_to, and is_current all ride the same
+    sort. Ties broken by event_id for determinism."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q115_snapshot_diff",
+    oracle="""
+WITH old AS (
+    SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey % 10 < 9
+),
+new AS (
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1e0
+                ELSE o_totalprice END AS v
+    FROM orders WHERE o_orderkey % 10 > 0
+)
+SELECT CASE WHEN o.k IS NULL THEN 'inserted'
+            WHEN n.k IS NULL THEN 'deleted'
+            WHEN o.v <> n.v  THEN 'updated'
+            ELSE 'unchanged' END            AS category,
+       CAST(count(*) AS BIGINT)             AS n_keys,
+       round(sum(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                      THEN n.v - o.v ELSE 0.0e0 END), 2) AS value_drift
+FROM old o FULL OUTER JOIN new n ON o.k = n.k
+GROUP BY category
+""",
+)
+def q115_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / audit: classify every key across two table versions as
+    inserted / deleted / updated / unchanged, with the net value drift — the
+    reconciliation check run after any CDC backfill or migration (the two
+    versions here are deterministic transforms of orders so the oracle sees
+    identical inputs).
+
+    Scale: a full-outer self-join on the key — both sides hash-partition the
+    same way, one shuffle each — then a 4-row aggregate."""
+    o = t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 < 9).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v_old")
+    )
+    new = o.filter(F.col("o_orderkey") % 10 > 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1e0
+        ).otherwise(F.col("o_totalprice")).alias("v_new"),
+    )
+    j = old.join(new, "k", "full_outer")
+    category = (
+        F.when(F.col("v_old").isNull(), "inserted")
+        .when(F.col("v_new").isNull(), "deleted")
+        .when(F.col("v_old") != F.col("v_new"), "updated")
+        .otherwise("unchanged")
+    )
+    drift = F.when(
+        F.col("v_old").isNotNull() & F.col("v_new").isNotNull(),
+        F.col("v_new") - F.col("v_old"),
+    ).otherwise(F.lit(0.0))
+    return j.groupBy(category.alias("category")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.round(F.sum(drift), 2).alias("value_drift"),
+    )
+
+
+@query(
+    "q116_dq_checks",
+    oracle="""
+SELECT 'orders_custkey_fk' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_violations, count(*) = 0 AS passed
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_quantity_range',
+       CAST(count(*) AS BIGINT), count(*) = 0
+FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+UNION ALL
+SELECT 'customer_pk_unique',
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+       count(*) = count(DISTINCT c_custkey)
+FROM customer
+UNION ALL
+SELECT 'documents_nonempty',
+       CAST(count(*) AS BIGINT), count(*) = 0
+FROM documents WHERE text IS NULL OR len(text) = 0
+""",
+)
+def q116_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint battery (dbt-test style): referential
+    integrity, accepted range, primary-key uniqueness, and non-emptiness,
+    each reported as (check, violation count, pass flag) in ONE result.
+
+    Scale: each check is an independent scan+aggregate (the FK check an
+    anti-join with the broadcastable dimension); Spark runs the union's
+    branches as parallel stages, and a violation count never exceeds the
+    driver by more than one row per check."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    lineitem = t(spark, sf_dir, "lineitem")
+    docs = t(spark, sf_dir, "documents")
+
+    def row(name: str, viol: DataFrame) -> DataFrame:
+        return viol.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+            (F.count(F.lit(1)) == 0).alias("passed"),
+        )
+
+    fk = orders.join(
+        F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_anti",
+    )
+    rng = lineitem.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+    uniq = customer.agg(
+        F.lit("customer_pk_unique").alias("check_name"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+        (F.count(F.lit(1)) == F.countDistinct("c_custkey")).alias("passed"),
+    )
+    empty = docs.filter(F.col("text").isNull() | (F.length("text") == 0))
+    return (
+        row("orders_custkey_fk", fk)
+        .unionAll(row("lineitem_quantity_range", rng))
+        .unionAll(uniq)
+        .unionAll(row("documents_nonempty", empty))
+    )
+
+
+@query(
+    "q117_price_histogram",
+    oracle="""
+WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+SELECT CAST(least(floor((o_totalprice - mn) * 20.0e0 / (mx - mn)), 19.0e0) AS BIGINT)
+           AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders, s
+GROUP BY bin_id
+""",
+)
+def q117_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins over the global [min, max]): the
+    profiling primitive behind query planners' column stats and data-viz
+    binning. Both engines evaluate the identical double expression
+    (x - mn) * 20 / (mx - mn), so bin edges agree bit-for-bit.
+
+    Scale: the 1-row global extent broadcast-joins onto the scan (no
+    driver collect); binning is map-side; one 20-group aggregate."""
+    o = t(spark, sf_dir, "orders")
+    s = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    binned = o.crossJoin(F.broadcast(s)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn")) * 20.0 / (F.col("mx") - F.col("mn"))
+            ),
+            F.lit(19).cast("bigint"),
+        ).alias("bin_id"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@query(
+    "q118_rolling_dau",
+    oracle="""
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+ex AS (SELECT user_id, day + CAST(o AS INTEGER) AS day
+       FROM act, UNNEST(range(0, 7)) AS u(o))
+SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau_7d
+FROM ex
+WHERE day <= (SELECT max(CAST(ts AS DATE)) FROM events)
+GROUP BY day
+""",
+)
+def q118_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. COUNT(DISTINCT) OVER a
+    sliding range frame isn't supported by either engine's window path, so
+    this uses the scalable rewrite: each (user, day) activity row is
+    replicated to the 7 window endpoints it contributes to, then one
+    distinct-count per target day.
+
+    Scale: replication factor equals the window width (constant 7), the
+    distinct aggregation keys on (day, user) — uniform — and the ghost tail
+    past the last observed day is trimmed by a broadcast 1-row bound."""
+    e = t(spark, sf_dir, "events")
+    act = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    ex = act.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("o")).alias("day"))
+    bound = e.agg(F.max(F.to_date("ts")).alias("max_day"))
+    return (
+        ex.crossJoin(F.broadcast(bound))
+        .filter(F.col("day") <= F.col("max_day"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("dau_7d"))
+    )

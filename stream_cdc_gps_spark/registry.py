@@ -68,6 +68,11 @@ _PRIORITY: list[str] = [
     "q81_media_features",
     "q78_tfidf",
     # (b) changed or new in round 3
+    "q114_scd2_history",
+    "q115_snapshot_diff",
+    "q116_dq_checks",
+    "q117_price_histogram",
+    "q118_rolling_dau",
     "q110_exact_percentiles",
     "q111_event_funnel",
     "q112_retention_cohorts",

@@ -48,6 +48,8 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q78_tfidf",             # broadcast 1-row corpus-size aggregate
         "q69_token_pmi",         # broadcast 1-row corpus-size aggregate
         "q100_geofence_join",    # broadcast O(#fences) dim + containment pred
+        "q117_price_histogram",  # broadcast 1-row global min/max extent
+        "q118_rolling_dau",      # broadcast 1-row max-day bound
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
