@@ -407,3 +407,180 @@ def q118_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("dau_7d"))
     )
+
+
+def _ewma_terms() -> tuple[str, str]:
+    """Build the (numerator, denominator) SQL for an 8-tap alpha=0.5 EWMA.
+
+    Written once and shared VERBATIM by the oracle and (via expr) the Spark
+    side: powers of 0.5 are exact binary fractions and the additions fold
+    left-to-right identically in both engines, so the quotient matches
+    bit-for-bit before rounding."""
+    num = " + ".join(
+        f"coalesce({0.5**k!r} * lag(value, {k}) OVER w, 0.0)" for k in range(8)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL THEN {0.5**k!r} ELSE 0.0 END"
+        for k in range(8)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms()
+
+
+@query(
+    "q119_ewma_smoothing",
+    oracle=f"""
+SELECT user_id, event_id, value,
+       round(({_EWMA_NUM}) / ({_EWMA_DEN}), 4) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q119_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.5, 8-tap truncation)
+    per user over the event-time sequence — the standard sensor/metric
+    smoother. The recursive EWMA is not window-expressible, so this uses the
+    8-tap truncated form (weights below 0.5^8 contribute < 0.4%); missing
+    leading taps renormalize the denominator.
+
+    alpha = 0.5 is chosen deliberately: its powers are exact binary
+    fractions, so Spark and the oracle agree bit-for-bit (a 0.3 would
+    accumulate representation error differently per engine). One user-keyed
+    window pass; the 8 lags share a single sort."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = sum(
+        (F.coalesce(F.lit(0.5**k) * F.lag("value", k).over(w), F.lit(0.0)) for k in range(8)),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("value", k).over(w).isNotNull(), F.lit(0.5**k)).otherwise(
+                F.lit(0.0)
+            )
+            for k in range(8)
+        ),
+        start=F.lit(0.0),
+    )
+    return e.select(
+        "user_id", "event_id", "value", F.round(num / den, 4).alias("ewma")
+    )
+
+
+@query(
+    "q120_ohlc_bars",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, value,
+           first_value(value) OVER w AS open,
+           last_value(value)  OVER w AS close
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       max(open)                 AS open,
+       max(value)                AS high,
+       min(value)                AS low,
+       max(close)                AS close,
+       CAST(count(*) AS BIGINT)  AS n_ticks
+FROM marked
+GROUP BY user_id, day
+""",
+)
+def q120_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: per (entity, day) bar with open (first by event
+    time), high, low, close (last by event time) and tick count — the
+    canonical time-series downsample. first/last ride a full-frame window
+    ordered by (ts, event_id) for deterministic ties.
+
+    Scale: the window and the bar aggregation share the (user, day) hash
+    partitioning — one shuffle; bars are bounded by entities x days, not by
+    tick volume."""
+    e = t(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    w = (
+        Window.partitionBy("user_id", F.to_date("ts"))
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    marked = e.select(
+        "user_id",
+        day,
+        "value",
+        F.first("value").over(w).alias("open"),
+        F.last("value").over(w).alias("close"),
+    )
+    return marked.groupBy("user_id", "day").agg(
+        F.max("open").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max("close").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+    )
+
+
+@query(
+    "q121_locf_gapfill",
+    oracle="""
+WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM b),
+users AS (SELECT DISTINCT user_id FROM events),
+daily AS (
+    SELECT user_id, day, v FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, value AS v,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+),
+grid AS (SELECT u.user_id, s.day FROM users u, spine s)
+SELECT g.user_id, g.day,
+       last_value(d.v IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.day) AS value_filled,
+       d.v IS NULL AS is_gap
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+""",
+)
+def q121_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap-fill: a dense (entity x day) grid where missing days carry
+    the last observed value forward (null until the first observation) —
+    the resampling step before any equal-spaced time-series model.
+
+    Scale: the day spine is a broadcast 1-row sequence (bounded by calendar
+    span); the entity dimension comes from the data; the daily-last
+    collapse, the grid join, and the LOCF window all partition by entity —
+    one keyed shuffle chain, no entity x day blowup beyond the grid that is
+    the OUTPUT."""
+    e = t(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    users = e.select("user_id").distinct()
+    wday = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.col("value").alias("v"),
+            F.row_number().over(wday).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "v")
+    )
+    grid = users.crossJoin(F.broadcast(spine))
+    locf = Window.partitionBy("user_id").orderBy("day")
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("v", ignorenulls=True).over(locf).alias("value_filled"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )

@@ -68,6 +68,9 @@ _PRIORITY: list[str] = [
     "q81_media_features",
     "q78_tfidf",
     # (b) changed or new in round 3
+    "q119_ewma_smoothing",
+    "q120_ohlc_bars",
+    "q121_locf_gapfill",
     "q114_scd2_history",
     "q115_snapshot_diff",
     "q116_dq_checks",
