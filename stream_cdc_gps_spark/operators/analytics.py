@@ -584,3 +584,320 @@ def q121_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNull().alias("is_gap"),
         )
     )
+
+
+@query(
+    "q122_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+),
+pairs AS (
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       floor(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) * 10000
+             + 0.5e0) / 10000.0 AS p
+FROM pairs
+""",
+)
+def q122_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | previous), the sequence-statistics backbone for
+    next-event models and for spotting degenerate bot loops in training
+    logs.
+
+    Scale: one user-keyed window pass for the lag, one (prev, next) groupBy
+    (bounded by #types squared), and a row-normalizing window over that tiny
+    matrix."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    share = F.col("n") / F.sum("n").over(Window.partitionBy("prev_type")).cast(
+        "double"
+    )
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.floor(share * 10000 + 0.5e0) / 10000.0).alias("p"),
+    )
+
+
+@query(
+    "q123_value_outliers",
+    oracle="""
+WITH z AS (
+    SELECT event_type, value,
+           avg(value)         OVER (PARTITION BY event_type) AS m,
+           stddev_samp(value) OVER (PARTITION BY event_type) AS s
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                                   AS n,
+       CAST(sum(CASE WHEN abs((value - m) / s) > 3.0e0
+                     THEN 1 ELSE 0 END) AS BIGINT)                AS n_outliers,
+       round(max(abs((value - m) / s)), 3)                        AS max_abs_z
+FROM z
+GROUP BY event_type
+""",
+)
+def q123_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier screen: per-group mean/stddev via an unordered
+    analytic window, each value standardized in place, outliers (|z| > 3)
+    counted per group — the numeric-quality filter run over metric columns
+    before training.
+
+    Scale: ONE shuffle on the group key serves both the window stats and
+    the final aggregate; no self-join of the table against its own
+    statistics."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = e.select(
+        "event_type",
+        "value",
+        ((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)).alias(
+            "zscore"
+        ),
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.abs("zscore") > 3.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.round(F.max(F.abs("zscore")), 3).alias("max_abs_z"),
+    )
+
+
+@query(
+    "q124_ab_ttest",
+    oracle="""
+WITH assigned AS (
+    SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 0
+                THEN 'a' ELSE 'b' END AS arm,
+           value
+    FROM events WHERE event_type = 'purchase'
+),
+s AS (
+    SELECT count(CASE WHEN arm = 'a' THEN 1 END)            AS n_a,
+           count(CASE WHEN arm = 'b' THEN 1 END)            AS n_b,
+           avg(CASE WHEN arm = 'a' THEN value END)          AS m_a,
+           avg(CASE WHEN arm = 'b' THEN value END)          AS m_b,
+           var_samp(CASE WHEN arm = 'a' THEN value END)     AS v_a,
+           var_samp(CASE WHEN arm = 'b' THEN value END)     AS v_b
+    FROM assigned
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 3) AS t_stat,
+       abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) > 1.96e0 AS significant
+FROM s
+""",
+)
+def q124_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-statistic between hash-assigned experiment arms
+    (deterministic md5 split, like q87) over purchase values — the
+    experimentation readout an analytics engine computes from nothing but
+    conditional aggregates.
+
+    Scale: a single aggregation pass (conditional count/avg/var per arm);
+    no shuffle beyond the one-row final combine. Determinism: arm
+    assignment is hash-based, the t-stat is derived purely from aggregate
+    doubles and rounded."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast(
+            "bigint"
+        )
+        % 2
+        == 0
+    )
+    v = F.col("value")
+    va, vb = F.when(arm_a, v), F.when(~arm_a, v)
+    s = e.agg(
+        F.count(va).alias("n_a"),
+        F.count(vb).alias("n_b"),
+        F.avg(va).alias("m_a"),
+        F.avg(vb).alias("m_b"),
+        F.var_samp(va).alias("v_a"),
+        F.var_samp(vb).alias("v_b"),
+    )
+    tstat = (F.col("m_a") - F.col("m_b")) / F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    return s.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(tstat, 3).alias("t_stat"),
+        (F.abs(tstat) > 1.96).alias("significant"),
+    )
+
+
+@query(
+    "q125_skew_diagnostics",
+    oracle="""
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rn FROM c),
+s AS (SELECT count(*) AS n, sum(cnt) AS total, max(cnt) AS mx,
+             sum(rn * cnt) AS wsum,
+             avg(CAST(cnt AS DOUBLE)) AS m, stddev_samp(CAST(cnt AS DOUBLE)) AS sd
+      FROM r)
+SELECT CAST(n AS BIGINT)             AS n_keys,
+       CAST(total AS BIGINT)         AS total_rows,
+       CAST(mx AS BIGINT)            AS max_key_rows,
+       floor(mx / CAST(total AS DOUBLE) * 100000 + 0.5e0) / 100000.0 AS top1_share,
+       floor(sd / m * 10000 + 0.5e0) / 10000.0                       AS cv,
+       floor((2.0e0 * wsum / (n * CAST(total AS DOUBLE)) - (n + 1.0e0) / n)
+             * 10000 + 0.5e0) / 10000.0                              AS gini
+FROM s
+""",
+)
+def q125_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for shuffle planning: per-key row counts reduced
+    to max share, coefficient of variation, and the Gini coefficient of the
+    key distribution — the numbers that decide whether a join needs salting
+    (operators/skew.py) before it runs.
+
+    Scale: the count aggregation is the only data-sized shuffle; the Gini
+    rank window sorts the KEY-COUNT table (O(keys), not O(rows)). The rank
+    weighted sum stays in exact integer arithmetic until the final
+    ratios."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    r = c.select(
+        "cnt", F.row_number().over(Window.orderBy("cnt", "user_id")).alias("rn")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("mx"),
+        F.sum(F.col("rn") * F.col("cnt")).alias("wsum"),
+        F.avg(F.col("cnt").cast("double")).alias("m"),
+        F.stddev_samp(F.col("cnt").cast("double")).alias("sd"),
+    )
+    total_d = F.col("total").cast("double")
+    n = F.col("n")
+    gini = 2.0 * F.col("wsum") / (n * total_d) - (n + 1.0) / n
+    return s.select(
+        n.cast("bigint").alias("n_keys"),
+        F.col("total").cast("bigint").alias("total_rows"),
+        F.col("mx").cast("bigint").alias("max_key_rows"),
+        (F.floor(F.col("mx") / total_d * 100000 + 0.5e0) / 100000.0).alias("top1_share"),
+        (F.floor(F.col("sd") / F.col("m") * 10000 + 0.5e0) / 10000.0).alias("cv"),
+        (F.floor(gini * 10000 + 0.5e0) / 10000.0).alias("gini"),
+    )
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (pr0..prK): the
+    deterministic mirror of the Spark loop, constants written identically
+    so both engines run the same double arithmetic."""
+    ctes = [
+        """
+edges AS (
+    SELECT o_custkey AS s, 1000000 + l_suppkey AS t
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    UNION
+    SELECT 1000000 + l_suppkey, o_custkey
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deg AS (SELECT s, count(*) AS outdeg FROM edges GROUP BY s),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (SELECT node, 1.0e0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""
+pr{k} AS (
+    SELECT no.node,
+           0.15e0 / (SELECT n FROM nn)
+               + 0.85e0 * coalesce(c.c, 0.0e0) AS rank
+    FROM nodes no LEFT JOIN (
+        SELECT e.t AS node, sum(p.rank / d.outdeg) AS c
+        FROM edges e JOIN pr{k - 1} p ON e.s = p.node
+                     JOIN deg d ON d.s = e.s
+        GROUP BY e.t) c ON c.node = no.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT node, round(rank * (SELECT n FROM nn), 4) AS rank_x_n
+FROM pr{iters}
+"""
+    )
+
+
+_PAGERANK_ITERS = 5
+
+
+@query("q126_pagerank", oracle=_pagerank_oracle(_PAGERANK_ITERS))
+def q126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {5} fixed iterations) over the bipartite
+    customer-supplier graph derived from orders x lineitem — the second
+    iterative-algorithm family next to q57's label propagation, exercising
+    repeated join + aggregate rounds with lineage truncation.
+
+    Scale: each iteration is one edges-to-ranks equi-join + one
+    contribution aggregate, both keyed on node ids (co-partitioned across
+    iterations); `localCheckpoint` truncates the per-round lineage exactly
+    like q57. Ranks are reported as rank x N (relative to uniform) so the
+    comparison magnitude is O(1). The oracle unrolls the same five rounds
+    as chained CTEs — a full value-hash check for an iterative op."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("c"), (F.lit(1000000) + F.col("l_suppkey")).alias("s")
+    )
+    edges = (
+        cs.select(F.col("c").alias("s"), F.col("s").alias("t"))
+        .union(cs.select(F.col("s").alias("s"), F.col("c").alias("t")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("s").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0e0) / F.col("n")).alias("rank")
+    )
+    for _ in range(_PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges["s"] == ranks["node"])
+            .join(deg, "s")
+            .select("t", (F.col("rank") / F.col("outdeg")).alias("share"))
+            .groupBy("t")
+            .agg(F.sum("share").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["t"], "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(0.15e0) / F.col("n")
+                    + F.lit(0.85e0) * F.coalesce("c", F.lit(0.0e0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.crossJoin(F.broadcast(nn)).select(
+        "node", F.round(F.col("rank") * F.col("n"), 4).alias("rank_x_n")
+    )

@@ -68,6 +68,11 @@ _PRIORITY: list[str] = [
     "q81_media_features",
     "q78_tfidf",
     # (b) changed or new in round 3
+    "q126_pagerank",
+    "q122_transition_matrix",
+    "q123_value_outliers",
+    "q124_ab_ttest",
+    "q125_skew_diagnostics",
     "q119_ewma_smoothing",
     "q120_ohlc_bars",
     "q121_locf_gapfill",
