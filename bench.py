@@ -60,6 +60,12 @@ HEADLINE = [
     "q82_media_frames",
     "q86_cdc_snapshot_upsert",
     "q97_sliding_window_rate",
+    # round-3 families: decontamination, funnel, sketch, gap-fill, iterative
+    "q105_decontamination",
+    "q111_event_funnel",
+    "q113_heavy_hitters_cms",
+    "q121_locf_gapfill",
+    "q126_pagerank",
 ]
 
 

@@ -873,6 +873,10 @@ def q126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    # out-degree rides the edge list from the start: joined ONCE and
+    # materialized, so each iteration is a single ranks join + one
+    # contribution aggregate instead of two joins per round
+    edges_w = edges.join(deg, "s").localCheckpoint()
     nodes = edges.select(F.col("s").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
@@ -880,8 +884,7 @@ def q126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_PAGERANK_ITERS):
         contrib = (
-            edges.join(ranks, edges["s"] == ranks["node"])
-            .join(deg, "s")
+            edges_w.join(ranks, edges_w["s"] == ranks["node"])
             .select("t", (F.col("rank") / F.col("outdeg")).alias("share"))
             .groupBy("t")
             .agg(F.sum("share").alias("c"))
