@@ -1313,3 +1313,36 @@ def q109_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+@query(
+    "q127_variant_extract",
+    oracle="""
+SELECT CAST(props->>'$.k' AS INTEGER) % 10                  AS k_mod,
+       CAST(count(*) AS BIGINT)                             AS n,
+       round(avg(value), 4)                                 AS avg_value,
+       min(CAST(props->>'$.k' AS INTEGER))                  AS min_k,
+       max(CAST(props->>'$.k' AS INTEGER))                  AS max_k
+FROM events
+GROUP BY k_mod
+""",
+)
+def q127_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured path (Spark 4): `parse_json` into the binary
+    VARIANT encoding, typed extraction via `try_variant_get` — the
+    shredded-JSON fast path that replaces per-query string re-parsing
+    (q24 does the classic get_json_object form of the same field).
+
+    Scale: parse + extract are map-side codegen'd expressions; one bounded
+    aggregate. Against a VARIANT-shredded table the path access would skip
+    parsing entirely; here the parse cost is per-row but single-pass."""
+    e = t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return e.select(k.alias("k"), "value").groupBy(
+        (F.col("k") % 10).alias("k_mod")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

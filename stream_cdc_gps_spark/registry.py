@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "q81_media_features",
     "q78_tfidf",
     # (b) changed or new in round 3
+    "q127_variant_extract",
     "q126_pagerank",
     "q122_transition_matrix",
     "q123_value_outliers",

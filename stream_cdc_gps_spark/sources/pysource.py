@@ -1,0 +1,103 @@
+"""Python DataSource (Spark 4 API): a native-Python GPS JSON-lines reader.
+
+The reference ingests GPS fixes as JSON over HTTP and rejects malformed
+payloads with a 400 (cmd/main.go:87-139). This data source brings that
+parse-and-route behavior INTO the scan: `spark.read.format("gpsjsonl")`
+yields one flattened row per line with malformed lines routed to a
+`corrupt` column (never dropped, never crashing the scan) — the same
+routing convention as the engine's JSON/CSV readers (operators/scans.py).
+
+Plumbing is the real Spark 4 `pyspark.sql.datasource` contract:
+
+- `partitions()` returns one InputPartition per input file, so a directory
+  of N files scans with N-way parallelism (executors each open only their
+  file — no driver-side reading);
+- `read(partition)` is a generator of tuples, streamed to Arrow batches by
+  the runtime.
+
+This is the extension surface a user would use for formats Spark lacks
+(proprietary logs, instrument dumps); the GPS shape doubles as the test
+fixture. Python-side parsing is the slow path by design — the built-in
+JSON reader stays the hot path (q84) — the point is the API surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA = (
+    "device_id string, ts string, lat double, lon double, "
+    "speed double, heading double, corrupt string"
+)
+
+
+def parse_gps_line(line: str) -> tuple:
+    """One fix line -> flattened tuple; malformed -> all-null + corrupt."""
+    try:
+        obj = json.loads(line)
+        loc = obj["location"]
+        coords = loc["coords"]
+        return (
+            obj["device_id"],
+            loc["timestamp"],
+            float(coords["latitude"]),
+            float(coords["longitude"]),
+            float(coords.get("speed") or 0.0),
+            float(coords.get("heading") or 0.0),
+            None,
+        )
+    except (ValueError, KeyError, TypeError):
+        return (None, None, None, None, None, None, line)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class GpsJsonlReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("gpsjsonl: 'path' option is required")
+        self._path = path
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # one partition per file: executor-side reads, file-level parallelism
+        if os.path.isdir(self._path):
+            files = sorted(
+                os.path.join(self._path, f)
+                for f in os.listdir(self._path)
+                if not f.startswith(("_", "."))
+            )
+        else:
+            files = [self._path]
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if line:
+                    yield parse_gps_line(line)
+
+
+class GpsJsonlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "gpsjsonl"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> GpsJsonlReader:
+        return GpsJsonlReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration: spark.read.format('gpsjsonl') afterwards."""
+    spark.dataSource.register(GpsJsonlDataSource)

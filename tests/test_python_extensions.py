@@ -1,0 +1,93 @@
+"""Spark 4 Python extension surfaces: DataSource API + UDTF.
+
+These are TEST-checked rows (no batch-SQL oracle form): the DataSource's
+file-per-partition parallelism and corrupt routing, and the UDTF's
+equivalence with the codegen'd shingle path.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from stream_cdc_gps_spark.functions.text import tokens, word_shingles
+from stream_cdc_gps_spark.functions.udtfs import register as register_udtfs
+from stream_cdc_gps_spark.sources.pysource import parse_gps_line, register
+from tests.conftest import SF_SMOKE
+from tests.test_streaming import gps_fix
+
+
+def _write_files(tmp_path, n_files: int = 3) -> str:
+    d = tmp_path / "gpslog"
+    d.mkdir()
+    for i in range(n_files):
+        lines = [
+            gps_fix(f"2026-02-06T10:0{i}:30.000Z", f"dev-{i:03d}", 35.0 + i, 51.0 + i),
+            gps_fix(f"2026-02-06T10:0{i}:31.000Z", f"dev-{i:03d}", 35.1 + i, 51.1 + i),
+            "{corrupt line %d" % i,
+        ]
+        (d / f"part-{i}.jsonl").write_text("\n".join(lines) + "\n")
+    return str(d)
+
+
+def test_python_datasource_file_parallelism_and_routing(spark, tmp_path):
+    path = _write_files(tmp_path, n_files=3)
+    register(spark)
+    df = spark.read.format("gpsjsonl").option("path", path).load()
+    # one partition per file — executor-side parallel scan
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == 9
+    good = [r for r in rows if r.corrupt is None]
+    bad = [r for r in rows if r.corrupt is not None]
+    assert len(good) == 6 and len(bad) == 3
+    # corrupt lines carried verbatim, never dropped
+    assert all(b.corrupt.startswith("{corrupt line") for b in bad)
+    assert all(b.device_id is None for b in bad)
+    # flattening matches the fixture values
+    dev0 = sorted((r.lat, r.lon) for r in good if r.device_id == "dev-000")
+    assert dev0 == [(35.0, 51.0), (35.1, 51.1)]
+
+
+def test_python_datasource_composes_with_engine_ops(spark, tmp_path):
+    """The source's output plugs straight into the relational layer."""
+    path = _write_files(tmp_path, n_files=2)
+    register(spark)
+    df = spark.read.format("gpsjsonl").option("path", path).load()
+    agg = (
+        df.filter(F.col("corrupt").isNull())
+        .groupBy("device_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("lat"), 4).alias("avg_lat"))
+        .orderBy("device_id")
+        .collect()
+    )
+    assert [(r.device_id, r.n) for r in agg] == [("dev-000", 2), ("dev-001", 2)]
+
+
+def test_parse_gps_line_unit():
+    good = parse_gps_line(gps_fix("2026-01-01T00:00:00Z", "d1", 1.5, 2.5))
+    assert good[0] == "d1" and good[2] == 1.5 and good[6] is None
+    bad = parse_gps_line("nope")
+    assert bad[0] is None and bad[6] == "nope"
+
+
+def test_udtf_ngrams_matches_codegen_shingles(spark):
+    """ngrams_py (row-at-a-time Python UDTF) == word_shingles (zero-UDF
+    column expression) on real corpus text — same tokens, same joining."""
+    register_udtfs(spark)
+    d = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.length("text") > 0)
+        .limit(50)
+    )
+    d.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT doc_id, s.ngram FROM udtf_docs, LATERAL ngrams_py(text, 3) s"
+    )
+    via_expr = d.select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("ngram")
+    )
+    assert via_udtf.exceptAll(via_expr).count() == 0
+    assert via_expr.exceptAll(via_udtf).count() == 0
+    assert via_udtf.count() > 0
