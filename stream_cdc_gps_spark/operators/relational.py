@@ -1346,3 +1346,106 @@ def q127_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@query(
+    "q128_recursive_cte",
+    oracle="""
+WITH RECURSIVE reach(src, dst) AS (
+    SELECT n_nationkey, n_nationkey FROM nation
+    UNION ALL
+    SELECT r.src, r.dst + 7 FROM reach r WHERE r.dst + 7 < 25
+)
+SELECT src, CAST(count(*) AS BIGINT) AS n_reachable, max(dst) AS max_dst
+FROM reach GROUP BY src
+""",
+)
+def q128_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 SQL surface): transitive closure over a
+    bounded DAG (k -> k+7 while < 25) seeded from nation keys — the
+    SQL-standard form of the iterative fixpoints the engine otherwise runs
+    as driver loops (q57 components, q126 PageRank).
+
+    Scale: each recursion level is one self-referential step bounded by the
+    DAG depth (4 here); Spark enforces a recursion-depth guard, so an
+    accidental cycle fails loudly instead of looping."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("q128_nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(src, dst) AS (
+            SELECT n_nationkey, n_nationkey FROM q128_nation
+            UNION ALL
+            SELECT r.src, r.dst + 7 FROM reach r WHERE r.dst + 7 < 25
+        )
+        SELECT src, CAST(count(*) AS BIGINT) AS n_reachable, max(dst) AS max_dst
+        FROM reach GROUP BY src
+        """
+    )
+
+
+@query(
+    "q129_collation_group",
+    oracle="""
+WITH mixed AS (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS name
+    FROM documents
+)
+SELECT min(name)                          AS min_variant,
+       CAST(count(*) AS BIGINT)           AS n,
+       CAST(count(DISTINCT name) AS BIGINT) AS n_variants
+FROM mixed
+GROUP BY lower(name)
+""",
+)
+def q129_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4): case-insensitive GROUP BY via
+    `COLLATE UTF8_LCASE` over a mixed-case column — collations make
+    case/accent semantics a TYPE property instead of `lower()` sprinkled
+    through every query. The oracle expresses the same partition with
+    `GROUP BY lower(name)`; outputs use binary min/count so the group
+    representative is deterministic.
+
+    Scale: grouping on a collated key shuffles exactly like any other key
+    (the collation key is computed map-side)."""
+    d = t(spark, sf_dir, "documents")
+    mixed = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("name")
+    )
+    return mixed.groupBy(F.expr("name COLLATE UTF8_LCASE").alias("k")).agg(
+        F.min("name").alias("min_variant"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("name").cast("bigint").alias("n_variants"),
+    ).drop("k")
+
+
+@query(
+    "q130_sql_scripting",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_above,
+       round((SELECT avg(o_totalprice) FROM orders), 4) AS cutoff
+FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+""",
+)
+def q130_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4): BEGIN/DECLARE/SET procedural block — a
+    session variable captures an aggregate once, then parameterizes the
+    follow-up statement; the block's last SELECT is the result. The oracle
+    is the equivalent scalar-subquery form.
+
+    Scale: the variable assignment is one aggregate job whose 1-row result
+    lives in the session — the same pattern as a broadcast scalar, with
+    procedural sequencing instead of a nested plan."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q130_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff DOUBLE;
+          SET cutoff = (SELECT avg(o_totalprice) FROM q130_orders);
+          SELECT CAST(count(*) AS BIGINT) AS n_above,
+                 round(cutoff, 4) AS cutoff
+          FROM q130_orders WHERE o_totalprice > cutoff;
+        END
+        """
+    )

@@ -68,6 +68,9 @@ _PRIORITY: list[str] = [
     "q81_media_features",
     "q78_tfidf",
     # (b) changed or new in round 3
+    "q128_recursive_cte",
+    "q129_collation_group",
+    "q130_sql_scripting",
     "q127_variant_extract",
     "q126_pagerank",
     "q122_transition_matrix",
