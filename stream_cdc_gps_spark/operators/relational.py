@@ -1449,3 +1449,43 @@ def q130_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "q131_hll_partition_merge",
+    oracle="""
+SELECT CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT) AS n_shards,
+       CAST(count(DISTINCT o_custkey) AS BIGINT)                        AS exact_customers,
+       TRUE                                                             AS merged_within_5pct
+FROM orders
+""",
+)
+def q131_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pattern (DataSketches HLL): build one HLL sketch PER
+    PARTITION (month shard), then union-merge the sketches and estimate the
+    global distinct — how incremental pipelines keep distinct counts
+    without re-scanning history (customers recur across months, so the
+    merge genuinely deduplicates; a sum of per-shard counts would
+    overcount).
+
+    The estimate itself is engine-specific, so the driver-checked contract
+    is the q26 form: exact counts plus an in-query 5% accuracy bound the
+    estimate must satisfy. Scale: sketches are fixed-size (KBs) regardless
+    of shard cardinality — the merge moves n_shards sketches, not data."""
+    o = t(spark, sf_dir, "orders")
+    shards = o.groupBy(F.date_trunc("month", "o_orderdate").alias("shard")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = shards.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_shards",
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("merged_within_5pct"),
+    )

@@ -27,7 +27,12 @@ import json
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = (
     "device_id string, ts string, lat double, lon double, "
@@ -86,6 +91,55 @@ class GpsJsonlReader(DataSourceReader):
                     yield parse_gps_line(line)
 
 
+class GpsJsonlStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch tail of a growing gpsjsonl directory.
+
+    Offset = sorted-file high-water mark {"files": n}: each micro-batch
+    reads the files that appeared since the last committed offset. Files
+    are assumed append-only-by-name (new files sort after old — the
+    standard part-NNNN landing convention); exactly-once restart comes from
+    Spark's checkpointed offset log replaying `readBetweenOffsets` for the
+    uncommitted tail."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("gpsjsonl: 'path' option is required")
+        self._path = path
+
+    def _files(self) -> list[str]:
+        if not os.path.isdir(self._path):
+            return [self._path]
+        return sorted(
+            os.path.join(self._path, f)
+            for f in os.listdir(self._path)
+            if not f.startswith(("_", "."))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def read(self, start: dict) -> tuple:
+        files = self._files()
+        end = {"files": len(files)}
+        rows = self._read_range(start, end)
+        return rows, end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._read_range(start, end)
+
+    def _read_range(self, start: dict, end: dict) -> Iterator[tuple]:
+        files = self._files()[start.get("files", 0) : end.get("files", 0)]
+        out = []
+        for path in files:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if line:
+                        out.append(parse_gps_line(line))
+        return out
+
+
 class GpsJsonlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -96,6 +150,9 @@ class GpsJsonlDataSource(DataSource):
 
     def reader(self, schema) -> GpsJsonlReader:
         return GpsJsonlReader(self.options)
+
+    def simpleStreamReader(self, schema) -> GpsJsonlStreamReader:
+        return GpsJsonlStreamReader(self.options)
 
 
 def register(spark) -> None:

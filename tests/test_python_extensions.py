@@ -91,3 +91,47 @@ def test_udtf_ngrams_matches_codegen_shingles(spark):
     assert via_udtf.exceptAll(via_expr).count() == 0
     assert via_expr.exceptAll(via_udtf).count() == 0
     assert via_udtf.count() > 0
+
+
+def test_python_datasource_streaming_incremental_batches(spark, tmp_path):
+    """Streaming form: files landing between micro-batches arrive
+    incrementally (offset = file high-water mark), with corrupt routing
+    preserved, under availableNow + checkpoint."""
+    src = tmp_path / "gpslog"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    register(spark)
+
+    def land(i: int) -> None:
+        (src / f"part-{i:04d}.jsonl").write_text(
+            gps_fix(f"2026-02-06T10:00:0{i}.000Z", f"dev-{i:03d}", 35.0 + i, 51.0)
+            + "\n{bad line\n"
+        )
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("gpsjsonl")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(0)
+    land(1)
+    drain()
+    first = spark.read.parquet(out)
+    assert first.count() == 4  # 2 good + 2 corrupt-routed
+    land(2)
+    drain()  # restart from checkpoint: only the new file is read
+    df = spark.read.parquet(out)
+    assert df.count() == 6
+    good = df.filter(F.col("corrupt").isNull())
+    assert sorted(r.device_id for r in good.collect()) == [
+        "dev-000", "dev-001", "dev-002",
+    ]
