@@ -904,3 +904,42 @@ def q126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.crossJoin(F.broadcast(nn)).select(
         "node", F.round(F.col("rank") * F.col("n"), 4).alias("rank_x_n")
     )
+
+
+@query(
+    "q133_equidepth_histogram",
+    oracle="""
+SELECT tile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice)        AS lo,
+       max(o_totalprice)        AS hi
+FROM (
+    SELECT o_totalprice,
+           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+    FROM orders
+)
+GROUP BY tile
+""",
+)
+def q133_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 equal-count buckets via ntile) — the
+    planner-statistics counterpart to q117's equi-width bins: bucket
+    boundaries are the observed deciles, so skewed distributions get
+    resolution where the mass is.
+
+    Scale: exact ntile totally orders the column (one global sort) —
+    correct for the stats-collection pass it models; a streaming-scale
+    variant would bucket by percentile_approx boundaries (q15's sketch)
+    instead, trading exact equal counts for a map-only plan. Ties broken
+    by o_orderkey so bucket membership is deterministic."""
+    o = t(spark, sf_dir, "orders")
+    tile = F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey"))
+    return (
+        o.select("o_totalprice", tile.alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

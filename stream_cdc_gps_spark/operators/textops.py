@@ -669,3 +669,37 @@ def q104_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 4).alias("rep_ratio"),
         (ratio > 0.2).alias("flagged"),
     )
+
+
+@query(
+    "q132_fixed_k_sample",
+    oracle="""
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= 20
+""",
+)
+def q132_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k per-stratum sample: exactly 20 docs per
+    language, chosen by hash rank — the reservoir-sample replacement that
+    is reproducible across runs, engines, and partitionings (q67 samples by
+    RATE; this guarantees COUNT, e.g. eval-set carving).
+
+    Scale: one window pass partitioned by stratum; the hash order makes the
+    choice data-independent, so re-runs and backfills pick identical docs.
+    Skewed strata cost their own partition sort only."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).cast("bigint").alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )
