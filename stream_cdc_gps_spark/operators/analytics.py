@@ -943,3 +943,100 @@ def q133_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "q134_incremental_agg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT)   AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       round(avg(o_totalprice), 4) AS avg_price,
+       min(o_totalprice)           AS min_price,
+       max(o_totalprice)           AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q134_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the HISTORY partition's
+    aggregate is kept as mergeable partials (count, sum, min, max — never
+    avg), the DELTA partition aggregates fresh, and the two partial states
+    MERGE algebraically — no rescan of history. avg is derived at the end
+    (sum/count), which is why partials must carry sum+count, not avg.
+
+    The oracle is the direct full-table aggregate: merging partials must be
+    indistinguishable from recomputation. Sum order differs from a direct
+    scan, so money sums round(2) as everywhere else.
+
+    Scale: THE pattern for daily rollups over 100 TB — each day aggregates
+    only its partition and merges O(groups) partial rows into the view."""
+    o = t(spark, sf_dir, "orders")
+    cutoff = F.to_date(F.lit("1997-01-01"))
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_totalprice").alias("sm"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    history = partials(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        history.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sm").alias("sm"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("cnt").cast("bigint").alias("n_orders"),
+        F.round("sm", 2).alias("revenue"),
+        F.round(F.col("sm") / F.col("cnt"), 4).alias("avg_price"),
+        F.col("mn").alias("min_price"),
+        F.col("mx").alias("max_price"),
+    )
+
+
+@query(
+    "q135_time_range_frame",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(count(*) OVER w AS BIGINT)  AS n_prev_hour,
+       round(sum(value) OVER w, 4)      AS value_prev_hour
+FROM (SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def q135_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sliding frame: per row, activity over the PRECEDING HOUR
+    of that entity's event time (RANGE frame over epoch seconds) — the
+    per-event trailing-window feature q97's fixed grid can't express
+    (every row gets its own window ending at itself).
+
+    Scale: one entity-keyed window pass; RANGE over a sorted run is a
+    two-pointer sweep per partition, no replication. Epoch seconds keep the
+    frame arithmetic integer on both engines (the µs-truncation loader
+    contract, TESTDATA.md)."""
+    e = t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").alias("sec")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select("user_id", "event_id", "value", sec).select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_prev_hour"),
+        F.round(F.sum("value").over(w), 4).alias("value_prev_hour"),
+    )

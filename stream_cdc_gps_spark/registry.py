@@ -68,6 +68,8 @@ _PRIORITY: list[str] = [
     "q81_media_features",
     "q78_tfidf",
     # (b) changed or new in round 3
+    "q134_incremental_agg",
+    "q135_time_range_frame",
     "q132_fixed_k_sample",
     "q133_equidepth_histogram",
     "q131_hll_partition_merge",

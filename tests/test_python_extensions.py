@@ -135,3 +135,40 @@ def test_python_datasource_streaming_incremental_batches(spark, tmp_path):
     assert sorted(r.device_id for r in good.collect()) == [
         "dev-000", "dev-001", "dev-002",
     ]
+
+
+def test_schema_evolution_mergeschema(spark, tmp_path):
+    """Additive schema evolution: later batches add columns; mergeSchema
+    reads the union with nulls for pre-evolution files."""
+    from stream_cdc_gps_spark.sources.writers import read_evolved
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id bigint, payload string"
+    ).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id bigint, payload string, quality double"
+    ).write.mode("append").parquet(p)
+    df = read_evolved(spark, p)
+    assert set(df.columns) == {"id", "payload", "quality"}
+    rows = {r.id: r.quality for r in df.collect()}
+    assert rows[1] is None and rows[2] == 0.5
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    from stream_cdc_gps_spark.sources.writers import compact
+
+    src = str(tmp_path / "small_files")
+    out = str(tmp_path / "compacted")
+    # 40 micro-batch-sized fragments
+    spark.range(0, 4000).repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+    n = compact(spark, src, out, target_file_mb=128)
+    assert n == 1  # tiny table -> single target-sized file
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    assert (
+        spark.read.parquet(out).agg(F.sum("id")).collect()[0][0]
+        == 4000 * 3999 // 2
+    )
