@@ -1040,3 +1040,127 @@ def q135_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_prev_hour"),
         F.round(F.sum("value").over(w), 4).alias("value_prev_hour"),
     )
+
+
+@query(
+    "q137_mutual_information",
+    oracle="""
+WITH joint AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS nxy FROM documents
+    GROUP BY source, lang
+),
+m AS (
+    SELECT source, lang, nxy,
+           sum(nxy) OVER (PARTITION BY source) AS nx,
+           sum(nxy) OVER (PARTITION BY lang)   AS ny,
+           sum(nxy) OVER ()                    AS n
+    FROM joint
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum((CAST(nxy AS DOUBLE) / n)
+                 * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))), 6)
+           AS mi_nats
+FROM m
+""",
+)
+def q137_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (source vs lang)
+    — the dependence screen for feature selection and leakage detection
+    (near-zero MI means the metadata column carries no label signal).
+
+    Scale: one (x, y) joint aggregate bounded by |X| x |Y|; marginals and
+    the total are window sums over that tiny contingency table — the raw
+    table is scanned once. All log arguments are ratios of exact integer
+    counts, so both engines evaluate identical doubles."""
+    d = t(spark, sf_dir, "documents")
+    joint = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("nxy"))
+    m = joint.select(
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("source")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("lang")).alias("ny"),
+        F.sum("nxy").over(Window.partitionBy()).alias("n"),
+    )
+    nxy, nx, ny, n = (F.col(c).cast("double") for c in ("nxy", "nx", "ny", "n"))
+    contrib = (nxy / n) * F.log(nxy * n / (nx * ny))
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.sum(contrib), 6).alias("mi_nats"),
+    )
+
+
+@query(
+    "q138_ks_test",
+    oracle="""
+WITH assigned AS (
+    SELECT event_id, value,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 0 AS in_a
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT sum(CASE WHEN in_a THEN 1 ELSE 0 END)
+               OVER (ORDER BY value, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+           sum(CASE WHEN in_a THEN 0 ELSE 1 END)
+               OVER (ORDER BY value, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+           sum(CASE WHEN in_a THEN 1 ELSE 0 END) OVER () AS na,
+           sum(CASE WHEN in_a THEN 0 ELSE 1 END) OVER () AS nb
+    FROM assigned
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 4)
+           AS ks_d,
+       max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb))
+           > 1.358e0 * sqrt((max(na) + max(nb))
+                            / (CAST(max(na) AS DOUBLE) * max(nb))) AS reject_05
+FROM c
+""",
+)
+def q138_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between hash-assigned arms
+    (q124's split): D = max gap between the two empirical CDFs, with the
+    5%-level decision — the distribution-shift detector that catches what
+    a mean-only t-test misses.
+
+    The CDF sweep totally orders the merged sample (explicit ROWS frame
+    over a (value, id) total order, so ties are deterministic); every CDF
+    step is an exact integer ratio. Correct as the one-shot diagnostic it
+    models; a continuous monitor at extreme scale would bin the CDFs
+    (q117/q133) instead of total-sorting."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    in_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast(
+            "bigint"
+        )
+        % 2
+        == 0
+    )
+    assigned = e.select("event_id", "value", in_a.alias("in_a"))
+    wrun = (
+        Window.orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    a1 = F.when(F.col("in_a"), 1).otherwise(0)
+    b1 = F.when(F.col("in_a"), 0).otherwise(1)
+    c = assigned.select(
+        F.sum(a1).over(wrun).alias("ca"),
+        F.sum(b1).over(wrun).alias("cb"),
+        F.sum(a1).over(wall).alias("na"),
+        F.sum(b1).over(wall).alias("nb"),
+    )
+    gap = F.abs(
+        F.col("ca").cast("double") / F.col("na")
+        - F.col("cb").cast("double") / F.col("nb")
+    )
+    crit = F.lit(1.358e0) * F.sqrt(
+        (F.max("na") + F.max("nb"))
+        / (F.max("na").cast("double") * F.max("nb"))
+    )
+    return c.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.round(F.max(gap), 4).alias("ks_d"),
+        (F.max(gap) > crit).alias("reject_05"),
+    )

@@ -92,3 +92,58 @@ def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts="ts",
         value_cols=["signup_ts", "signup_value"],
     )
+
+
+@query(
+    "q136_asof_tolerance",
+    oracle="""
+WITH signups AS (
+    SELECT user_id, ts, max(value) AS signup_value
+    FROM events WHERE event_type = 'signup'
+    GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id,
+       s.ts IS NOT NULL
+           AND CAST(floor(epoch(e.ts)) AS BIGINT)
+             - CAST(floor(epoch(s.ts)) AS BIGINT) <= 21600   AS fresh,
+       CASE WHEN CAST(floor(epoch(e.ts)) AS BIGINT)
+               - CAST(floor(epoch(s.ts)) AS BIGINT) <= 21600
+            THEN s.signup_value END                          AS signup_value
+FROM events e
+ASOF LEFT JOIN signups s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+""",
+)
+def q136_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness TOLERANCE: the latest at-or-before
+    match counts only if it is within 6 hours — the financial-data contract
+    ("use the last quote unless it's stale") that plain as-of (q34) can't
+    express. Matches older than the tolerance are nulled, not substituted.
+
+    Same scalable union + running-last composition as q34 (one keyed
+    shuffle); the tolerance is a pure post-predicate on the matched pair,
+    so it adds zero data movement. Epoch-second arithmetic keeps the
+    staleness check integer on both engines."""
+    e = t(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+        .withColumn("signup_ts", F.col("ts"))
+    )
+    left = e.select("event_id", "user_id", "ts")
+    matched = asof_join(
+        left,
+        signups.select("user_id", F.col("ts"), "signup_ts", "signup_value"),
+        on="user_id",
+        ts="ts",
+        value_cols=["signup_ts", "signup_value"],
+    )
+    age = F.unix_timestamp("ts") - F.unix_timestamp("signup_ts")
+    fresh = F.col("signup_ts").isNotNull() & (age <= 21600)
+    return matched.select(
+        "event_id",
+        "user_id",
+        fresh.alias("fresh"),
+        F.when(age <= 21600, F.col("signup_value")).alias("signup_value"),
+    )

@@ -68,6 +68,9 @@ _PRIORITY: list[str] = [
     "q81_media_features",
     "q78_tfidf",
     # (b) changed or new in round 3
+    "q136_asof_tolerance",
+    "q137_mutual_information",
+    "q138_ks_test",
     "q134_incremental_agg",
     "q135_time_range_frame",
     "q132_fixed_k_sample",
