@@ -52,6 +52,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q118_rolling_dau",      # broadcast 1-row max-day bound
         "q121_locf_gapfill",     # broadcast day spine (bounded by calendar)
         "q126_pagerank",         # broadcast 1-row node-count N
+        "q131_hll_partition_merge",  # broadcast 1-row exact-count bound
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
