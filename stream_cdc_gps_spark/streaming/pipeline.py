@@ -297,3 +297,63 @@ def kafka_sink(
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
     )
+
+
+class Scd2Target:
+    """Streaming form of q114_scd2_history: a foreachBatch body maintaining
+    a type-2 (versioned validity intervals) dimension from a keyed change
+    stream.
+
+    The landed parquet retains the full CHANGE SET (SCD2 is by definition
+    the whole history); each merge deduplicates (key, order) across
+    existing ∪ micro-batch and re-derives version/valid_to with one lead
+    window — so replayed micro-batches are no-ops and out-of-order changes
+    ACROSS batches splice into the correct interval position instead of
+    appending a wrong-order version.
+
+    The overwrite-the-target parquet is the hermetic stand-in (same policy
+    as ChangelogSnapshotTarget); against a warehouse the merge touches only
+    affected keys' open intervals via MERGE, and the interval derivation
+    stays one shuffle on the key."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "user_id",
+        order_cols: tuple[str, ...] = ("ts", "event_id"),
+        value_col: str = "value",
+    ):
+        self.spark, self.path = spark, path
+        self.key, self.order_cols, self.value_col = key, order_cols, value_col
+
+    def _changes(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.path).select(
+                self.key, *self.order_cols, self.value_col
+            )
+        except Exception:
+            return None  # first batch
+
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            self.key, *self.order_cols, self.value_col
+        ).localCheckpoint()
+        existing = self._changes()
+        union = existing.unionByName(batch) if existing is not None else batch
+        changes = union.dropDuplicates([self.key, *self.order_cols])
+        w = Window.partitionBy(self.key).orderBy(*self.order_cols)
+        ts0 = self.order_cols[0]
+        hist = changes.select(
+            self.key,
+            *self.order_cols,
+            self.value_col,
+            F.row_number().over(w).cast("bigint").alias("version"),
+            F.col(ts0).alias("valid_from"),
+            F.lead(ts0).over(w).alias("valid_to"),
+            F.lead(ts0).over(w).isNull().alias("is_current"),
+        ).localCheckpoint()
+        hist.write.mode("overwrite").parquet(self.path)
+
+    def history(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)

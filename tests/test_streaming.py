@@ -619,3 +619,82 @@ def test_changelog_snapshot_streaming_matches_batch(spark, tmp_path):
         (r["device_id"], r["gps_id"], r["lat"], r["lon"])
         for r in target.snapshot().collect()
     ) == golden
+
+
+def test_scd2_streaming_matches_batch(spark, tmp_path):
+    """Streaming form of q114 (SCD2 history): changes fed as two
+    micro-batches (with one out-of-order change in the second) land the
+    same versioned validity intervals as the one-shot batch window over
+    the whole change set, and a full replay (fresh checkpoint) is a
+    no-op."""
+    src = tmp_path / "in"
+    tgt = str(tmp_path / "tgt")
+    src.mkdir()
+    schema = "user_id long, ts string, event_id long, value double"
+    b0 = [
+        {"user_id": 1, "ts": "2026-02-06 10:00:00", "event_id": 1, "value": 10.0},
+        {"user_id": 1, "ts": "2026-02-06 11:00:00", "event_id": 2, "value": 20.0},
+        {"user_id": 2, "ts": "2026-02-06 10:30:00", "event_id": 3, "value": 5.0},
+    ]
+    b1 = [
+        # out-of-order: splices BETWEEN user 1's two existing versions
+        {"user_id": 1, "ts": "2026-02-06 10:30:00", "event_id": 4, "value": 15.0},
+        {"user_id": 2, "ts": "2026-02-06 12:00:00", "event_id": 5, "value": 6.0},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in b0))
+    (src / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in b1))
+
+    target = P.Scd2Target(spark, tgt)
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", "1")
+            .format("text")
+            .load(str(src))
+            .select(F.from_json("value", schema).alias("m"))
+            .select("m.*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(target.merge)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+
+    def canon(df):
+        return sorted(
+            (r.user_id, r.version, r.value, r.valid_from, r.valid_to, r.is_current)
+            for r in df.collect()
+        )
+
+    from pyspark.sql import Window
+
+    full = spark.createDataFrame(
+        [tuple(r[c] for c in ["user_id", "ts", "event_id", "value"]) for r in b0 + b1],
+        schema,
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    golden = full.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+    got = target.history().select(
+        "user_id", "version", "value", "valid_from", "valid_to", "is_current"
+    )
+    assert canon(got) == canon(golden)
+    # the out-of-order change became version 2 of user 1, closing at 11:00
+    v2 = [r for r in got.collect() if r.user_id == 1 and r.version == 2][0]
+    assert v2.value == 15.0 and v2.valid_to == "2026-02-06 11:00:00"
+    # replay from scratch: identical target (idempotent)
+    run("ck2")
+    assert canon(target.history().select(
+        "user_id", "version", "value", "valid_from", "valid_to", "is_current"
+    )) == canon(golden)
