@@ -1164,3 +1164,62 @@ def q138_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(gap), 4).alias("ks_d"),
         (F.max(gap) > crit).alias("reject_05"),
     )
+
+
+@query(
+    "q140_mad_robust",
+    oracle="""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5e0) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (SELECT event_type, quantile_cont(ad, 0.5e0) AS mad_raw
+        FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       round(max(d.med), 4)      AS median,
+       round(max(m.mad_raw), 4)  AS mad,
+       CAST(sum(CASE WHEN d.ad > 3.0e0 * 1.4826e0 * m.mad_raw
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+""",
+)
+def q140_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation robust dispersion per group (the outlier
+    scale q123's stddev can't give when the outliers themselves inflate
+    the stddev): median, MAD, and the count beyond 3 robust sigmas
+    (1.4826 x MAD ~ sigma under normality).
+
+    Scale: two keyed passes over the data (group medians, then absolute
+    deviations and their median), each joined back via a broadcast of the
+    5-row stats table; exact percentiles apply within bounded groups, as
+    q110 documents."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad_raw")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("median"),
+            F.round(F.max("mad_raw"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("ad") > 3.0e0 * 1.4826e0 * F.col("mad_raw"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+    )

@@ -703,3 +703,48 @@ def q132_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", "doc_id", F.row_number().over(w).cast("bigint").alias("rn"))
         .filter(F.col("rn") <= 20)
     )
+
+
+@query(
+    "q139_token_entropy",
+    oracle="""
+WITH tf AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT string_split(text, ' ') AS toks FROM documents), UNNEST(toks) AS u(tok)
+    GROUP BY tok
+),
+s AS (SELECT tok, c, sum(c) OVER () AS n FROM tf)
+SELECT CAST(count(*) AS BIGINT) AS vocab,
+       CAST(max(n) AS BIGINT)   AS n_tokens,
+       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 5)
+                                AS entropy_nats,
+       round(exp(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))), 3)
+                                AS unigram_perplexity
+FROM s
+""",
+)
+def q139_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram entropy / perplexity of the corpus token distribution — the
+    one-number corpus-health signal (collapsing perplexity across snapshots
+    means boilerplate flooding; unusually high means noise/encoding junk).
+
+    Scale: one O(vocab) aggregate after map-side partials; the normalizing
+    window runs over the vocab table. Log arguments are exact count
+    ratios."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s = tf.select("c", F.sum("c").over(Window.partitionBy()).alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    h = -F.sum(p * F.log(p))
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.round(h, 5).alias("entropy_nats"),
+        F.round(F.exp(h), 3).alias("unigram_perplexity"),
+    )

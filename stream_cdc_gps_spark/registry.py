@@ -120,6 +120,8 @@ _PRIORITY: list[str] = [
     # green at sf0.01, no float-divergence surface.
     "q132_fixed_k_sample",
     "q133_equidepth_histogram",
+    "q139_token_entropy",
+    "q140_mad_robust",
     # (c) r1-only rows (unchanged, but oldest) in registration order
     "q52_minhash_signatures",
     "q57_neardup_components",
