@@ -114,14 +114,6 @@ _PRIORITY: list[str] = [
     "q102_media_resize",
     "q103_sequence_packing",
     "q104_repetition_stats",
-    # --- driver-window overflow (positions 51+): the r3 front-load exceeds
-    # the driver's ~50-query window by two; these two carry to the FRONT of
-    # round 4's list. Chosen as lowest-risk: trivial window ops, driver-sim
-    # green at sf0.01, no float-divergence surface.
-    "q132_fixed_k_sample",
-    "q133_equidepth_histogram",
-    "q139_token_entropy",
-    "q140_mad_robust",
     # (c) r1-only rows (unchanged, but oldest) in registration order
     "q52_minhash_signatures",
     "q57_neardup_components",
@@ -162,6 +154,14 @@ _PRIORITY: list[str] = [
     "q28_pivot",
     "q29_min_max_by",
     "q36_map_functions",
+    # --- DRIVER-WINDOW OVERFLOW: the r3 front-load already fills the
+    # driver's ~50-query window, so these four late additions have NO r3
+    # driver row (driver-sim green at sf0.01; trivial plans). ROUND 4 MUST
+    # put them at the FRONT of this list.
+    "q132_fixed_k_sample",
+    "q133_equidepth_histogram",
+    "q139_token_entropy",
+    "q140_mad_robust",
 ]
 
 
