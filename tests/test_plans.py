@@ -149,3 +149,24 @@ def test_q113_cms_counter_shuffle_is_sketch_sized(spark):
     # counters and candidates join via broadcast; no nested-loop anywhere
     assert broadcast_join_count(df) >= 1
     assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
+
+
+def test_q114_scd2_single_keyed_shuffle(spark):
+    df = Q["q114_scd2_history"](spark, SF_SMOKE)
+    # version, valid_to, is_current all ride ONE user-keyed window sort
+    assert exchange_count(df) == 1
+
+
+def test_q135_time_frame_single_keyed_shuffle(spark):
+    df = Q["q135_time_range_frame"](spark, SF_SMOKE)
+    # the RANGE frame is a per-partition sweep: one entity-keyed exchange
+    assert exchange_count(df) == 1
+
+
+def test_q134_incremental_merge_no_extra_scans(spark):
+    df = Q["q134_incremental_agg"](spark, SF_SMOKE)
+    p = plan_string(df)
+    # history + delta partials, then the O(groups) merge: two exchanges,
+    # and NO join anywhere (merge is a union + re-aggregate)
+    assert exchange_count(df) == 2
+    assert "Join" not in p
