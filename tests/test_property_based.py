@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5 robustness model.
+
+Two layers: pure-Python helpers fuzzed hard (hundreds of examples, no JVM),
+and one Spark-level property (as-of join vs brute force) over a handful of
+generated datasets (each example is a full Spark job, so examples are few
+and the generator keeps keys/timestamps small)."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from stream_cdc_gps_spark.sources.pysource import parse_gps_line
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_parse_gps_line_never_raises(s):
+    """Arbitrary junk lines must route to corrupt, never crash the scan."""
+    out = parse_gps_line(s)
+    assert len(out) == 7
+    # either a fully-parsed row (corrupt None) or the verbatim line routed
+    assert out[6] is None or out[6] == s
+
+
+@given(
+    dev=st.text(min_size=1, max_size=10),
+    ts=st.text(min_size=1, max_size=30),
+    lat=st.floats(allow_nan=False, allow_infinity=False, width=32),
+    lon=st.floats(allow_nan=False, allow_infinity=False, width=32),
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_gps_line_roundtrips_valid_payloads(dev, ts, lat, lon):
+    line = json.dumps(
+        {
+            "location": {
+                "timestamp": ts,
+                "coords": {"latitude": lat, "longitude": lon},
+            },
+            "device_id": dev,
+        }
+    )
+    out = parse_gps_line(line)
+    assert out[6] is None
+    assert out[0] == dev and out[1] == ts
+    assert out[2] == float(lat) and out[3] == float(lon)
+    # absent optional fields default, not null
+    assert out[4] == 0.0 and out[5] == 0.0
+
+
+# Spark-level property: asof_join == brute-force latest-at-or-before.
+_asof_examples = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key
+        st.integers(min_value=0, max_value=20),  # ts
+        st.booleans(),                            # side: right (quote) if True
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_asof_examples)
+@settings(max_examples=5, deadline=None)
+def test_asof_join_matches_bruteforce(spark, rows):
+    from stream_cdc_gps_spark.operators.asof import asof_join
+
+    lefts = [(k, t) for (k, t, is_r) in rows if not is_r]
+    rights = {}
+    for k, t, is_r in rows:
+        if is_r:
+            # unique per (key, ts): keep max value like q34's pre-aggregate
+            rights[(k, t)] = max(rights.get((k, t), float(-t)), float(t * 10))
+    if not lefts:
+        lefts = [(0, 0)]
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rights.items()] or [(99, -1, 0.0)],
+        "k long, ts long, v double",
+    )
+    got = {
+        r.id: r.v
+        for r in asof_join(left, right, on="k", ts="ts", value_cols=["v"]).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cand = [(rt, v) for (rk, rt), v in rights.items() if rk == k and rt <= t]
+        expect = max(cand)[1] if cand else None
+        assert got[i] == expect, (i, k, t, cand, got[i])
