@@ -56,3 +56,12 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
+
+
+def test_no_row_at_a_time_python_udfs(plans):
+    """SURVEY §2C policy: Python in the hot path is Arrow-batched only
+    (MapInPandas / FlatMapGroupsInPandas / ArrowEvalPython). A
+    BatchEvalPython node means a row-at-a-time UDF snuck in — the 10-100x
+    slow path this engine bans."""
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python UDF in: {bad}"
