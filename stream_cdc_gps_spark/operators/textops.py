@@ -748,3 +748,152 @@ def q139_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 5).alias("entropy_nats"),
         F.round(F.exp(h), 3).alias("unigram_perplexity"),
     )
+
+
+_BM25_TERMS = ("table", "spark", "fast")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "q141_bm25",
+    oracle=f"""
+WITH dl AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+    FROM documents
+),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS sum_dl FROM dl),
+tf AS (
+    SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(toks) AS u(tok)
+    WHERE tok IN ('table', 'spark', 'fast')
+    GROUP BY doc_id, tok
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT t.doc_id,
+           sum(ln((s.n - d.df + 0.5e0) / (d.df + 0.5e0) + 1.0e0)
+               * (t.tf * (1.2e0 + 1.0e0))
+               / (t.tf + 1.2e0 * (1.0e0 - 0.75e0
+                    + 0.75e0 * l.dl / (CAST(s.sum_dl AS DOUBLE) / s.n)))) AS score
+    FROM tf t
+    JOIN df d ON t.term = d.term
+    JOIN dl l ON t.doc_id = l.doc_id
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 4) AS bm25
+FROM scored ORDER BY score DESC, doc_id LIMIT 15
+""",
+)
+def q141_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking for a fixed query (k1=1.2, b=0.75) — the relevance
+    scorer a search surface needs beyond q78's TF-IDF: length-normalized
+    saturating term frequency x smoothed idf, top-15 docs.
+
+    Scale: the per-(doc, matching-term) tf table is filtered MAP-SIDE to
+    query terms before any shuffle, so its size is O(matching docs x |q|),
+    not O(corpus tokens); df and the corpus length stats are tiny broadcast
+    sides. avgdl is derived from an exact integer sum (never avg()) so
+    both engines compute identical doubles."""
+    from pyspark.sql import Window  # noqa: F401  (pattern parity w/ module)
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n")
+    idf = F.log((F.col("n") - F.col("df") + 0.5e0) / (F.col("df") + 0.5e0) + 1.0e0)
+    contrib = idf * (F.col("tf") * (k1 + 1.0e0)) / (
+        F.col("tf") + k1 * (1.0e0 - b + b * F.col("dl") / avgdl)
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(15)
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )
+
+
+@query(
+    "q142_bigram_lm_score",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+big AS (
+    SELECT doc_id, u.i AS pos,
+           toks[CAST(u.i AS INTEGER)]     AS w1,
+           toks[CAST(u.i AS INTEGER) + 1] AS w2
+    FROM toks, UNNEST(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+),
+uni AS (
+    SELECT tok AS w1, CAST(count(*) AS BIGINT) AS c1
+    FROM toks, UNNEST(toks) AS u(tok) GROUP BY tok
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((bc.c12 + 1.0e0) / (u.c1 + v.vocab))), 4) AS avg_logp,
+       round(exp(-avg(ln((bc.c12 + 1.0e0) / (u.c1 + v.vocab)))), 2) AS ppl
+FROM big b
+JOIN bc  ON b.w1 = bc.w1 AND b.w2 = bc.w2
+JOIN uni u ON b.w1 = u.w1
+CROSS JOIN v
+GROUP BY b.doc_id
+""",
+)
+def q142_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model pseudo-perplexity per document (add-one
+    smoothing, corpus-trained) — CCNet-style LM quality filtering: docs
+    whose bigrams are improbable under the corpus model (high ppl) are
+    noise candidates; suspiciously LOW ppl flags boilerplate.
+
+    Scale: the bigram count table is bounded by vocab^2 and the unigram
+    table by vocab, both broadcastable; the per-doc bigram stream is
+    map-generated (zip_with on shifted slices, same as word_shingles) and
+    joins against those broadcasts, then aggregates per doc. P values are
+    exact integer ratios, so both engines log identical doubles."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    big = toks.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), 2)).alias("bg")
+    ).select(
+        "doc_id",
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    v = uni.agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    logp = F.log(
+        (F.col("c12") + 1.0e0) / (F.col("c1") + F.col("vocab"))
+    )
+    return (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logp"),
+            F.round(F.exp(-F.avg(logp)), 2).alias("ppl"),
+        )
+    )

@@ -162,6 +162,8 @@ _PRIORITY: list[str] = [
     "q133_equidepth_histogram",
     "q139_token_entropy",
     "q140_mad_robust",
+    "q141_bm25",
+    "q142_bigram_lm_score",
 ]
 
 
