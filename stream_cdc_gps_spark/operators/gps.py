@@ -516,3 +516,122 @@ def q101_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("lat"), 6).alias("avg_lat"),
         F.round(F.avg("lon"), 6).alias("avg_lon"),
     )
+
+
+_KNN_QUERY_POINTS = [
+    (1, 35.2, 51.2),
+    (2, 35.5, 51.5),
+    (3, 35.8, 51.8),
+    (4, 35.1, 51.9),
+    (5, 35.9, 51.1),
+]
+_KNN_CELL = 0.25
+
+_KNN_HAV = HAVERSINE_SQL.format(
+    lat1="q.qlat", lon1="q.qlon", lat2="f.lat", lon2="f.lon"
+)
+
+_KNN_POINTS_SQL = " UNION ALL ".join(
+    f"SELECT {qid} AS qid, CAST({qlat} AS DOUBLE) AS qlat, "
+    f"CAST({qlon} AS DOUBLE) AS qlon"
+    for qid, qlat, qlon in _KNN_QUERY_POINTS
+)
+
+
+@query(
+    "q143_spatial_knn",
+    oracle=f"""
+WITH fx AS ({FIXES_SQL}),
+f AS (
+    SELECT gps_id, lat, lon,
+           CAST(floor((lat - 35.0) / {_KNN_CELL}) AS BIGINT) AS cr,
+           CAST(floor((lon - 51.0) / {_KNN_CELL}) AS BIGINT) AS cc
+    FROM fx
+),
+q AS ({_KNN_POINTS_SQL}),
+cand AS (
+    SELECT q.qid, f.gps_id,
+           CAST(floor(({_KNN_HAV}) * 1000 + 0.5e0) AS BIGINT) AS dist_mm
+    FROM q JOIN f
+      ON f.cr BETWEEN CAST(floor((q.qlat - 35.0) / {_KNN_CELL}) AS BIGINT) - 1
+                  AND CAST(floor((q.qlat - 35.0) / {_KNN_CELL}) AS BIGINT) + 1
+     AND f.cc BETWEEN CAST(floor((q.qlon - 51.0) / {_KNN_CELL}) AS BIGINT) - 1
+                  AND CAST(floor((q.qlon - 51.0) / {_KNN_CELL}) AS BIGINT) + 1
+),
+ranked AS (
+    SELECT qid, gps_id, dist_mm,
+           row_number() OVER (PARTITION BY qid ORDER BY dist_mm, gps_id) AS rank
+    FROM cand
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, gps_id,
+       dist_mm / 1000.0 AS dist_m
+FROM ranked WHERE rank <= 3
+""",
+)
+def q143_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-pruned spatial KNN: 3 nearest GPS fixes to each query point by
+    haversine, with candidates limited to the query's grid cell and its 8
+    neighbors — the scalable nearest-station/geo-lookup plan (a full
+    cross-distance scan is O(points x fixes); the grid join prunes to
+    O(points x cell density)).
+
+    The candidate CELL RADIUS bounds the semantics (documented: a true
+    nearest beyond one cell width — {_KNN_CELL} deg — is out of scope,
+    standard for grid ANN). Ranking keys on millimeter-quantized distance
+    + gps_id so JVM-vs-C libm ulp differences in sin/cos can never flip a
+    rank; both engines evaluate the same haversine formula
+    (functions/geo.py:HAVERSINE_SQL)."""
+    fx = fixes(spark, sf_dir)
+    f = fx.select(
+        "gps_id",
+        "lat",
+        "lon",
+        F.floor((F.col("lat") - 35.0) / _KNN_CELL).cast("bigint").alias("cr"),
+        F.floor((F.col("lon") - 51.0) / _KNN_CELL).cast("bigint").alias("cc"),
+    )
+    q = spark.createDataFrame(
+        _KNN_QUERY_POINTS, "qid int, qlat double, qlon double"
+    ).select(
+        "qid",
+        "qlat",
+        "qlon",
+        F.floor((F.col("qlat") - 35.0) / _KNN_CELL).cast("bigint").alias("qcr"),
+        F.floor((F.col("qlon") - 51.0) / _KNN_CELL).cast("bigint").alias("qcc"),
+    )
+    neighbors = q.select(
+        "qid",
+        "qlat",
+        "qlon",
+        F.explode(
+            F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        ).alias("dr"),
+        "qcr",
+        "qcc",
+    ).select(
+        "qid",
+        "qlat",
+        "qlon",
+        (F.col("qcr") + F.col("dr")).alias("cr"),
+        F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dc"),
+        "qcc",
+    ).select(
+        "qid", "qlat", "qlon", "cr", (F.col("qcc") + F.col("dc")).alias("cc")
+    )
+    dist_mm = F.floor(
+        haversine_m(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon")) * 1000
+        + 0.5e0
+    ).cast("bigint")
+    cand = f.join(F.broadcast(neighbors), ["cr", "cc"]).select(
+        "qid", "gps_id", dist_mm.alias("dist_mm")
+    )
+    w = Window.partitionBy("qid").orderBy("dist_mm", "gps_id")
+    return (
+        cand.select("qid", "gps_id", "dist_mm", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "qid",
+            F.col("rank").cast("bigint").alias("rank"),
+            "gps_id",
+            (F.col("dist_mm") / 1000.0).alias("dist_m"),
+        )
+    )

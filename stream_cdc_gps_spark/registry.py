@@ -164,6 +164,7 @@ _PRIORITY: list[str] = [
     "q140_mad_robust",
     "q141_bm25",
     "q142_bigram_lm_score",
+    "q143_spatial_knn",
 ]
 
 
