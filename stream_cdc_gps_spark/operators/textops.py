@@ -897,3 +897,80 @@ def q142_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.avg(logp)), 2).alias("ppl"),
         )
     )
+
+
+@query(
+    "q144_corpus_pipeline",
+    oracle="""
+WITH gated AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tok,
+               CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                   / len(string_split(text, ' ')) AS avg_len,
+               CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                   / n_chars AS digit_frac
+        FROM documents WHERE n_chars > 0
+    )
+    WHERE (n_tok BETWEEN 5 AND 2000)
+      AND (avg_len >= 2 AND avg_len <= 12)
+      AND (digit_frac <= 0.2)
+),
+deduped AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (
+                   PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+        FROM gated
+    ) WHERE rn = 1
+)
+SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT)                         AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+      FROM deduped)
+GROUP BY split
+""",
+)
+def q144_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build composing the pipeline stages as one plan:
+    quality gate (q66's rules) -> exact dedup keep-first (q50/q59's
+    fingerprint) -> reproducible split (q87's hash buckets) -> per-split
+    token budget. The point is COMPOSITION: every stage is a
+    DataFrame->DataFrame transform, so Catalyst optimizes the whole
+    pipeline as one plan (the gate's predicates run in the same scan that
+    feeds the fingerprint).
+
+    Scale: gate is map-side; dedup is the one corpus-keyed shuffle; split
+    and stats are map + an O(splits) aggregate."""
+    from stream_cdc_gps_spark.functions.text import fingerprint
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    n_tok = F.size(tokens(F.col("text")))
+    avg_len = (F.col("n_chars") - n_tok + 1).cast("double") / n_tok
+    digit_frac = (
+        F.col("n_chars") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ).cast("double") / F.col("n_chars")
+    gated = d.filter(
+        n_tok.between(5, 2000)
+        & (avg_len >= 2)
+        & (avg_len <= 12)
+        & (digit_frac <= 0.2)
+    ).select("doc_id", "text")
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    return deduped.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )

@@ -165,6 +165,7 @@ _PRIORITY: list[str] = [
     "q141_bm25",
     "q142_bigram_lm_score",
     "q143_spatial_knn",
+    "q144_corpus_pipeline",
 ]
 
 
