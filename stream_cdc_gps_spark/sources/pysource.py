@@ -94,12 +94,17 @@ class GpsJsonlReader(DataSourceReader):
 class GpsJsonlStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch tail of a growing gpsjsonl directory.
 
-    Offset = sorted-file high-water mark {"files": n}: each micro-batch
-    reads the files that appeared since the last committed offset. Files
-    are assumed append-only-by-name (new files sort after old — the
-    standard part-NNNN landing convention); exactly-once restart comes from
-    Spark's checkpointed offset log replaying `readBetweenOffsets` for the
-    uncommitted tail."""
+    Offset = name high-water mark ``{"files": n, "last": name}``: each
+    micro-batch reads the files whose names sort AFTER the last committed
+    name, so replay slices by name boundary — a later deletion or an
+    out-of-name-order arrival can never silently shift the slice the way a
+    positional index would. The append-only-by-name convention (new files
+    sort after old — the standard part-NNNN landing pattern) is ENFORCED:
+    if the committed prefix of the listing no longer matches the offset
+    (file deleted, or a new file sorted into committed territory), the read
+    fails loudly instead of skipping or double-reading rows. Exactly-once
+    restart comes from Spark's checkpointed offset log replaying
+    `readBetweenOffsets` for the uncommitted tail."""
 
     def __init__(self, options: dict) -> None:
         path = options.get("path")
@@ -117,19 +122,32 @@ class GpsJsonlStreamReader(SimpleDataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"files": 0}
+        return {"files": 0, "last": ""}
 
     def read(self, start: dict) -> tuple:
         files = self._files()
-        end = {"files": len(files)}
-        rows = self._read_range(start, end)
-        return rows, end
+        last = start.get("last", "")
+        committed = [f for f in files if f <= last]
+        if len(committed) != start.get("files", 0):
+            raise RuntimeError(
+                f"gpsjsonl: committed listing prefix changed: offset records "
+                f"{start.get('files', 0)} file(s) up to {last!r} but the "
+                f"directory now has {len(committed)} at or before that name "
+                f"— a committed file was deleted or a new file violated "
+                f"append-only-by-name ordering"
+            )
+        new = [f for f in files if f > last]
+        end = {
+            "files": len(committed) + len(new),
+            "last": new[-1] if new else last,
+        }
+        return self._read_files(new), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return self._read_range(start, end)
+        lo, hi = start.get("last", ""), end.get("last", "")
+        return self._read_files([f for f in self._files() if lo < f <= hi])
 
-    def _read_range(self, start: dict, end: dict) -> Iterator[tuple]:
-        files = self._files()[start.get("files", 0) : end.get("files", 0)]
+    def _read_files(self, files: list[str]) -> list[tuple]:
         out = []
         for path in files:
             with open(path, encoding="utf-8") as fh:

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
+from pyspark.errors import AnalysisException
+
 from stream_cdc_gps_spark.streaming import transforms as X
 
 
@@ -143,12 +145,38 @@ def merge_statements(table: str, stage: str, key: str) -> list[str]:
     ]
 
 
+def _one_row_per_key(
+    batch_df: DataFrame, key: str, order_cols: tuple[str, ...] | None
+) -> DataFrame:
+    """Reduce a micro-batch to exactly one row per key before a keyed merge.
+
+    A CDC micro-batch routinely carries several changes for the same key;
+    staging it as-is would make DELETE+INSERT land duplicate rows, breaking
+    ``merge_statements``'s one-row-per-staged-key contract. With
+    ``order_cols`` the latest change wins (deterministic ``latest_per_key``
+    reduction, same policy as ChangelogSnapshotTarget); without an order
+    there is no deterministic winner, so duplicate keys fail loudly instead
+    of silently picking a row."""
+    if order_cols:
+        return latest_per_key(batch_df, key, order_cols)
+    stats = batch_df.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(key)).alias("k")
+    ).collect()[0]
+    if stats["n"] != stats["k"]:
+        raise ValueError(
+            f"upsert batch has {stats['n']} rows but {stats['k']} distinct "
+            f"{key!r} keys; pass order_cols to pick the latest change per key"
+        )
+    return batch_df
+
+
 def jdbc_batch_writer(
     url: str,
     table: str,
     properties: dict[str, Any] | None = None,
     key: str = "gps_id",
     mode: str = "upsert",
+    order_cols: tuple[str, ...] | None = None,
 ):
     """foreachBatch function landing each micro-batch via JDBC — Spark's
     replacement for the reference's per-message INSERT (``cmd/main.go:217-223``)
@@ -166,10 +194,16 @@ def jdbc_batch_writer(
     ``mode="append"`` reproduces the Connect sink's ``insert.mode: insert``
     (at-least-once on replay) for strict reference parity.
 
-    The same keyed DELETE+INSERT algebra is exercised hermetically by
-    ``ParquetUpsertTarget`` (tests/test_streaming.py) — the sandbox has no
-    JDBC endpoint, so the database-side path is broker-gated like the Kafka
-    sources."""
+    Each upsert batch is first reduced to ONE row per key
+    (``_one_row_per_key``: latest change wins under ``order_cols``, or a
+    loud failure on unexpected duplicates) so the staged table honors the
+    merge contract even when a CDC micro-batch carries several changes for
+    the same key.
+
+    The same keyed DELETE+INSERT algebra — including the per-key reduction —
+    is exercised hermetically by ``ParquetUpsertTarget``
+    (tests/test_streaming.py) — the sandbox has no JDBC endpoint, so the
+    database-side path is broker-gated like the Kafka sources."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         props = properties or {}
@@ -177,7 +211,8 @@ def jdbc_batch_writer(
             batch_df.write.jdbc(url=url, table=table, mode="append", properties=props)
             return
         stage = f"{table}__stage"
-        batch_df.write.jdbc(url=url, table=stage, mode="overwrite", properties=props)
+        staged = _one_row_per_key(batch_df, key, order_cols)
+        staged.write.jdbc(url=url, table=stage, mode="overwrite", properties=props)
         jvm = batch_df.sparkSession._jvm
         jprops = jvm.java.util.Properties()
         for k, v in props.items():
@@ -198,10 +233,28 @@ def jdbc_batch_writer(
     return _write
 
 
+def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a landed target, or None when NOTHING has landed yet.
+
+    Only a genuinely missing path counts as first-batch; any other read
+    failure (corrupt footer, permission, transient FS error) re-raises —
+    treating those as "first batch" would make the next merge overwrite the
+    target with only the current micro-batch, i.e. silent data loss."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", e.getErrorClass)()
+        if cond == "PATH_NOT_FOUND":
+            return None
+        raise
+
+
 class ParquetUpsertTarget:
     """Keyed-upsert semantics over a parquet directory — the hermetic
     stand-in proving the merge algebra ``jdbc_batch_writer`` runs against a
-    real database: delete-matching-keys then insert, per batch.
+    real database: delete-matching-keys then insert, per batch — INCLUDING
+    the same ``_one_row_per_key`` staging reduction, so the tested algebra
+    is the shipped algebra.
 
     ``upsert`` is a drop-in foreachBatch body. The merged frame is
     materialized (localCheckpoint) BEFORE the overwrite so the write never
@@ -210,17 +263,21 @@ class ParquetUpsertTarget:
     file-commit protocol — it exists to verify the key algebra (replay
     idempotence, update-wins), not the transaction mechanics."""
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "gps_id"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "gps_id",
+        order_cols: tuple[str, ...] | None = None,
+    ):
         self.spark, self.path, self.key = spark, path, key
+        self.order_cols = order_cols
 
     def _existing(self) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(self.path)
-        except Exception:
-            return None  # first batch: nothing landed yet
+        return _read_parquet_or_none(self.spark, self.path)
 
     def upsert(self, batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates([self.key]).localCheckpoint()
+        batch = _one_row_per_key(batch_df, self.key, self.order_cols).localCheckpoint()
         existing = self._existing()
         if existing is not None:
             kept = existing.join(batch.select(self.key), self.key, "left_anti")
@@ -328,12 +385,10 @@ class Scd2Target:
         self.key, self.order_cols, self.value_col = key, order_cols, value_col
 
     def _changes(self) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(self.path).select(
-                self.key, *self.order_cols, self.value_col
-            )
-        except Exception:
-            return None  # first batch
+        existing = _read_parquet_or_none(self.spark, self.path)
+        if existing is None:
+            return None
+        return existing.select(self.key, *self.order_cols, self.value_col)
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(

@@ -9,6 +9,7 @@ date+bucket(user_id)); the loaders keep that concern in one place.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,14 +97,14 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # ts is physically INT64 TIMESTAMP(NANOS) in the corpus parquet; Spark's
-    # TimestampType (µs) cannot scan it vectorized, so it is read as raw nanos
-    # and converted in load_table (truncation to µs — exactly what DuckDB's
-    # reader does, keeping the oracle diff exact).
+    # ts has shipped as both INT64 TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    # across corpus regenerations; load_table probes the parquet footer and
+    # picks the matching read path (see _events_ts_is_nanos), so the logical
+    # schema here is always TimestampType (µs).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -135,6 +136,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+@lru_cache(maxsize=None)
+def _events_ts_is_nanos(path: str) -> bool:
+    """Probe the parquet footer for events.ts's physical time unit.
+
+    The driver corpus has shipped ts as TIMESTAMP(NANOS) in some
+    generations and TIMESTAMP(MICROS) in others; assuming either silently
+    lands values off by 1000x under the other, so the unit is read from the
+    file metadata (one driver-side footer read, cached per path — no data
+    scan)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).schema_arrow.field("ts").type == pa.timestamp("ns")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table with its pinned schema.
 
@@ -144,13 +160,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
-    if name == "events":
-        # nanos -> µs with integer division (`div`): the raw nanos (~1.7e18)
-        # exceed double's exact-integer range, so float division would be off
-        # by up to a µs. Truncation (not rounding) matches DuckDB's ns->µs read.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    path = table_path(sf_dir, name)
+    if name == "events" and _events_ts_is_nanos(path):
+        # Nanos corpus: Spark's TimestampType (µs) cannot scan INT64 nanos
+        # vectorized, so read ts as raw long and truncate with integer
+        # division (`div`): the raw nanos (~1.7e18) exceed double's
+        # exact-integer range, so float division would be off by up to a µs.
+        # Truncation (not rounding) matches DuckDB's ns->µs read.
+        raw = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in SCHEMAS[name].fields
+            ]
+        )
+        return (
+            spark.read.schema(raw)
+            .parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    # Micros corpus (and every other table): native vectorized scan with the
+    # pinned logical schema — filters and pruning push straight to parquet.
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

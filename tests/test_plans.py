@@ -170,3 +170,31 @@ def test_q134_incremental_merge_no_extra_scans(spark):
     # and NO join anywhere (merge is a union + re-aggregate)
     assert exchange_count(df) == 2
     assert "Join" not in p
+
+
+def test_q105_gate_falls_back_to_shuffle_semi_join(spark, monkeypatch):
+    """The r3-flagged scale hazard: q105's benchmark shingle set is derived
+    from the corpus, so the broadcast must be size-gated. Force the gate
+    shut (threshold 0) and assert the SAME dataflow plans as shuffle
+    semi/left joins on the shingle key — no broadcast of the bench side, no
+    nested-loop anywhere."""
+    from stream_cdc_gps_spark.operators import corpus as C
+
+    monkeypatch.setattr(C, "_DECONTAM_BROADCAST_MAX", 0)
+    # With the gate shut the FORCED hint is gone; emulate Catalyst also
+    # judging the side too big (its stats say "small" at smoke scale) so the
+    # plan must genuinely fall back to shuffle joins.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = Q["q105_decontamination"](spark, SF_SMOKE)
+        p = plan_string(df)
+        assert broadcast_join_count(df) == 0, p
+        assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
+        gated = {tuple(r) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    monkeypatch.undo()
+    # the dataflow survives: same result as the broadcast path
+    open_ = {tuple(r) for r in Q["q105_decontamination"](spark, SF_SMOKE).collect()}
+    assert gated == open_

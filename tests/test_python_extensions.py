@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from stream_cdc_gps_spark.functions.text import tokens, word_shingles
@@ -172,3 +173,44 @@ def test_compaction_reduces_file_count(spark, tmp_path):
         spark.read.parquet(out).agg(F.sum("id")).collect()[0][0]
         == 4000 * 3999 // 2
     )
+
+
+def test_streaming_offsets_are_name_anchored_and_fail_on_prefix_change(tmp_path):
+    """Offsets record the name high-water mark, not a positional index: a
+    committed file deleted (or a new file sorting into committed territory)
+    makes the next read fail loudly instead of silently skipping or
+    double-reading rows (ADVICE r3). Pure unit test on the reader — no
+    Spark session needed."""
+    from stream_cdc_gps_spark.sources.pysource import GpsJsonlStreamReader
+
+    src = tmp_path / "gpslog"
+    src.mkdir()
+
+    def land(name: str, dev: str) -> None:
+        (src / name).write_text(
+            gps_fix("2026-02-06T10:00:00.000Z", dev, 35.0, 51.0) + "\n"
+        )
+
+    reader = GpsJsonlStreamReader({"path": str(src)})
+    land("part-0000.jsonl", "dev-000")
+    land("part-0001.jsonl", "dev-001")
+    rows, off1 = reader.read(reader.initialOffset())
+    assert off1["files"] == 2 and off1["last"].endswith("part-0001.jsonl")
+    assert sorted(r[0] for r in rows) == ["dev-000", "dev-001"]
+
+    # incremental: only the new file is read; replay slices by name boundary
+    land("part-0002.jsonl", "dev-002")
+    rows2, off2 = reader.read(off1)
+    assert [r[0] for r in rows2] == ["dev-002"]
+    assert [r[0] for r in reader.readBetweenOffsets(off1, off2)] == ["dev-002"]
+
+    # deleting a committed file breaks the prefix -> loud failure
+    (src / "part-0001.jsonl").unlink()
+    with pytest.raises(RuntimeError, match="committed listing prefix changed"):
+        reader.read(off2)
+
+    # a late file that sorts BEFORE the committed high-water mark also fails
+    land("part-0001.jsonl", "dev-001")  # restore
+    land("part-0000a.jsonl", "dev-00X")  # sorts into committed territory
+    with pytest.raises(RuntimeError, match="committed listing prefix changed"):
+        reader.read(off2)

@@ -698,3 +698,52 @@ def test_scd2_streaming_matches_batch(spark, tmp_path):
     assert canon(target.history().select(
         "user_id", "version", "value", "valid_from", "valid_to", "is_current"
     )) == canon(golden)
+
+
+def test_upsert_batch_with_duplicate_keys_latest_wins(spark, tmp_path):
+    """A CDC micro-batch routinely carries several changes per key; with
+    order_cols the staged reduction keeps the LATEST change (ADVICE r3:
+    previously the stand-in silently dropDuplicates'd while the JDBC path
+    staged duplicates — now both run the same _one_row_per_key)."""
+    out = tmp_path / "tgt"
+    target = P.ParquetUpsertTarget(
+        spark, str(out), key="gps_id", order_cols=("ts",)
+    )
+    b0 = spark.createDataFrame(
+        [("id-1", 1, 10.0), ("id-1", 3, 30.0), ("id-1", 2, 20.0), ("id-2", 1, 5.0)],
+        "gps_id string, ts bigint, latitude double",
+    )
+    target.upsert(b0, 0)
+    rows = {r["gps_id"]: (r["ts"], r["latitude"])
+            for r in spark.read.parquet(str(out)).collect()}
+    assert rows == {"id-1": (3, 30.0), "id-2": (1, 5.0)}
+    # replay: still one row per key, same values
+    target.upsert(b0, 0)
+    assert spark.read.parquet(str(out)).count() == 2
+
+
+def test_upsert_duplicate_keys_without_order_fails_loudly(spark, tmp_path):
+    """No order column -> no deterministic winner -> duplicate keys must
+    raise, not silently pick a row."""
+    target = P.ParquetUpsertTarget(spark, str(tmp_path / "tgt"), key="gps_id")
+    dup = spark.createDataFrame(
+        [("id-1", 10.0), ("id-1", 20.0)], "gps_id string, latitude double"
+    )
+    with pytest.raises(ValueError, match="distinct 'gps_id' keys"):
+        target.upsert(dup, 0)
+
+
+def test_upsert_corrupt_target_raises_not_overwrites(spark, tmp_path):
+    """Only PATH_NOT_FOUND means first-batch; a corrupt landed target must
+    re-raise instead of being treated as empty — the 'treat any read error
+    as first batch' behavior silently overwrote the table with one
+    micro-batch (ADVICE r3)."""
+    out = tmp_path / "tgt"
+    out.mkdir()
+    (out / "part-00000.parquet").write_text("this is not parquet")
+    target = P.ParquetUpsertTarget(spark, str(out), key="gps_id")
+    b0 = spark.createDataFrame([("id-1", 1.0)], "gps_id string, latitude double")
+    with pytest.raises(Exception):
+        target.upsert(b0, 0)
+    # the garbage file must still be there — nothing overwrote the target
+    assert (out / "part-00000.parquet").read_text() == "this is not parquet"
