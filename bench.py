@@ -66,6 +66,11 @@ HEADLINE = [
     "q113_heavy_hitters_cms",
     "q121_locf_gapfill",
     "q126_pagerank",
+    # round-4 additions (r3 judge task #5): SCD2 history, tolerance as-of,
+    # and the end-to-end corpus pipeline composition (best whole-engine canary)
+    "q114_scd2_history",
+    "q136_asof_tolerance",
+    "q144_corpus_pipeline",
 ]
 
 

@@ -126,6 +126,41 @@ def main() -> None:
     with open("/tmp/driver_sim_results.json", "w") as f:
         json.dump(results, f, indent=1)
 
+    # A FULL run over the registry doubles as the engine-wide correctness
+    # certificate (see tests/test_registry_invariants.py: changes to
+    # engine-wide modules like tables.py can't fit the driver window, so
+    # they are certified by this artifact instead). Record the git state the
+    # run certifies.
+    if len(results) == len(qs):
+        import os
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        head = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        dirty = bool(
+            subprocess.run(
+                ["git", "-C", repo, "status", "--porcelain"],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        )
+        os.makedirs(os.path.join(repo, "artifacts"), exist_ok=True)
+        with open(os.path.join(repo, "artifacts", "driver_sim_full.json"), "w") as f:
+            json.dump(
+                {
+                    "git_head": head,
+                    "dirty_tree": dirty,
+                    "sf_dir": sf_dir,
+                    "n_checked": len(results),
+                    "n_fail": n_fail,
+                    "failed": [n for n, r in results.items() if not r.get("hash_match")],
+                },
+                f,
+                indent=1,
+            )
+
 
 if __name__ == "__main__":
     main()

@@ -946,6 +946,70 @@ def q133_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q145_equidepth_histogram_approx",
+    oracle="""
+SELECT CAST(10 AS BIGINT)        AS n_buckets,
+       CAST(count(*) AS BIGINT)  AS total_rows,
+       TRUE                      AS depth_within_20pct,
+       TRUE                      AS boundaries_monotonic
+FROM orders
+""",
+)
+def q145_equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram, SKETCH path (r3 judge task #8): decile
+    boundaries from percentile_approx (KLL-style sketch, mergeable map-side
+    partials) instead of q133's exact ntile global sort — the variant that
+    survives 100 TB, paired with q133 exactly as q15/q110 pair approx/exact
+    percentiles.
+
+    Approximate boundaries are implementation-defined, so (q26's pattern)
+    the query emits deterministic facts plus in-query assertions: every
+    sketch bucket's depth within 20% of the ideal N/10, and boundaries
+    strictly ordered. The oracle pins both flags TRUE — a drifting sketch
+    fails the value hash.
+
+    Plan: ONE aggregate builds the sketch; the 9 boundaries come back as a
+    single broadcast row; bucket assignment is a map-only array fold over
+    the broadcast boundaries; one uniform 10-key groupBy checks the depths.
+    No global sort anywhere — the q133 scale note's prescription, now a
+    registered operator."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice")
+    qs = [i / 10.0 for i in range(1, 10)]
+    mono = F.lit(True)
+    for i in range(8):
+        mono = mono & (
+            F.element_at("bounds", i + 1) < F.element_at("bounds", i + 2)
+        )
+    bounds = o.agg(
+        F.percentile_approx("o_totalprice", qs, 10000).alias("bounds"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("bounds", "n", mono.alias("mono"))
+    bucket = F.aggregate(
+        F.col("bounds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("o_totalprice") > b, 1).otherwise(0),
+    )
+    counts = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("n").alias("n"),
+            F.min("mono").alias("mono"),
+        )
+    )
+    ideal = F.col("n") / 10.0
+    return counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.min(F.abs(F.col("cnt") - ideal) <= ideal * 0.2).alias(
+            "depth_within_20pct"
+        ),
+        F.min("mono").alias("boundaries_monotonic"),
+    )
+
+
+@query(
     "q134_incremental_agg",
     oracle="""
 SELECT o_orderpriority,

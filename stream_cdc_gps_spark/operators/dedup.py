@@ -658,6 +658,162 @@ def q59_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q146_minhash_jaccard_estimate",
+    oracle=f"""
+WITH mh AS ({MINHASH_SQL}),
+bands AS ({_BAND_SELECTS}),
+pairs AS ({_PAIRS_SQL}),
+sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_common
+    FROM pairs p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+    GROUP BY p.doc_a, p.doc_b
+),
+est AS (
+    SELECT p.doc_a, p.doc_b,
+           CAST({" + ".join(f"CASE WHEN ma.h{k} = mb.h{k} THEN 1 ELSE 0 END"
+                            for k in range(N_MINHASH))} AS BIGINT) AS n_eq
+    FROM pairs p
+    JOIN mh ma ON ma.doc_id = p.doc_a
+    JOIN mh mb ON mb.doc_id = p.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.n_eq,
+       round(e.n_eq / {N_MINHASH}.0, 4) AS est_jaccard,
+       round(i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE), 4)
+           AS exact_jaccard,
+       abs(e.n_eq / {N_MINHASH}.0
+           - i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE)) <= 0.5e0
+           AS within_half
+FROM est e
+JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b
+""",
+)
+def q146_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATION quality, in-query: for every LSH candidate
+    pair, the sketch estimate (fraction of agreeing minhash components —
+    the unbiased estimator E[h_a==h_b] = J) next to the EXACT shingle-set
+    Jaccard, with the estimator's coarse error bound (K=6 grid, so ±0.5 is
+    the loosest sane envelope) asserted per pair.
+
+    This is the verification harness a production near-dup pipeline runs on
+    a sample to pick K/band geometry: estimate vs truth, per pair, one scan.
+
+    Plan: the candidate-pair list is post-LSH (tiny, broadcast); signatures
+    join it twice (map-side), and the exact intersection reuses the
+    inverted-index expansion ONLY for pair members — every equal minhash
+    component implies a shared shingle, so candidate pairs always intersect
+    and the join is an inner join without a lost-row hazard. The corpus
+    itself never shuffles."""
+    pairs = q53_lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    mh = minhash_signatures(spark, sf_dir)
+    eq = sum(
+        F.when(F.col(f"a.h{k}") == F.col(f"b.h{k}"), 1).otherwise(0)
+        for k in range(N_MINHASH)
+    ).cast("bigint")
+    est = (
+        F.broadcast(pairs)
+        .join(mh.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
+        .join(mh.alias("b"), F.col("b.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", eq.alias("n_eq"))
+    )
+    docs = _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shs").alias("shs")
+    )
+    exact = (
+        F.broadcast(pairs)
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("n_common"),
+            F.size("shs_a").alias("na"),
+            F.size("shs_b").alias("nb"),
+        )
+    )
+    ex_j = F.col("n_common") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    est_j = F.col("n_eq") / float(N_MINHASH)
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_eq",
+            F.round(est_j, 4).alias("est_jaccard"),
+            F.round(ex_j, 4).alias("exact_jaccard"),
+            (F.abs(est_j - ex_j) <= 0.5e0).alias("within_half"),
+        )
+    )
+
+
+@query(
+    "q147_neardup_cluster_stats",
+    oracle=f"""
+WITH RECURSIVE
+mh AS ({MINHASH_SQL}),
+bands AS ({_BAND_SELECTS}),
+pairs AS ({_PAIRS_SQL}),
+edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS d FROM edges),
+reach(s, t) AS (
+    SELECT d, d FROM nodes
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t
+),
+comp AS (SELECT s AS doc_id, min(t) AS component FROM reach GROUP BY s),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT CAST(cluster_size AS BIGINT)                      AS cluster_size,
+       CAST(count(*) AS BIGINT)                          AS n_clusters,
+       CAST((cluster_size - 1) * count(*) AS BIGINT)     AS docs_dropped
+FROM sizes
+GROUP BY cluster_size
+""",
+)
+def q147_neardup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup YIELD report: for each
+    component size, how many clusters exist and how many documents keep-one
+    dedup would drop. The number a pipeline owner actually reads before
+    committing a dedup run (a fat head of giant clusters means boilerplate;
+    a long tail of pairs means true near-dups).
+
+    Plan: q57's converged labels (edge-list-sized, post-LSH) feed two
+    uniform-key aggregations — component then cluster_size; both shuffles
+    are over tiny sketch-scale data, never the corpus."""
+    labels = q57_neardup_components(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("docs_dropped"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "docs_dropped",
+    )
+
+
+@query(
     "q79_lev_verify_pairs",
     oracle=f"""
 WITH mh AS ({MINHASH_SQL}),

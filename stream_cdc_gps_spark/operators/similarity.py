@@ -155,6 +155,71 @@ def q61_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q148_hard_negative_mining",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label,
+                  {_BUCKET_SQL.format(e="(embedding::DOUBLE[])")} AS bucket
+           FROM embeddings),
+scored AS (
+    SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+           c.vec_id AS negative_id, c.label AS negative_label,
+           round({_COS}, 6) AS cos_sim
+    FROM (SELECT * FROM e WHERE vec_id < 40) q
+    JOIN e c ON c.bucket = q.bucket AND c.label != q.label
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cos_sim DESC, negative_id) AS rn
+    FROM scored
+) WHERE rn <= 3
+""",
+)
+def q148_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: per anchor
+    vector, the top-3 MOST similar candidates with a DIFFERENT label —
+    exactly the negatives that sharpen a retrieval model (easy negatives are
+    information-free; hard ones define the decision boundary).
+
+    Plan: identical scale shape to q61 — anchors broadcast, candidates met
+    only inside a shared sign-LSH bucket (equi join, never a cross join),
+    label inequality as a join-side filter so wrong-label pairs never reach
+    the scorer, one window for the per-anchor top-k. At 100 TB: more hash
+    bits, same plan."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"), "label"
+    )
+    e = e.withColumn("bucket", _bucket(F.col("emb")))
+    q = e.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("label") != F.col("anchor_label")),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), "negative_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "anchor_id", "anchor_label", "negative_id", "negative_label", "cos_sim"
+        )
+    )
+
+
+@query(
     "q62_embedding_stats",
     oracle=f"""
 SELECT label,

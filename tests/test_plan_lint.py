@@ -55,6 +55,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q131_hll_partition_merge",  # broadcast 1-row exact-count bound
         "q141_bm25",             # broadcast 1-row corpus N/avgdl stats
         "q142_bigram_lm_score",  # broadcast 1-row vocab size
+        "q145_equidepth_histogram_approx",  # broadcast 1-row sketch bounds
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"

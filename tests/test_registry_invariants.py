@@ -1,10 +1,213 @@
 """Registry hygiene: the driver iterates names in priority order and the
 bench suite indexes by name — a typo in either list silently drops coverage,
-so pin the invariants."""
+so pin the invariants.
+
+Also home of the TRANSITIVE STALENESS rule (r3 judge mandate #2): a
+driver-green row certifies the code that was checked, not the current code,
+so every query affected by this round's changes must sit inside the driver's
+verification window. "Affected" is SYMBOL-granular and transitive: the
+round's git diff is resolved to changed top-level symbols (functions,
+classes, module constants — decorator/oracle text included), and a query is
+stale when its own source reaches a changed symbol through the name-reference
+closure over the package (so editing ``bucket_pair_expand`` or a seeding
+helper stales every query that composes it — the r3 q57-via-q59 miss becomes
+impossible). Symbols reachable from more queries than the window holds
+(tables/session/common) are engine-wide: those are instead certified by a
+committed full driver-sim artifact from this round.
+"""
 
 from __future__ import annotations
 
+import ast
+import json
+import re
+import subprocess
+from pathlib import Path
+
+import pytest
+
 from stream_cdc_gps_spark import registry
+
+REPO = Path(__file__).resolve().parent.parent
+PKG = "stream_cdc_gps_spark"
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", str(REPO), *args], capture_output=True, text=True, check=True
+    ).stdout
+
+
+def _round_boundary() -> str | None:
+    """Most recent round-marker commit ('round N: ...') — the point the
+    driver last recorded verdict/correctness; this round's changes are
+    everything after it (plus the working tree)."""
+    for line in _git("log", "--format=%H::%s", "-n", "500").splitlines():
+        sha, _, subject = line.partition("::")
+        if subject.startswith("round "):
+            return sha
+    return None
+
+
+def _changed_round_files(boundary: str) -> set[str]:
+    return {
+        f
+        for f in _git("diff", "--name-only", boundary).splitlines()
+        if f.startswith(f"{PKG}/") and f.endswith(".py")
+    }
+
+
+def _module_of(path: str) -> str:
+    return path[: -len(".py")].replace("/", ".").removesuffix(".__init__")
+
+
+def _symbols(src: str) -> dict[str, str]:
+    """Top-level symbol name -> its full source text (decorators included,
+    so a @query(oracle=...) SQL edit counts as changing the function)."""
+    lines = src.splitlines(keepends=True)
+    out: dict[str, str] = {}
+
+    def seg(node: ast.stmt) -> str:
+        start = node.lineno - 1
+        deco = getattr(node, "decorator_list", [])
+        if deco:
+            start = min(d.lineno for d in deco) - 1
+        return "".join(lines[start : node.end_lineno])
+
+    for node in ast.parse(src).body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            out[node.name] = seg(node)
+        elif isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                for n in ast.walk(tgt):
+                    if isinstance(n, ast.Name):
+                        out[n.id] = seg(node)
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            out[node.target.id] = seg(node)
+    return out
+
+
+def _changed_symbols(boundary: str, files: set[str]) -> set[tuple[str, str]]:
+    """(module, symbol) pairs whose top-level source text differs between the
+    round boundary and the working tree. New files contribute all their
+    symbols; deleted files none (nothing can reference them anymore)."""
+    changed: set[tuple[str, str]] = set()
+    for f in files:
+        path = REPO / f
+        if not path.exists():
+            continue
+        try:
+            old = _symbols(_git("show", f"{boundary}:{f}"))
+        except subprocess.CalledProcessError:
+            old = {}  # file is new this round
+        new = _symbols(path.read_text())
+        mod = _module_of(f)
+        for name in set(old) | set(new):
+            if old.get(name) != new.get(name):
+                changed.add((mod, name))
+    return changed
+
+
+def _reachable_symbols(start_src: str, table: dict[tuple[str, str], str]) -> set:
+    """Name-reference closure: every (module, symbol) whose NAME appears in
+    the source of anything already reached, starting from a query's own
+    source. Over-approximates (a name match is not a call) — safe direction
+    for a staleness check."""
+    by_name: dict[str, list[tuple[str, str]]] = {}
+    for key in table:
+        by_name.setdefault(key[1], []).append(key)
+    word = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+    reached: set[tuple[str, str]] = set()
+    frontier = [start_src]
+    while frontier:
+        src = frontier.pop()
+        for name in set(word.findall(src)):
+            for key in by_name.get(name, ()):
+                if key not in reached:
+                    reached.add(key)
+                    frontier.append(table[key])
+    return reached
+
+
+def _symbol_table() -> dict[tuple[str, str], str]:
+    table: dict[tuple[str, str], str] = {}
+    for p in (REPO / PKG).rglob("*.py"):
+        mod = _module_of(str(p.relative_to(REPO)))
+        for name, src in _symbols(p.read_text()).items():
+            table[(mod, name)] = src
+    return table
+
+
+def test_round_changed_queries_fit_driver_window():
+    """THE transitive staleness gate. Every query whose reference closure
+    touches a symbol changed this round must be inside the driver window;
+    symbols reachable from more queries than the window holds are
+    engine-wide and require a committed 0-fail full driver-sim artifact
+    from this round instead. Would have failed on round 3's HEAD (q57's
+    seeding changed inside q57_neardup_components; q57/q52 sat outside the
+    window)."""
+    boundary = _round_boundary()
+    if boundary is None:
+        pytest.skip("no round boundary commit")
+    files = _changed_round_files(boundary)
+    if not files:
+        pytest.skip("no package changes this round yet")
+    changed = _changed_symbols(boundary, files)
+    if not changed:
+        pytest.skip("package files changed but no top-level symbol differs")
+
+    table = _symbol_table()
+    specs = registry.all_queries()
+    stale: dict[str, list[str]] = {}
+    hit_count: dict[tuple[str, str], int] = {}
+    for qname, spec in specs.items():
+        own = table.get((spec.fn.__module__, spec.fn.__name__), "")
+        hits = _reachable_symbols(own, table) & changed
+        # a brand-new query's own symbol is itself a changed symbol
+        if (spec.fn.__module__, spec.fn.__name__) in changed:
+            hits.add((spec.fn.__module__, spec.fn.__name__))
+        for h in hits:
+            hit_count[h] = hit_count.get(h, 0) + 1
+        if hits:
+            stale[qname] = sorted(f"{m}.{s}" for m, s in hits)
+
+    engine_wide = {h for h, n in hit_count.items() if n > registry.DRIVER_WINDOW}
+    window = set(list(specs)[: registry.DRIVER_WINDOW])
+    missing: dict[str, list[str]] = {}
+    for q, syms in stale.items():
+        if q in window:
+            continue
+        non_wide = [s for s in syms if tuple(s.rsplit(".", 1)) not in engine_wide]
+        if non_wide:
+            missing[q] = non_wide
+    assert not missing, (
+        f"queries stale from this round's symbol changes are OUTSIDE the "
+        f"driver window (front-load them in registry._PRIORITY): {missing}"
+    )
+
+    if engine_wide:
+        art = REPO / "artifacts" / "driver_sim_full.json"
+        assert art.exists(), (
+            f"engine-wide symbols changed ({sorted(engine_wide)}) — run "
+            f"scripts/driver_sim.py over the FULL registry and commit "
+            f"artifacts/driver_sim_full.json"
+        )
+        cert = json.loads(art.read_text())
+        assert cert["n_fail"] == 0 and cert["n_checked"] == len(specs), (
+            f"full driver-sim artifact records failures or a partial run: "
+            f"{ {k: cert[k] for k in ('n_checked', 'n_fail')} } vs "
+            f"{len(specs)} registered queries"
+        )
+        ok = subprocess.run(
+            ["git", "-C", str(REPO), "merge-base", "--is-ancestor",
+             boundary, cert["git_head"]],
+            capture_output=True,
+        ).returncode == 0
+        assert ok, (
+            "driver_sim_full.json certifies a PREVIOUS round "
+            f"({cert['git_head'][:12]}); re-run the full driver sim"
+        )
 
 
 def test_priority_names_all_registered():
@@ -33,9 +236,8 @@ def test_bench_headline_names_registered():
     assert not missing, f"bench HEADLINE names not in registry: {missing}"
 
 
-def test_priority_prefix_covers_changed_queries():
-    """The driver checks ~50 queries per round; everything the registry
-    front-loads as changed/new (the part before the r1-rotation block)
-    must fit well inside that window."""
-    front = registry._PRIORITY[: registry._PRIORITY.index("q52_minhash_signatures")]
-    assert len(front) <= 50
+def test_priority_leaves_window_slack():
+    """The driver checks ~DRIVER_WINDOW queries per round; the explicit
+    front-load must leave slack in case the real window is slightly smaller
+    than assumed (r3 ADVICE)."""
+    assert len(registry._PRIORITY) <= registry.DRIVER_WINDOW - 2
