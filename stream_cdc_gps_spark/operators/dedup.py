@@ -814,6 +814,87 @@ def q147_neardup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q150_split_leakage_check",
+    oracle=f"""
+WITH RECURSIVE
+mh AS ({MINHASH_SQL}),
+bands AS ({_BAND_SELECTS}),
+pairs AS ({_PAIRS_SQL}),
+edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS d FROM edges),
+reach(s, t) AS (
+    SELECT d, d FROM nodes
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t
+),
+comp AS (SELECT s AS doc_id, min(t) AS component FROM reach GROUP BY s),
+labeled AS (
+    SELECT c.component, c.doc_id,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp c
+    JOIN (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                     % 100 AS b
+          FROM documents) s ON s.doc_id = c.doc_id
+),
+per_comp AS (
+    SELECT component, count(*) AS n_docs,
+           count(DISTINCT split) AS n_splits
+    FROM labeled GROUP BY component
+)
+SELECT CAST(count(*) AS BIGINT)                                   AS n_components,
+       CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                  AS n_spanning,
+       CAST(sum(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+                                                                  AS n_docs_leaking,
+       floor(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 10000 + 0.5e0) / 10000.0
+                                                                  AS leakage_rate
+FROM per_comp
+""",
+)
+def q150_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE SPLIT audit: near-duplicate components (q57) that span
+    q87's train/val/test boundary. A near-dup of a test document sitting in
+    train is silent eval contamination that doc-level hash splitting cannot
+    see — production pipelines split by CLUSTER, and this is the check that
+    says whether you must.
+
+    Plan: the component labels are edge-list-sized (post-LSH); the split
+    bucket is the same map-only md5 expression as q87, joined on doc_id
+    (broadcastable at scale since components are the tiny side); two
+    aggregations produce the one-row report. The corpus never shuffles.
+    Rounding: portable half-up floor(x*1e4+0.5)/1e4."""
+    labels = q57_neardup_components(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    b = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint") % 100
+    split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    labeled = F.broadcast(labels).join(
+        d.select("doc_id", split.alias("split")), "doc_id"
+    )
+    per_comp = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("split").alias("n_splits"),
+    )
+    spanning = F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+    return per_comp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        spanning.cast("bigint").alias("n_spanning"),
+        F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_leaking"),
+        (
+            F.floor(spanning / F.count(F.lit(1)).cast("double") * 10000 + 0.5e0)
+            / 10000.0
+        ).alias("leakage_rate"),
+    )
+
+
+@query(
     "q79_lev_verify_pairs",
     oracle=f"""
 WITH mh AS ({MINHASH_SQL}),

@@ -385,6 +385,56 @@ def q87_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q149_weighted_sample",
+    oracle="""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, round(key, 6) AS sample_key
+FROM (
+    SELECT doc_id, n_chars,
+           -ln((('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                + 1) / 4294967297.0) / n_chars AS key
+    FROM documents WHERE n_chars > 0
+)
+ORDER BY key, doc_id
+LIMIT 100
+""",
+)
+def q149_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each doc draws an exponential clock -ln(u)/w with weight w = n_chars
+    (longer docs proportionally more likely) and the k smallest clocks form
+    the sample — the standard one-pass distributed weighted reservoir, here
+    with u derived from a salted md5 so the draw is deterministic and
+    engine-portable ((h+1)/(2^32+1) keeps u in (0,1), never 0).
+
+    Scale: key computation is map-only; the k-smallest selection is
+    TakeOrdered (per-partition top-k, then a k-row driver merge) — no
+    global sort, no shuffle of the corpus. This is how a 100 TB pipeline
+    draws a quality-weighted eval slice in one pass."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            key.alias("key"),
+        )
+        .orderBy("key", "doc_id")
+        .limit(100)
+        .select("doc_id", "weight", F.round("key", 6).alias("sample_key"))
+    )
+
+
+@query(
     "q66_quality_filter",
     oracle="""
 SELECT doc_id,

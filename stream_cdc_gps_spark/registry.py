@@ -95,6 +95,8 @@ _PRIORITY: list[str] = [
     "q146_minhash_jaccard_estimate",
     "q147_neardup_cluster_stats",
     "q148_hard_negative_mining",
+    "q149_weighted_sample",
+    "q150_split_leakage_check",
     # (d) oldest r1-only rows, registration order
     "q40_wkt_points",
     "q41_derived_motion",
@@ -127,8 +129,6 @@ _PRIORITY: list[str] = [
     "q21_distinct",
     "q22_string_funcs",
     "q23_date_funcs",
-    "q24_json_funcs",
-    "q25_hash_funcs",
 ]
 
 

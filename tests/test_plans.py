@@ -198,3 +198,20 @@ def test_q105_gate_falls_back_to_shuffle_semi_join(spark, monkeypatch):
     # the dataflow survives: same result as the broadcast path
     open_ = {tuple(r) for r in Q["q105_decontamination"](spark, SF_SMOKE).collect()}
     assert gated == open_
+
+
+def test_q149_weighted_sample_is_takeordered_no_global_sort(spark):
+    """A-ES weighted sampling must be per-partition top-k + driver merge
+    (TakeOrdered), never a materialized global sort of the corpus."""
+    df = Q["q149_weighted_sample"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "TakeOrderedAndProject" in p, p
+    assert exchange_count(df) == 0, p
+
+
+def test_q150_leakage_check_broadcasts_component_side(spark):
+    """The split-leakage audit joins edge-list-sized component labels to
+    the corpus split buckets: the component side broadcasts, the corpus
+    side must not shuffle for the join."""
+    df = Q["q150_split_leakage_check"](spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 1
