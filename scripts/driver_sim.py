@@ -147,7 +147,15 @@ def main() -> None:
             ).stdout.strip()
         )
         os.makedirs(os.path.join(repo, "artifacts"), exist_ok=True)
-        with open(os.path.join(repo, "artifacts", "driver_sim_full.json"), "w") as f:
+        # the staleness gate's certificate is the sf0.01 run (the driver's
+        # own scale); other SFs land as separate, suffixed artifacts
+        base = os.path.basename(sf_dir.rstrip("/"))
+        name = (
+            "driver_sim_full.json"
+            if base == "sf0.01"
+            else f"driver_sim_full_{base}.json"
+        )
+        with open(os.path.join(repo, "artifacts", name), "w") as f:
             json.dump(
                 {
                     "git_head": head,

@@ -290,6 +290,70 @@ def q108_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q152_shingle_novelty",
+    oracle="""
+WITH sh AS (
+    SELECT DISTINCT doc_id, u.s AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                i -> array_to_string(toks[i:i+4], ' '))) AS u(s)
+),
+df AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT)                               AS n_shingles,
+       CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                              AS n_shared,
+       floor((1.0 - sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE)) * 10000 + 0.5e0) / 10000.0
+                                                              AS novelty_rate
+FROM sh s JOIN df d ON d.shingle = s.shingle
+GROUP BY s.doc_id
+""",
+)
+def q152_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's distinct word 5-grams
+    that appear in NO other document. Low novelty = boilerplate/template
+    mass (memorization and dedup risk); the per-doc score a curation
+    pipeline uses to rank what near-dup thresholds missed.
+
+    Plan: the classic inverted-index self-measure — one shingle-keyed
+    groupBy builds document frequencies (map-side partials), one equi join
+    carries df back onto the postings, one doc-keyed aggregation scores.
+    All shuffles are on uniform hash keys (shingle, doc_id); nothing is
+    quadratic. The posting list is derived twice (once per join side, the
+    sides partition differently so no exchange reuse) — at warehouse scale
+    you'd materialize the postings once; both plans stay linear. Rounding:
+    portable half-up floor(x*1e4+0.5)/1e4."""
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                word_shingles(tokens(F.col("text")), _DECONTAM_N)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    total = F.count(F.lit(1))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            total.cast("bigint").alias("n_shingles"),
+            shared.cast("bigint").alias("n_shared"),
+            (
+                F.floor(
+                    (1.0 - shared / total.cast("double")) * 10000 + 0.5e0
+                )
+                / 10000.0
+            ).alias("novelty_rate"),
+        )
+    )
+
+
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
 

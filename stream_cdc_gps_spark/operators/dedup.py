@@ -895,6 +895,79 @@ def q150_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q153_cluster_safe_split",
+    oracle=f"""
+WITH RECURSIVE
+mh AS ({MINHASH_SQL}),
+bands AS ({_BAND_SELECTS}),
+pairs AS ({_PAIRS_SQL}),
+edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS d FROM edges),
+reach(s, t) AS (
+    SELECT d, d FROM nodes
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t
+),
+comp AS (SELECT s AS doc_id, min(t) AS component FROM reach GROUP BY s),
+assigned AS (
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS split_key,
+           c.component IS NOT NULL AS clustered
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+labeled AS (
+    SELECT doc_id, clustered,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, clustered,
+                 ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 4))::BIGINT
+                     % 100 AS b
+          FROM assigned)
+)
+SELECT split,
+       CAST(count(*) AS BIGINT)                                    AS n_docs,
+       CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)  AS n_clustered
+FROM labeled
+GROUP BY split
+""",
+)
+def q153_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-SAFE train/val/test split — the remedy for what q150 audits:
+    every document hashes on its near-dup COMPONENT label (its own id when
+    unclustered), so an entire near-dup cluster lands in one split by
+    construction and eval contamination through near-duplicates is
+    structurally impossible.
+
+    Plan: component labels (edge-list-sized, post-LSH) broadcast into a
+    left join against the corpus; split assignment stays the same map-only
+    md5 bucket as q87, just keyed on the inherited label. One aggregation
+    reports the split sizes and how many docs were cluster-assigned —
+    the same numbers a pipeline logs before materializing the split."""
+    labels = q57_neardup_components(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    assigned = d.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("split_key"),
+        F.col("component").isNotNull().alias("clustered"),
+    )
+    b = F.conv(
+        F.substring(F.md5(F.col("split_key").cast("string")), 1, 4), 16, 10
+    ).cast("bigint") % 100
+    split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    return (
+        assigned.select(split.alias("split"), "clustered")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("clustered"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clustered"),
+        )
+    )
+
+
+@query(
     "q79_lev_verify_pairs",
     oracle=f"""
 WITH mh AS ({MINHASH_SQL}),

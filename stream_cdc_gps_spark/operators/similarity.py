@@ -219,6 +219,85 @@ def q148_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIM = 64
+# Per-dim conditional-average terms for the two split centroids, generated
+# once for both engines (house pattern: _SIMHASH_SUMS in dedup.py).
+_TR_AVG_SQL = ", ".join(
+    f"avg(CASE WHEN b < 90 THEN emb[{i}] END) AS tr{i}" for i in range(1, _DIM + 1)
+)
+_TE_AVG_SQL = ", ".join(
+    f"avg(CASE WHEN b >= 95 THEN emb[{i}] END) AS te{i}" for i in range(1, _DIM + 1)
+)
+_DRIFT_DOT = " + ".join(f"tr{i} * te{i}" for i in range(1, _DIM + 1))
+_DRIFT_TR2 = " + ".join(f"tr{i} * tr{i}" for i in range(1, _DIM + 1))
+_DRIFT_TE2 = " + ".join(f"te{i} * te{i}" for i in range(1, _DIM + 1))
+_DRIFT_L2 = " + ".join(
+    f"(tr{i} - te{i}) * (tr{i} - te{i})" for i in range(1, _DIM + 1)
+)
+_DRIFT_MAX = ", ".join(f"abs(tr{i} - te{i})" for i in range(1, _DIM + 1))
+
+
+@query(
+    "q151_split_centroid_drift",
+    oracle=f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS emb,
+                  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT % 100
+                      AS b
+           FROM embeddings),
+c AS (SELECT {_TR_AVG_SQL}, {_TE_AVG_SQL} FROM e)
+SELECT round(({_DRIFT_DOT}) / (sqrt({_DRIFT_TR2}) * sqrt({_DRIFT_TE2})), 6)
+           AS centroid_cosine,
+       round(sqrt({_DRIFT_L2}), 6)               AS centroid_l2,
+       round(greatest({_DRIFT_MAX}), 6)          AS max_dim_drift
+FROM c
+""",
+)
+def q151_split_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift check between hash splits: cosine / L2 / max
+    per-dimension drift between the TRAIN and TEST embedding centroids. A
+    sound random split drifts ~0 (cosine ~1); real drift means the eval set
+    measures a different distribution than training saw — the embedding-
+    space analogue of a covariate-shift audit.
+
+    Plan: ONE aggregation computes all 128 conditional per-dim means
+    (element_at + when — map-side partials, no explode, q65's centroid
+    pattern); the drift scalars are pure expressions over that single row.
+    At 100 TB this is one pass, one 1-row shuffle."""
+    e = t(spark, sf_dir, "embeddings").select(
+        as_double(F.col("embedding")).alias("emb"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+            ).cast("bigint")
+            % 100
+        ).alias("b"),
+    )
+    tr = [
+        F.avg(F.when(F.col("b") < 90, F.element_at("emb", i)))
+        for i in range(1, _DIM + 1)
+    ]
+    te = [
+        F.avg(F.when(F.col("b") >= 95, F.element_at("emb", i)))
+        for i in range(1, _DIM + 1)
+    ]
+    c = e.agg(
+        *[x.alias(f"tr{i}") for i, x in enumerate(tr, 1)],
+        *[x.alias(f"te{i}") for i, x in enumerate(te, 1)],
+    )
+    trc = [F.col(f"tr{i}") for i in range(1, _DIM + 1)]
+    tec = [F.col(f"te{i}") for i in range(1, _DIM + 1)]
+    dot = sum(a * b for a, b in zip(trc, tec))
+    tr2 = sum(a * a for a in trc)
+    te2 = sum(a * a for a in tec)
+    l2 = sum((a - b) * (a - b) for a, b in zip(trc, tec))
+    mx = F.greatest(*[F.abs(a - b) for a, b in zip(trc, tec)])
+    return c.select(
+        F.round(dot / (F.sqrt(tr2) * F.sqrt(te2)), 6).alias("centroid_cosine"),
+        F.round(F.sqrt(l2), 6).alias("centroid_l2"),
+        F.round(mx, 6).alias("max_dim_drift"),
+    )
+
+
 @query(
     "q62_embedding_stats",
     oracle=f"""

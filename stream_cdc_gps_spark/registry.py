@@ -97,6 +97,9 @@ _PRIORITY: list[str] = [
     "q148_hard_negative_mining",
     "q149_weighted_sample",
     "q150_split_leakage_check",
+    "q151_split_centroid_drift",
+    "q152_shingle_novelty",
+    "q153_cluster_safe_split",
     # (d) oldest r1-only rows, registration order
     "q40_wkt_points",
     "q41_derived_motion",
@@ -126,9 +129,6 @@ _PRIORITY: list[str] = [
     "q18_intersect",
     "q19_except",
     "q20_union_all",
-    "q21_distinct",
-    "q22_string_funcs",
-    "q23_date_funcs",
 ]
 
 

@@ -89,3 +89,50 @@ def test_hash_split_is_repartition_stable(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_events_loader_handles_both_ts_physical_units(spark, tmp_path):
+    """The corpus has shipped events.ts as TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across regenerations (it flipped between rounds 3 and
+    4); the loader probes the parquet footer and must land the SAME
+    wall-clock µs timestamps either way — under the wrong assumption every
+    event time is silently off by 1000x."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stream_cdc_gps_spark.tables import load_table
+
+    base_us = 1_704_067_207_179_575  # 2024-01-01T00:00:07.179575Z
+    rows = {
+        "event_id": [0, 1],
+        "user_id": [10, 11],
+        "event_type": ["a", "b"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+    expected = None
+    for unit in ("us", "ns"):
+        d = tmp_path / unit
+        d.mkdir()
+        scale = 1 if unit == "us" else 1000
+        table = pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "ts": pa.array(
+                    [(base_us + i) * scale for i in range(2)], pa.timestamp(unit)
+                ),
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"]),
+                "value": pa.array(rows["value"], pa.float64()),
+                "props": pa.array(rows["props"]),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"), store_schema=False)
+        got = sorted(
+            (r["event_id"], r["ts"].isoformat())
+            for r in load_table(spark, str(d), "events").collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected, f"unit {unit} diverged: {got} vs {expected}"
+    assert expected[0][1].startswith("2024-01-01T00:00:07.179575")

@@ -215,3 +215,20 @@ def test_q150_leakage_check_broadcasts_component_side(spark):
     side must not shuffle for the join."""
     df = Q["q150_split_leakage_check"](spark, SF_SMOKE)
     assert broadcast_join_count(df) >= 1
+
+
+def test_q151_centroid_drift_single_pass(spark):
+    """128 conditional per-dim means ride ONE aggregation (no explode, no
+    join): partial aggregates map-side, a single 1-row exchange."""
+    df = Q["q151_split_centroid_drift"](spark, SF_SMOKE)
+    assert exchange_count(df) == 1, plan_string(df)
+    assert "Join" not in plan_string(df)
+
+
+def test_q153_cluster_safe_split_broadcasts_labels(spark):
+    """Component labels are the tiny (post-LSH) side: they broadcast into
+    the corpus left join; the corpus never shuffles for the assignment."""
+    df = Q["q153_cluster_safe_split"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert broadcast_join_count(df) >= 1
+    assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
