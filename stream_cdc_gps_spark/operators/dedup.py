@@ -968,6 +968,130 @@ def q153_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q154_cross_source_dup_matrix",
+    oracle=f"""
+WITH mh AS ({MINHASH_SQL}),
+bands AS ({_BAND_SELECTS}),
+pairs AS ({_PAIRS_SQL})
+SELECT least(da.source, db.source)    AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT)       AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+""",
+)
+def q154_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup candidate pairs bucketed by
+    the (unordered) pair of sources they bridge. The provenance question a
+    corpus owner asks before weighting sources (q108): which feeds
+    syndicate each other's content — diagonal mass = within-source
+    boilerplate, off-diagonal = cross-source copying that double-counts
+    under independent source weights.
+
+    Plan: the post-LSH pair list is tiny and broadcasts into two doc_id
+    equi joins against a 2-column projection of the corpus; one
+    O(sources²)-key aggregation. least/greatest folds the symmetric pair
+    so each source pair reports once."""
+    pairs = q53_lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        F.broadcast(pairs)
+        .join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+@query(
+    "q155_dedup_threshold_sweep",
+    oracle=f"""
+WITH sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {MAX_POSTING}),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN ok USING (sh)
+    JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+    SELECT doc_a, doc_b,
+           n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS j
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT t.threshold,
+       CAST(count(CASE WHEN j >= t.threshold THEN 1 END) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN j >= t.threshold THEN doc_b END) AS BIGINT)
+           AS max_docs_dropped
+FROM jac CROSS JOIN (SELECT unnest([0.2e0, 0.4e0, 0.6e0, 0.8e0]) AS threshold) t
+GROUP BY t.threshold
+""",
+)
+def q155_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD TUNING curve: for each candidate Jaccard cutoff,
+    how many pairs survive and an upper bound on documents dropped (distinct
+    higher-id pair members) — the sweep a pipeline owner reads to pick the
+    dedup threshold before a run, computed in ONE pass over the pair list.
+
+    Plan: reuses q54's capped inverted-index intersection (two exchanges,
+    no joins on the corpus side); the 4-row threshold grid explodes against
+    only the tiny pair list, then one O(4)-key aggregation. The conditional
+    count-distinct is exact because it runs per threshold key."""
+    sh = _shingle_arrays(spark, sf_dir)
+    docs = sh.select("doc_id", F.array_distinct("shs").alias("shs")).withColumn(
+        "n_sh", F.size("shs")
+    )
+    exploded = docs.select("doc_id", "n_sh", F.explode("shs").alias("sh"))
+    buckets = (
+        exploded.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_POSTING))
+    )
+    inter = (
+        bucket_pair_expand(buckets)
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = inter.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_common")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+        ).alias("j"),
+    )
+    grid = F.explode(F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)]))
+    return (
+        jac.select("doc_a", "doc_b", "j", grid.alias("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(F.col("j") >= F.col("threshold"), 1))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.count_distinct(
+                F.when(F.col("j") >= F.col("threshold"), F.col("doc_b"))
+            )
+            .cast("bigint")
+            .alias("max_docs_dropped"),
+        )
+    )
+
+
+@query(
     "q79_lev_verify_pairs",
     oracle=f"""
 WITH mh AS ({MINHASH_SQL}),

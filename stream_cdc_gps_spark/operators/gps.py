@@ -635,3 +635,167 @@ def q143_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dist_mm") / 1000.0).alias("dist_m"),
         )
     )
+
+
+# Dwell threshold, sized to the synthetic fix geometry (consecutive-fix
+# distance quartiles at sf0.01 ≈ 1/4/10 km): ~25% of steps qualify, so
+# >=3-fix runs exist but are selective. A real deployment would use
+# 50-200 m; only the constant changes.
+_STOP_DIST_M = 4000.0
+_STOP_MIN_FIXES = 3
+
+_STOP_HAV = HAVERSINE_SQL.format(
+    lat1="lag(lat) OVER w", lon1="lag(lon) OVER w", lat2="lat", lon2="lon"
+)
+
+
+@query(
+    "q156_stop_detection",
+    oracle=f"""
+WITH flagged AS (
+    SELECT device_id, gps_id, ts, us,
+           CASE WHEN ({_STOP_HAV}) < {_STOP_DIST_M} THEN 1 ELSE 0 END AS dwell
+    FROM ({FIXES_SQL})
+    WINDOW w AS (PARTITION BY device_id ORDER BY ts, gps_id)
+),
+runs AS (
+    SELECT device_id, ts, us, dwell,
+           CAST(sum(CASE WHEN dwell = pd THEN 0 ELSE 1 END)
+                OVER (PARTITION BY device_id ORDER BY ts, gps_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run_id
+    FROM (SELECT *, coalesce(lag(dwell) OVER (PARTITION BY device_id
+                                              ORDER BY ts, gps_id), -1) AS pd
+          FROM flagged)
+)
+SELECT device_id,
+       run_id                                    AS stop_seq,
+       CAST(count(*) AS BIGINT)                  AS n_fixes,
+       CAST(floor((max(us) - min(us)) / 1000000.0) AS BIGINT) AS duration_s
+FROM runs
+WHERE dwell = 1
+GROUP BY device_id, run_id
+HAVING count(*) >= {_STOP_MIN_FIXES}
+""",
+)
+def q156_stop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOP DETECTION — maximal runs of consecutive low-movement fixes
+    (< {_STOP_DIST_M:.0f} m from the previous fix, >= {_STOP_MIN_FIXES}
+    fixes): the dwell/visit extraction step of every trajectory-mining
+    pipeline, and the gaps-and-islands window pattern (run ids from a
+    cumulative sum of change flags) the suite didn't yet exercise.
+
+    Plan: ONE device-keyed sort serves all three window passes (lag
+    distance, lag flag, cumulative run id) — Catalyst collapses same-spec
+    windows; the run aggregation reuses the same partitioning. One shuffle
+    total, the q41/q42 scale shape."""
+    fx = fixes(spark, sf_dir)
+    w = Window.partitionBy("device_id").orderBy("ts", "gps_id")
+    dist = haversine_m(
+        F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+    )
+    flagged = fx.select(
+        "device_id", "gps_id", "ts", "us",
+        F.when(dist < _STOP_DIST_M, 1).otherwise(0).alias("dwell"),
+    )
+    prev = F.coalesce(F.lag("dwell").over(w), F.lit(-1))
+    runs = flagged.select(
+        "device_id", "ts", "us", "dwell",
+        F.sum(F.when(F.col("dwell") == prev, 0).otherwise(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("run_id"),
+    )
+    return (
+        runs.filter(F.col("dwell") == 1)
+        .groupBy("device_id", F.col("run_id").alias("stop_seq"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fixes"),
+            F.floor((F.max("us") - F.min("us")) / 1_000_000.0)
+            .cast("bigint")
+            .alias("duration_s"),
+        )
+        .filter(F.col("n_fixes") >= _STOP_MIN_FIXES)
+    )
+
+
+@query(
+    "q157_od_matrix",
+    oracle=f"""
+WITH flagged AS (
+    SELECT device_id, gps_id, ts, us, lat, lon,
+           CASE WHEN us - lag(us) OVER (PARTITION BY device_id ORDER BY ts, gps_id)
+                     > 1800000000
+                  OR lag(us) OVER (PARTITION BY device_id ORDER BY ts, gps_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM ({FIXES_SQL})
+),
+trips AS (
+    SELECT device_id, ts, gps_id, lat, lon,
+           CAST(sum(is_new) OVER (PARTITION BY device_id ORDER BY ts, gps_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trip_id
+    FROM flagged
+),
+ends AS (
+    SELECT DISTINCT device_id, trip_id,
+           first_value(lat) OVER wt AS o_lat, first_value(lon) OVER wt AS o_lon,
+           last_value(lat)  OVER wt AS d_lat, last_value(lon)  OVER wt AS d_lon
+    FROM trips
+    WINDOW wt AS (PARTITION BY device_id, trip_id ORDER BY ts, gps_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT CAST(floor((o_lat - 35.0) / 0.25) AS BIGINT) * 4
+         + CAST(floor((o_lon - 51.0) / 0.25) AS BIGINT) AS origin_cell,
+       CAST(floor((d_lat - 35.0) / 0.25) AS BIGINT) * 4
+         + CAST(floor((d_lon - 51.0) / 0.25) AS BIGINT) AS dest_cell,
+       CAST(count(*) AS BIGINT)                         AS n_trips
+FROM ends
+WHERE o_lat >= 35.0 AND o_lat < 36.0 AND o_lon >= 51.0 AND o_lon < 52.0
+  AND d_lat >= 35.0 AND d_lat < 36.0 AND d_lon >= 51.0 AND d_lon < 52.0
+GROUP BY 1, 2
+""",
+)
+def q157_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORIGIN-DESTINATION matrix: per trip (q42's >30 min-gap sessions),
+    the first and last fix snapped to q101's regular grid, counted per
+    (origin_cell, dest_cell) — the flow matrix urban-mobility analytics
+    derives from exactly the table the reference lands.
+
+    Plan: one device-keyed window pass builds trip ids; min_by/max_by under
+    the composite (ts, gps_id) order pick the endpoints inside ONE
+    per-trip aggregation (no self-join back for first/last rows); the O(
+    cells²)-key flow aggregation ends the plan. Two keyed shuffles total."""
+    fx = fixes(spark, sf_dir)
+    w = Window.partitionBy("device_id").orderBy("ts", "gps_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    trips = fx.select(
+        "device_id", "ts", "gps_id", "lat", "lon",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("trip_id"),
+    )
+    order = F.struct("ts", "gps_id")
+    ends = trips.groupBy("device_id", "trip_id").agg(
+        F.min_by("lat", order).alias("o_lat"),
+        F.min_by("lon", order).alias("o_lon"),
+        F.max_by("lat", order).alias("d_lat"),
+        F.max_by("lon", order).alias("d_lon"),
+    )
+    def cell(lat: str, lon: str) -> F.Column:
+        return (
+            F.floor((F.col(lat) - 35.0) / 0.25).cast("bigint") * 4
+            + F.floor((F.col(lon) - 51.0) / 0.25).cast("bigint")
+        )
+    bounded = ends.filter(
+        (F.col("o_lat") >= 35.0) & (F.col("o_lat") < 36.0)
+        & (F.col("o_lon") >= 51.0) & (F.col("o_lon") < 52.0)
+        & (F.col("d_lat") >= 35.0) & (F.col("d_lat") < 36.0)
+        & (F.col("d_lon") >= 51.0) & (F.col("d_lon") < 52.0)
+    )
+    return bounded.groupBy(
+        cell("o_lat", "o_lon").alias("origin_cell"),
+        cell("d_lat", "d_lon").alias("dest_cell"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_trips"))

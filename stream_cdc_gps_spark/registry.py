@@ -100,6 +100,10 @@ _PRIORITY: list[str] = [
     "q151_split_centroid_drift",
     "q152_shingle_novelty",
     "q153_cluster_safe_split",
+    "q154_cross_source_dup_matrix",
+    "q155_dedup_threshold_sweep",
+    "q156_stop_detection",
+    "q157_od_matrix",
     # (d) oldest r1-only rows, registration order
     "q40_wkt_points",
     "q41_derived_motion",
@@ -125,10 +129,6 @@ _PRIORITY: list[str] = [
     "q14_grouping_sets",
     "q15_percentiles",
     "q16_having",
-    "q17_conditional_agg",
-    "q18_intersect",
-    "q19_except",
-    "q20_union_all",
 ]
 
 

@@ -232,3 +232,26 @@ def test_q153_cluster_safe_split_broadcasts_labels(spark):
     p = plan_string(df)
     assert broadcast_join_count(df) >= 1
     assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
+
+
+def test_q156_stop_detection_single_device_shuffle(spark):
+    """All three window passes (lag distance, lag flag, cumulative run id)
+    and the run aggregation share ONE device-keyed exchange — partitioning
+    by device_id already clusters (device_id, run_id) groups."""
+    df = Q["q156_stop_detection"](spark, SF_SMOKE)
+    assert exchange_count(df) == 1, plan_string(df)
+
+
+def test_q157_od_matrix_two_keyed_shuffles(spark):
+    """Trip windows + endpoint aggregation ride the device-keyed exchange;
+    the only other shuffle is the O(cells^2)-key flow aggregation."""
+    df = Q["q157_od_matrix"](spark, SF_SMOKE)
+    assert exchange_count(df) == 2, plan_string(df)
+    assert "Join" not in plan_string(df)
+
+
+def test_q154_dup_matrix_broadcasts_pairs(spark):
+    df = Q["q154_cross_source_dup_matrix"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert broadcast_join_count(df) >= 1
+    assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
