@@ -1092,6 +1092,92 @@ def q155_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q160_idf_weighted_jaccard",
+    oracle=f"""
+WITH mh AS ({MINHASH_SQL}),
+bands AS ({_BAND_SELECTS}),
+pairs AS ({_PAIRS_SQL}),
+sh AS ({SHINGLES_SQL}),
+n AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+    SELECT sh.sh AS sh, ln(CAST(n.n_docs AS DOUBLE) / count(*)) AS w
+    FROM sh, n GROUP BY sh.sh, n.n_docs
+),
+doc_w AS (
+    SELECT s.doc_id, sum(i.w) AS total_w
+    FROM sh s JOIN idf i ON i.sh = s.sh GROUP BY s.doc_id
+),
+shared AS (
+    SELECT p.doc_a, p.doc_b, sum(i.w) AS shared_w
+    FROM pairs p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+    JOIN idf i ON i.sh = a.sh
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT s.doc_a, s.doc_b,
+       round(s.shared_w / (wa.total_w + wb.total_w - s.shared_w), 4)
+           AS soft_jaccard
+FROM shared s
+JOIN doc_w wa ON wa.doc_id = s.doc_a
+JOIN doc_w wb ON wb.doc_id = s.doc_b
+""",
+)
+def q160_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-WEIGHTED (soft) Jaccard for LSH candidate pairs: shared and
+    union shingle mass weighted by ln(N/df), so overlap on rare content
+    counts and overlap on boilerplate barely does — the similarity a
+    curation pipeline uses when plain Jaccard is gamed by navigation
+    chrome and license footers.
+
+    Plan: document frequencies come from one shingle-keyed aggregation
+    (the q152 inverted index) with the 1-row corpus count broadcast into
+    the idf expression (q78's pattern); per-doc total mass is one doc-keyed
+    aggregation; the pair-scoped shared mass touches only the broadcast
+    post-LSH pair list. Every weight is derived, joined, and summed on
+    uniform hash keys."""
+    pairs = q53_lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = shingles(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("sh", F.log(F.col("n_docs") / F.col("df")).alias("w"))
+    )
+    doc_w = (
+        sh.join(idf, "sh")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("total_w"))
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    shared = (
+        F.broadcast(pairs)
+        .join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .join(idf, "sh")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").alias("shared_w"))
+    )
+    wa = doc_w.select(F.col("doc_id").alias("doc_a"), F.col("total_w").alias("wa"))
+    wb = doc_w.select(F.col("doc_id").alias("doc_b"), F.col("total_w").alias("wb"))
+    return (
+        shared.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared_w") / (F.col("wa") + F.col("wb") - F.col("shared_w")),
+                4,
+            ).alias("soft_jaccard"),
+        )
+    )
+
+
+@query(
     "q79_lev_verify_pairs",
     oracle=f"""
 WITH mh AS ({MINHASH_SQL}),

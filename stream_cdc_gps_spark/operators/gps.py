@@ -799,3 +799,59 @@ def q157_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell("o_lat", "o_lon").alias("origin_cell"),
         cell("d_lat", "d_lon").alias("dest_cell"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_trips"))
+
+
+_Z_BITS = 8  # 256x256 cells over the 1-degree window
+
+_Z_INTERLEAVE_SQL = " + ".join(
+    f"(((qlat >> {b}) & 1) << {2 * b + 1}) + (((qlon >> {b}) & 1) << {2 * b})"
+    for b in range(_Z_BITS)
+)
+
+
+@query(
+    "q158_zorder_morton",
+    oracle=f"""
+WITH fx AS ({FIXES_SQL}),
+q AS (
+    SELECT gps_id,
+           CAST(floor((lat - 35.0) * 256.0) AS BIGINT) AS qlat,
+           CAST(floor((lon - 51.0) * 256.0) AS BIGINT) AS qlon
+    FROM fx
+    WHERE lat >= 35.0 AND lat < 36.0 AND lon >= 51.0 AND lon < 52.0
+      AND CAST(gps_id AS BIGINT) < 2000
+)
+SELECT gps_id, qlat, qlon,
+       CAST({_Z_INTERLEAVE_SQL} AS BIGINT) AS morton
+FROM q
+""",
+)
+def q158_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) codes: lat/lon quantized to a 256x256 grid and
+    bit-interleaved into one locality-preserving sort key — the layout
+    primitive behind multi-dimensional data clustering (Delta OPTIMIZE
+    ZORDER, Iceberg sort orders): writing files sorted by this key makes
+    min/max file statistics prune BOTH dimensions for range predicates.
+
+    Plan: pure integer bit arithmetic, fully inside codegen — zero
+    shuffles, zero joins; at 100 TB the code is computed on the fly during
+    the write's local sort. The oracle runs the identical interleave term
+    for term."""
+    fx = fixes(spark, sf_dir).filter(
+        (F.col("lat") >= 35.0) & (F.col("lat") < 36.0)
+        & (F.col("lon") >= 51.0) & (F.col("lon") < 52.0)
+        & (F.col("gps_id").cast("bigint") < 2000)
+    )
+    q = fx.select(
+        "gps_id",
+        F.floor((F.col("lat") - 35.0) * 256.0).cast("bigint").alias("qlat"),
+        F.floor((F.col("lon") - 51.0) * 256.0).cast("bigint").alias("qlon"),
+    )
+    morton = sum(
+        (
+            F.shiftleft(F.shiftright("qlat", b).bitwiseAND(F.lit(1)), 2 * b + 1)
+            + F.shiftleft(F.shiftright("qlon", b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+        for b in range(_Z_BITS)
+    )
+    return q.select("gps_id", "qlat", "qlon", morton.cast("bigint").alias("morton"))

@@ -325,6 +325,103 @@ def q62_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 4  # subspaces
+_PQ_D = 16  # dims per subspace (4 x 16 = 64)
+_PQ_K = 4  # centroids per subspace
+
+_SQL_SUB_L2 = (
+    "list_reduce(list_transform(range(1, {d} + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "q159_pq_codes",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+cb AS (  -- codebook: subvectors of the first {_PQ_K} vectors, per subspace
+    SELECT m.m AS m, c.vec_id AS code,
+           (c.emb)[m.m * {_PQ_D} + 1 : (m.m + 1) * {_PQ_D}] AS cent
+    FROM (SELECT unnest(range(0, {_PQ_M})) AS m) m
+    CROSS JOIN (SELECT * FROM e WHERE vec_id < {_PQ_K}) c
+),
+sub AS (
+    SELECT v.vec_id, m.m AS m,
+           (v.emb)[m.m * {_PQ_D} + 1 : (m.m + 1) * {_PQ_D}] AS sv
+    FROM (SELECT * FROM e WHERE vec_id < 500) v,
+         (SELECT unnest(range(0, {_PQ_M})) AS m) m
+),
+best AS (
+    SELECT vec_id, m, code, err FROM (
+        SELECT s.vec_id, s.m, c.code,
+               {_SQL_SUB_L2.format(a="s.sv", b="c.cent", d=_PQ_D)} AS err,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_SQL_SUB_L2.format(a="s.sv", b="c.cent", d=_PQ_D)},
+                                           c.code) AS rn
+        FROM sub s JOIN cb c ON c.m = s.m
+    ) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN m = 0 THEN code END) AS BIGINT) AS code0,
+       CAST(max(CASE WHEN m = 1 THEN code END) AS BIGINT) AS code1,
+       CAST(max(CASE WHEN m = 2 THEN code END) AS BIGINT) AS code2,
+       CAST(max(CASE WHEN m = 3 THEN code END) AS BIGINT) AS code3,
+       round(sqrt(sum(err)), 6) AS recon_err
+FROM best
+GROUP BY vec_id
+""",
+)
+def q159_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION encoding: each 64-d vector split into
+    {_PQ_M} x {_PQ_D}-d subvectors, each assigned its nearest subspace
+    centroid (deterministic codebook: the first {_PQ_K} vectors'
+    subvectors), emitting the {_PQ_M}-byte code plus the reconstruction
+    error — the compression layout every large-scale ANN index (FAISS
+    IVF-PQ) stores instead of raw floats (here 64 floats -> 4 codes =
+    64x smaller).
+
+    Plan: the codebook is literal (driver-side k x m tiny rows, exactly
+    q63's IVF codebook move), so per-subspace argmin is a pure array-HOF
+    expression — the WHOLE encoding is map-only, zero shuffles, zero
+    joins. The oracle re-derives codes relationally (cross join + window
+    argmin) to double-check the HOF argmin."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cb_rows = sorted(
+        e.filter(F.col("vec_id") < _PQ_K).collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def sub_l2(sv: F.Column, cent: list[float]) -> F.Column:
+        diff2 = F.transform(
+            sv, lambda x, i: (x - F.element_at(F.array(*[F.lit(c) for c in cent]), i + 1)) ** 2
+        )
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+    v = e.filter(F.col("vec_id") < 500)
+    codes, errs = [], []
+    for m in range(_PQ_M):
+        sv = F.slice("emb", m * _PQ_D + 1, _PQ_D)
+        cands = F.array(
+            *[
+                F.struct(
+                    sub_l2(sv, [float(x) for x in r["emb"][m * _PQ_D : (m + 1) * _PQ_D]]).alias("err"),
+                    F.lit(int(r["vec_id"])).alias("code"),
+                )
+                for r in cb_rows
+            ]
+        )
+        best = F.array_min(cands)
+        codes.append(best["code"].cast("bigint").alias(f"code{m}"))
+        errs.append(best["err"])
+    return v.select(
+        "vec_id",
+        *codes,
+        F.round(F.sqrt(sum(errs)), 6).alias("recon_err"),
+    )
+
+
 N_CENTROIDS = 8
 
 # Deterministic "centroids": the first N_CENTROIDS vectors by vec_id (a real

@@ -104,6 +104,9 @@ _PRIORITY: list[str] = [
     "q155_dedup_threshold_sweep",
     "q156_stop_detection",
     "q157_od_matrix",
+    "q158_zorder_morton",
+    "q159_pq_codes",
+    "q160_idf_weighted_jaccard",
     # (d) oldest r1-only rows, registration order
     "q40_wkt_points",
     "q41_derived_motion",
@@ -126,9 +129,6 @@ _PRIORITY: list[str] = [
     "q11_count_distinct",
     "q12_rollup",
     "q13_cube",
-    "q14_grouping_sets",
-    "q15_percentiles",
-    "q16_having",
 ]
 
 

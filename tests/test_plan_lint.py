@@ -56,6 +56,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q141_bm25",             # broadcast 1-row corpus N/avgdl stats
         "q142_bigram_lm_score",  # broadcast 1-row vocab size
         "q145_equidepth_histogram_approx",  # broadcast 1-row sketch bounds
+        "q160_idf_weighted_jaccard",  # broadcast 1-row corpus doc count
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"

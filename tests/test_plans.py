@@ -255,3 +255,21 @@ def test_q154_dup_matrix_broadcasts_pairs(spark):
     p = plan_string(df)
     assert broadcast_join_count(df) >= 1
     assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
+
+
+def test_q158_morton_is_map_only(spark):
+    """Z-order codes are pure bit arithmetic: the whole query must be one
+    codegen stage — zero exchanges, zero joins."""
+    df = Q["q158_zorder_morton"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert exchange_count(df) == 0, p
+    assert "Join" not in p
+
+
+def test_q159_pq_encoding_is_map_only(spark):
+    """PQ encoding against a literal codebook must be pure per-row array
+    math: zero exchanges, zero joins (q63's IVF-codebook contract)."""
+    df = Q["q159_pq_codes"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert exchange_count(df) == 0, p
+    assert "Join" not in p

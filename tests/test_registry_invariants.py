@@ -241,3 +241,55 @@ def test_priority_leaves_window_slack():
     front-load must leave slack in case the real window is slightly smaller
     than assumed (r3 ADVICE)."""
     assert len(registry._PRIORITY) <= registry.DRIVER_WINDOW - 2
+
+
+def test_symbol_diff_detects_function_and_oracle_changes():
+    """Self-test of the staleness machinery on synthetic sources: body
+    edits, decorator/oracle edits, new symbols, and constant edits must all
+    surface as changed symbols; untouched symbols must not."""
+    old = '''
+X = 5
+def helper(a):
+    return a + X
+
+@query("q1", oracle="SELECT 1")
+def q1(spark, sf):
+    return helper(1)
+
+def untouched():
+    return 0
+'''
+    new = '''
+X = 6
+def helper(a):
+    return a + X + 1
+
+@query("q1", oracle="SELECT 2")
+def q1(spark, sf):
+    return helper(1)
+
+def untouched():
+    return 0
+
+def brand_new():
+    return 1
+'''
+    o, n = _symbols(old), _symbols(new)
+    changed = {name for name in set(o) | set(n) if o.get(name) != n.get(name)}
+    assert changed == {"X", "helper", "q1", "brand_new"}  # oracle edit stales q1
+    assert "untouched" not in changed
+
+
+def test_reference_closure_reaches_transitive_helpers():
+    """q59-composes-q57 shape: a query that calls a function that calls a
+    changed helper must reach the helper through the name closure."""
+    table = {
+        ("m", "seed_labels"): "def seed_labels(e):\n    return e\n",
+        ("m", "components"): "def components(s):\n    return seed_labels(s)\n",
+        ("m", "keep_one"): "def keep_one(s):\n    return components(s)\n",
+        ("m", "unrelated"): "def unrelated():\n    return 1\n",
+    }
+    reached = _reachable_symbols(table[("m", "keep_one")], table)
+    assert ("m", "seed_labels") in reached
+    assert ("m", "components") in reached
+    assert ("m", "unrelated") not in reached
