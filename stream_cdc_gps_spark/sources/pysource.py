@@ -144,8 +144,30 @@ class GpsJsonlStreamReader(SimpleDataSourceStreamReader):
         return self._read_files(new), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # Replay path on restart: the same fail-loudly contract as read().
+        # A checkpoint written by the legacy positional offset format
+        # ({"files": n} with no "last") would make lo == hi == "" and replay
+        # the uncommitted tail as an EMPTY batch — silent data loss — so a
+        # files>0 offset with no name boundary is rejected outright.
+        for which, off in (("start", start), ("end", end)):
+            if "last" not in off and off.get("files", 0) > 0:
+                raise RuntimeError(
+                    f"gpsjsonl: {which} offset {off!r} is a legacy positional "
+                    f"offset (no 'last' name boundary); replaying it by name "
+                    f"would silently slice wrong — restart from a fresh "
+                    f"checkpoint or migrate the offset log"
+                )
         lo, hi = start.get("last", ""), end.get("last", "")
-        return self._read_files([f for f in self._files() if lo < f <= hi])
+        files = [f for f in self._files() if lo < f <= hi]
+        expected = end.get("files", 0) - start.get("files", 0)
+        if len(files) != expected:
+            raise RuntimeError(
+                f"gpsjsonl: replay range ({lo!r}, {hi!r}] lists {len(files)} "
+                f"file(s) but the committed offsets span {expected} — a file "
+                f"in the committed range was deleted or renamed since the "
+                f"batch was planned; refusing to silently shrink the replay"
+            )
+        return self._read_files(files)
 
     def _read_files(self, files: list[str]) -> list[tuple]:
         out = []

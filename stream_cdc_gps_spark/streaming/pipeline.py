@@ -156,16 +156,35 @@ def _one_row_per_key(
     ``order_cols`` the latest change wins (deterministic ``latest_per_key``
     reduction, same policy as ChangelogSnapshotTarget); without an order
     there is no deterministic winner, so duplicate keys fail loudly instead
-    of silently picking a row."""
+    of silently picking a row.
+
+    Upsert mode requires NON-NULL keys: SQL's ``{key} IN (SELECT ...)``
+    merge predicate never matches NULL, so a NULL-keyed row could neither
+    replace nor be replaced — it is rejected here, explicitly (a
+    count_distinct-based check would silently skip NULLs and mis-report
+    the batch as carrying duplicates)."""
     if order_cols:
         return latest_per_key(batch_df, key, order_cols)
-    stats = batch_df.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(key)).alias("k")
-    ).collect()[0]
-    if stats["n"] != stats["k"]:
+    # ONE validation pass: group on the key, keep only violating groups,
+    # stop at the first (the previous count/count_distinct pair scanned the
+    # batch twice per micro-batch just to validate).
+    bad = (
+        batch_df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col(key).isNull() | (F.col("n") > 1))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        row = bad[0]
+        if row[key] is None:
+            raise ValueError(
+                f"upsert batch carries NULL {key!r} keys ({row['n']} row(s)); "
+                f"keyed upsert requires non-null keys"
+            )
         raise ValueError(
-            f"upsert batch has {stats['n']} rows but {stats['k']} distinct "
-            f"{key!r} keys; pass order_cols to pick the latest change per key"
+            f"upsert batch has {row['n']} rows for {key}={row[key]!r}; pass "
+            f"order_cols to pick the latest change per key"
         )
     return batch_df
 

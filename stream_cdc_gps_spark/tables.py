@@ -137,18 +137,28 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 @lru_cache(maxsize=None)
+def _events_ts_is_nanos_cached(path: str, mtime_ns: int, size: int) -> bool:
+    import pyarrow.parquet as pq
+
+    field_type = pq.ParquetFile(path).schema_arrow.field("ts").type
+    # unit attribute, not exact-type equality: a tz-annotated nanos column
+    # (timestamp[ns, tz=...]) must also take the raw-long path — Spark
+    # errors on INT64 TIMESTAMP(NANOS) either way.
+    return getattr(field_type, "unit", None) == "ns"
+
+
 def _events_ts_is_nanos(path: str) -> bool:
     """Probe the parquet footer for events.ts's physical time unit.
 
     The driver corpus has shipped ts as TIMESTAMP(NANOS) in some
     generations and TIMESTAMP(MICROS) in others; assuming either silently
     lands values off by 1000x under the other, so the unit is read from the
-    file metadata (one driver-side footer read, cached per path — no data
-    scan)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(path).schema_arrow.field("ts").type == pa.timestamp("ns")
+    file metadata (one driver-side footer read — no data scan). Cached on
+    (path, mtime, size), NOT path alone: the corpus is regenerated in place
+    between rounds, and a stale cached unit decision would corrupt every
+    event timestamp 1000x — the exact drift the probe exists to catch."""
+    st = os.stat(path)
+    return _events_ts_is_nanos_cached(path, st.st_mtime_ns, st.st_size)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

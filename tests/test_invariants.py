@@ -136,3 +136,61 @@ def test_events_loader_handles_both_ts_physical_units(spark, tmp_path):
             expected = got
         assert got == expected, f"unit {unit} diverged: {got} vs {expected}"
     assert expected[0][1].startswith("2024-01-01T00:00:07.179575")
+
+
+def test_events_ts_probe_survives_in_place_regeneration(spark, tmp_path):
+    """The footer probe's cache must not outlive the file it probed: the
+    corpus is regenerated IN PLACE between rounds, and a unit verdict cached
+    on path alone would corrupt every event timestamp 1000x after a
+    micros<->nanos flip at the same path (ADVICE r4). Also: a tz-annotated
+    nanos column (timestamp[ns, tz=...]) must take the raw-long path — only
+    exact-type equality missed it, and Spark errors on INT64
+    TIMESTAMP(NANOS) on the native path."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stream_cdc_gps_spark.tables import load_table
+
+    base_us = 1_704_067_207_179_575
+    d = tmp_path / "corpus"
+    d.mkdir()
+    path = str(d / "events.parquet")
+
+    def write(unit: str, tz: str | None = None) -> None:
+        scale = 1 if unit == "us" else 1000
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([0, 1], pa.int64()),
+                    "ts": pa.array(
+                        [(base_us + i) * scale for i in range(2)],
+                        pa.timestamp(unit, tz=tz),
+                    ),
+                    "user_id": pa.array([10, 11], pa.int64()),
+                    "event_type": pa.array(["a", "b"]),
+                    "value": pa.array([1.0, 2.0], pa.float64()),
+                    "props": pa.array(["{}", "{}"]),
+                }
+            ),
+            path,
+            store_schema=False,
+        )
+
+    def load_times() -> list[str]:
+        return sorted(
+            r["ts"].isoformat() for r in load_table(spark, str(d), "events").collect()
+        )
+
+    write("us")
+    expected = load_times()
+    # regenerate IN PLACE as nanos; nudge mtime in case the fs clock is coarse
+    write("ns")
+    os.utime(path, ns=(time.time_ns(), time.time_ns() + 1))
+    assert load_times() == expected, "stale cached unit verdict after in-place regen"
+    # tz-annotated nanos must also route to the raw-long truncation path
+    write("ns", tz="UTC")
+    os.utime(path, ns=(time.time_ns(), time.time_ns() + 2))
+    assert load_times() == expected, "tz-annotated nanos mis-routed"

@@ -200,6 +200,26 @@ def test_q105_gate_falls_back_to_shuffle_semi_join(spark, monkeypatch):
     assert gated == open_
 
 
+def test_q105_gate_cache_keys_on_corpus_state_not_session(spark, monkeypatch):
+    """The broadcast size gate's cache must be keyed on (corpus file state,
+    threshold) — NOT the SparkSession (which pinned stopped sessions
+    forever) and NOT the bare path (which kept a stale verdict across
+    in-place corpus regeneration) — and the second call must be a cache
+    hit, not a recount (ADVICE r4)."""
+    from stream_cdc_gps_spark.operators import corpus as C
+
+    C._BENCH_GATE_CACHE.clear()
+    verdict = C._bench_side_is_small(spark, SF_SMOKE, C._DECONTAM_BROADCAST_MAX)
+    assert verdict is True
+    (key,) = C._BENCH_GATE_CACHE
+    assert key[0] == SF_SMOKE and all(isinstance(p, (str, int)) for p in key)
+    # prove the second call never re-plans the count
+    monkeypatch.setattr(
+        C, "t", lambda *a, **k: (_ for _ in ()).throw(AssertionError("recounted"))
+    )
+    assert C._bench_side_is_small(spark, SF_SMOKE, C._DECONTAM_BROADCAST_MAX) is True
+
+
 def test_q149_weighted_sample_is_takeordered_no_global_sort(spark):
     """A-ES weighted sampling must be per-partition top-k + driver merge
     (TakeOrdered), never a materialized global sort of the corpus."""

@@ -214,3 +214,41 @@ def test_streaming_offsets_are_name_anchored_and_fail_on_prefix_change(tmp_path)
     land("part-0000a.jsonl", "dev-00X")  # sorts into committed territory
     with pytest.raises(RuntimeError, match="committed listing prefix changed"):
         reader.read(off2)
+
+
+def test_streaming_replay_guards_legacy_offsets_and_deletions(tmp_path):
+    """readBetweenOffsets carries the same fail-loudly contract as read()
+    (ADVICE r4): a legacy positional offset ({'files': n} with no 'last')
+    must raise instead of replaying the tail as an empty batch, and a
+    committed-range file deletion during replay must raise instead of
+    silently shrinking the replayed slice."""
+    from stream_cdc_gps_spark.sources.pysource import GpsJsonlStreamReader
+
+    src = tmp_path / "gpslog"
+    src.mkdir()
+
+    def land(name: str, dev: str) -> None:
+        (src / name).write_text(
+            gps_fix("2026-02-06T10:00:00.000Z", dev, 35.0, 51.0) + "\n"
+        )
+
+    reader = GpsJsonlStreamReader({"path": str(src)})
+    land("part-0000.jsonl", "dev-000")
+    land("part-0001.jsonl", "dev-001")
+    _, off1 = reader.read(reader.initialOffset())
+    land("part-0002.jsonl", "dev-002")
+    _, off2 = reader.read(off1)
+
+    # legacy positional offsets (no 'last') on either end -> loud failure
+    with pytest.raises(RuntimeError, match="legacy positional offset"):
+        reader.readBetweenOffsets({"files": 2}, off2)
+    with pytest.raises(RuntimeError, match="legacy positional offset"):
+        reader.readBetweenOffsets(off1, {"files": 3})
+    # a files==0 legacy start is unambiguous (nothing committed): allowed
+    assert len(list(reader.readBetweenOffsets({"files": 0}, off2))) == 3
+
+    # deleting a file INSIDE the committed replay range -> loud failure,
+    # never a silently-shrunk batch
+    (src / "part-0002.jsonl").unlink()
+    with pytest.raises(RuntimeError, match="refusing to silently shrink"):
+        reader.readBetweenOffsets(off1, off2)

@@ -194,6 +194,14 @@ def test_round_changed_queries_fit_driver_window():
             f"artifacts/driver_sim_full.json"
         )
         cert = json.loads(art.read_text())
+        # A certificate recorded on a dirty tree certifies unreproducible
+        # code: git_head alone cannot pin what the 0-fail run covered
+        # (r4 ADVICE). Run the full sim from a clean, committed tree.
+        assert not cert.get("dirty_tree"), (
+            f"driver_sim_full.json was generated on a DIRTY tree at "
+            f"{cert['git_head'][:12]} — the certified code state is not "
+            f"reproducible; re-run scripts/driver_sim.py from a clean HEAD"
+        )
         assert cert["n_fail"] == 0 and cert["n_checked"] == len(specs), (
             f"full driver-sim artifact records failures or a partial run: "
             f"{ {k: cert[k] for k in ('n_checked', 'n_fail')} } vs "

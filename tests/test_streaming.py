@@ -729,8 +729,22 @@ def test_upsert_duplicate_keys_without_order_fails_loudly(spark, tmp_path):
     dup = spark.createDataFrame(
         [("id-1", 10.0), ("id-1", 20.0)], "gps_id string, latitude double"
     )
-    with pytest.raises(ValueError, match="distinct 'gps_id' keys"):
+    with pytest.raises(ValueError, match="2 rows for gps_id='id-1'"):
         target.upsert(dup, 0)
+
+
+def test_upsert_null_keys_fail_loudly_even_when_distinct(spark, tmp_path):
+    """NULL keys can neither match nor be matched by the keyed merge
+    predicate, so they are rejected explicitly — and rows that are all
+    distinct except for a NULL key must NOT be mis-reported as duplicates
+    (the old count_distinct check ignored NULLs and did exactly that;
+    ADVICE r4)."""
+    target = P.ParquetUpsertTarget(spark, str(tmp_path / "tgt"), key="gps_id")
+    nulled = spark.createDataFrame(
+        [("id-1", 10.0), (None, 20.0)], "gps_id string, latitude double"
+    )
+    with pytest.raises(ValueError, match="NULL 'gps_id' keys"):
+        target.upsert(nulled, 0)
 
 
 def test_upsert_corrupt_target_raises_not_overwrites(spark, tmp_path):
