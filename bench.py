@@ -71,6 +71,18 @@ HEADLINE = [
     "q114_scd2_history",
     "q136_asof_tolerance",
     "q144_corpus_pipeline",
+    # round-5 additions (r4 judge task #8): every family added in r4 gets a
+    # tracked perf number — shingle novelty, cluster-safe split, Morton keys,
+    # IDF-weighted Jaccard — plus r5's trained codebooks (training cost is
+    # part of the timed query), the GPS composition canary, and cap telemetry
+    "q152_shingle_novelty",
+    "q153_cluster_safe_split",
+    "q158_zorder_morton",
+    "q160_idf_weighted_jaccard",
+    "q161_ivf_trained_topk",
+    "q162_pq_trained_codes",
+    "q163_gps_pipeline",
+    "q164_cap_telemetry",
 ]
 
 

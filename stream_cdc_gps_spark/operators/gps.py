@@ -855,3 +855,128 @@ def q158_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(_Z_BITS)
     )
     return q.select("gps_id", "qlat", "qlon", morton.cast("bigint").alias("morton"))
+
+
+@query(
+    "q163_gps_pipeline",
+    oracle=f"""
+WITH flagged AS (
+    SELECT device_id, gps_id, ts, us, lat, lon,
+           {_HAV} AS dist_m,
+           CASE WHEN us - lag(us) OVER w > 1800000000
+                  OR lag(us) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM ({FIXES_SQL})
+    WINDOW w AS (PARTITION BY device_id ORDER BY ts, gps_id)
+),
+trips AS (
+    SELECT device_id, ts, gps_id, us, lat, lon,
+           CASE WHEN is_new = 1 THEN NULL ELSE dist_m END AS leg_m,
+           CAST(sum(is_new) OVER (PARTITION BY device_id ORDER BY ts, gps_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trip_id
+    FROM flagged
+),
+stats AS (
+    SELECT device_id, trip_id,
+           CAST(count(*) AS BIGINT)       AS n_fixes,
+           coalesce(sum(leg_m), 0.0)      AS trip_m,
+           (max(us) - min(us)) / 1000000.0 AS dur_s
+    FROM trips GROUP BY device_id, trip_id
+),
+ends AS (
+    SELECT DISTINCT device_id, trip_id,
+           first_value(lat) OVER wt AS o_lat, first_value(lon) OVER wt AS o_lon,
+           last_value(lat)  OVER wt AS d_lat, last_value(lon)  OVER wt AS d_lon
+    FROM trips
+    WINDOW wt AS (PARTITION BY device_id, trip_id ORDER BY ts, gps_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+cells AS (
+    SELECT CAST(floor((o_lat - 35.0) / 0.25) AS BIGINT) * 4
+             + CAST(floor((o_lon - 51.0) / 0.25) AS BIGINT) AS origin_cell,
+           CAST(floor((d_lat - 35.0) / 0.25) AS BIGINT) * 4
+             + CAST(floor((d_lon - 51.0) / 0.25) AS BIGINT) AS dest_cell,
+           s.n_fixes, s.trip_m, s.dur_s
+    FROM ends JOIN stats s USING (device_id, trip_id)
+    WHERE o_lat >= 35.0 AND o_lat < 36.0 AND o_lon >= 51.0 AND o_lon < 52.0
+      AND d_lat >= 35.0 AND d_lat < 36.0 AND d_lon >= 51.0 AND d_lon < 52.0
+)
+SELECT origin_cell, dest_cell,
+       CAST(count(*) AS BIGINT)            AS n_trips,
+       CAST(sum(n_fixes) AS BIGINT)        AS n_fixes,
+       round(sum(trip_m) / 1000.0, 3)      AS total_km,
+       round(avg(dur_s), 3)                AS avg_duration_s
+FROM cells
+GROUP BY origin_cell, dest_cell
+""",
+)
+def q163_gps_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS END-TO-END COMPOSITION CANARY (the GPS analogue of q144's corpus
+    pipeline): derived motion (q41's haversine legs) → trip segmentation
+    (q42's >30 min-gap sessions) → per-trip stats (fix count, travelled
+    distance, duration) + endpoints (q157's origin/destination cells) → the
+    OD flow rollup — all FOUR stages declared as ONE plan so Catalyst sees
+    the whole pipeline.
+
+    Plan: ONE device-keyed sort serves every window pass (leg distance, gap
+    flag, cumulative trip id — same window spec, collapsed); the per-trip
+    aggregation reuses that partitioning (min_by/max_by pick endpoints
+    inside the same agg as the sums — no self-join back); only the final
+    O(cells²)-key flow rollup re-shuffles. Two keyed exchanges end to end —
+    composing the stages costs NO more shuffles than q157 alone, which is
+    the point of declaring pipelines as one plan. Legs that cross a trip
+    boundary are excluded from trip distance (leg_m NULL when is_new=1).
+    Sums of haversine doubles round at the final grain only (3 decimals ≈
+    meter precision over ~100 km totals, far above ulp reorder noise)."""
+    fx = fixes(spark, sf_dir)
+    w = Window.partitionBy("device_id").orderBy("ts", "gps_id")
+    dist = haversine_m(
+        F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+    )
+    gap = F.col("us") - F.lag("us").over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    flagged = fx.select(
+        "device_id", "ts", "gps_id", "us", "lat", "lon",
+        dist.alias("dist_m"), is_new.alias("is_new"),
+    )
+    trips = flagged.select(
+        "device_id", "ts", "gps_id", "us", "lat", "lon",
+        F.when(F.col("is_new") == 1, F.lit(None)).otherwise(F.col("dist_m")).alias("leg_m"),
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("trip_id"),
+    )
+    order = F.struct("ts", "gps_id")
+    per_trip = trips.groupBy("device_id", "trip_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fixes"),
+        F.coalesce(F.sum("leg_m"), F.lit(0.0)).alias("trip_m"),
+        ((F.max("us") - F.min("us")) / 1_000_000.0).alias("dur_s"),
+        F.min_by("lat", order).alias("o_lat"),
+        F.min_by("lon", order).alias("o_lon"),
+        F.max_by("lat", order).alias("d_lat"),
+        F.max_by("lon", order).alias("d_lon"),
+    )
+
+    def cell(lat: str, lon: str) -> F.Column:
+        return (
+            F.floor((F.col(lat) - 35.0) / 0.25).cast("bigint") * 4
+            + F.floor((F.col(lon) - 51.0) / 0.25).cast("bigint")
+        )
+
+    bounded = per_trip.filter(
+        (F.col("o_lat") >= 35.0) & (F.col("o_lat") < 36.0)
+        & (F.col("o_lon") >= 51.0) & (F.col("o_lon") < 52.0)
+        & (F.col("d_lat") >= 35.0) & (F.col("d_lat") < 36.0)
+        & (F.col("d_lon") >= 51.0) & (F.col("d_lon") < 52.0)
+    )
+    return bounded.groupBy(
+        cell("o_lat", "o_lon").alias("origin_cell"),
+        cell("d_lat", "d_lon").alias("dest_cell"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trips"),
+        F.sum("n_fixes").cast("bigint").alias("n_fixes"),
+        F.round(F.sum("trip_m") / 1000.0, 3).alias("total_km"),
+        F.round(F.avg("dur_s"), 3).alias("avg_duration_s"),
+    )

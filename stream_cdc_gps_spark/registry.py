@@ -68,67 +68,66 @@ DRIVER_WINDOW = 50
 # instead require a committed full driver-sim artifact
 # (artifacts/driver_sim_full.json certifying a 0-fail run from this round).
 #
-# Round 4 front-loads, in order:
-# (a) the 8 r3 driver-window overflow queries (registry.py r3 comment; judge
-#     mandate #1) — shipped with no official driver row;
-# (b) q57/q52: stale r1 rows (dedup.py seeding changed in r3 — the miss that
-#     motivated the transitive rule);
-# (c) queries changed or ADDED in r4 (q105 broadcast size gate; q145-q148);
-# (d) oldest r1-only rows, in registration order, up to the window minus
-#     slack (judge advice: leave headroom in case the window is smaller).
+# Round 5 front-loads, in order (r4 judge mandate #1: rotate so every
+# query's official driver row ends up <= 3 rounds old):
+# (a) queries changed or ADDED in r5 (the staleness gate forces these):
+#     q105 (gate cache rekeyed), q161/q162 (Lloyd-trained codebooks),
+#     q163 (GPS composition canary), q164 (cap telemetry);
+# (b) the 16 queries still carrying r1-era official rows;
+# (c) oldest r2-era official rows, registration order, up to the window
+#     minus slack (q30-q33 window family and later r2 rows rotate in r6).
 _PRIORITY: list[str] = [
-    # (a) r3 overflow — no driver row yet
-    "q132_fixed_k_sample",
-    "q133_equidepth_histogram",
-    "q139_token_entropy",
-    "q140_mad_robust",
-    "q141_bm25",
-    "q142_bigram_lm_score",
-    "q143_spatial_knn",
-    "q144_corpus_pipeline",
-    # (b) stale r1 rows (module changed r3 without a fresh row)
-    "q57_neardup_components",
-    "q52_minhash_signatures",
-    # (c) changed or added in r4
+    # (a) changed or added in r5
     "q105_decontamination",
-    "q145_equidepth_histogram_approx",
-    "q146_minhash_jaccard_estimate",
-    "q147_neardup_cluster_stats",
-    "q148_hard_negative_mining",
-    "q149_weighted_sample",
-    "q150_split_leakage_check",
-    "q151_split_centroid_drift",
-    "q152_shingle_novelty",
-    "q153_cluster_safe_split",
-    "q154_cross_source_dup_matrix",
-    "q155_dedup_threshold_sweep",
-    "q156_stop_detection",
-    "q157_od_matrix",
-    "q158_zorder_morton",
-    "q159_pq_codes",
-    "q160_idf_weighted_jaccard",
-    # (d) oldest r1-only rows, registration order
-    "q40_wkt_points",
-    "q41_derived_motion",
-    "q42_trip_sessions",
-    "q44_cdc_roundtrip",
-    "q45_cdc_dedup",
-    "q46_session_window_native",
-    "q80_media_metadata",
-    "q82_media_frames",
-    "q01_pricing_summary",
-    "q02_filter_predicates",
-    "q03_top_revenue_orders",
-    "q04_left_join_counts",
-    "q05_semi_join",
-    "q06_anti_join",
-    "q07_full_outer_join",
-    "q08_regional_revenue",
-    "q09_range_join",
-    "q10_agg_stats",
-    "q11_count_distinct",
-    "q12_rollup",
-    "q13_cube",
+    "q161_ivf_trained_topk",
+    "q162_pq_trained_codes",
+    "q163_gps_pipeline",
+    "q164_cap_telemetry",
+    # (b) r1-era official rows
+    "q14_grouping_sets",
+    "q15_percentiles",
+    "q16_having",
+    "q17_conditional_agg",
+    "q18_intersect",
+    "q19_except",
+    "q20_union_all",
+    "q21_distinct",
+    "q22_string_funcs",
+    "q23_date_funcs",
+    "q24_json_funcs",
+    "q25_hash_funcs",
+    "q27_correlated_subquery",
+    "q28_pivot",
+    "q29_min_max_by",
+    "q36_map_functions",
+    # (c) oldest r2-era official rows, registration order
+    "q34_asof_join",
+    "q50_dedup_exact",
+    "q51_dedup_fingerprint",
+    "q79_lev_verify_pairs",
+    "q43_tumbling_hourly",
+    "q97_sliding_window_rate",
+    "q86_cdc_snapshot_upsert",
+    "q26_approx_stats",
+    "q35_collect_sorted",
+    "q37_set_ops_all",
+    "q38_except_all",
+    "q39_uncorrelated_subquery",
+    "q47_hypertable_rollup",
+    "q48_array_functions",
+    "q49_unpivot",
+    "q90_exists_subqueries",
+    "q91_cross_join",
+    "q92_right_join",
+    "q93_posexplode",
+    "q96_date_spine_coverage",
+    "q89_cogroup_stats",
+    "q84_json_scan",
+    "q85_csv_scan",
+    "q88_orc_roundtrip",
+    "q60_cosine_topk",
+    "q61_ann_bucketed_topk",
+    "q62_embedding_stats",
 ]
 
 
@@ -172,6 +171,7 @@ def _ensure_loaded() -> None:
         scans,
         similarity,
         skew,
+        telemetry,
         textops,
         windowed,
     )

@@ -293,3 +293,32 @@ def test_q159_pq_encoding_is_map_only(spark):
     p = plan_string(df)
     assert exchange_count(df) == 0, p
     assert "Join" not in p
+
+
+def test_q161_trained_ivf_search_plan_matches_q63(spark):
+    """Lloyd training happens at plan-build time (bounded k-row collects);
+    the SEARCH plan the query returns must keep q63's shape — map-only
+    literal-codebook assignment, broadcast cell join, one top-k exchange."""
+    df = Q["q161_ivf_trained_topk"](spark, SF_SMOKE)
+    assert exchange_count(df) == 1
+    assert broadcast_join_count(df) >= 1
+
+
+def test_q162_trained_pq_encode_is_map_only(spark):
+    """Encoding against the TRAINED literal codebook keeps q159's contract:
+    zero exchanges, zero joins in the returned plan."""
+    df = Q["q162_pq_trained_codes"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert exchange_count(df) == 0, p
+    assert "Join" not in p
+
+
+def test_q163_gps_pipeline_two_exchanges_no_selfjoin(spark):
+    """The GPS composition canary must cost NO more shuffles than q157
+    alone: one device-keyed sort shared by all window passes + per-trip
+    agg, one final flow rollup — and no join anywhere (endpoints ride
+    min_by/max_by inside the trip aggregation)."""
+    df = Q["q163_gps_pipeline"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert exchange_count(df) == 2, p
+    assert "Join" not in p
