@@ -1040,3 +1040,211 @@ def q162_pq_trained_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         *codes,
         F.round(F.sqrt(sum(errs)), 6).alias("recon_err"),
     )
+
+
+def _seed_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
+    """The untrained codebook both Lloyd queries start from: the first
+    N_CENTROIDS vectors by vec_id, as (cent_id, coords) literals."""
+    return [
+        (int(r["vec_id"]), [float(x) for x in r["emb"]])
+        for r in sorted(
+            e.filter(F.col("vec_id") < N_CENTROIDS).collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+
+
+_Q165_TOPK = 3
+
+
+@query(
+    "q165_ivf_training_recall",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+c0 AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < {N_CENTROIDS}),
+{_ivf_iter_sql("c0", "a1", "c1")},
+{_ivf_iter_sql("c1", "a2", "c2")},
+af0 AS (
+    SELECT vec_id, emb, cell FROM (
+        SELECT e.vec_id, e.emb, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_Q161_FINAL_L2}, c.cent_id) AS rn
+        FROM e CROSS JOIN c0 c
+    ) WHERE rn = 1
+),
+af2 AS (
+    SELECT vec_id, emb, cell FROM (
+        SELECT e.vec_id, e.emb, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_Q161_FINAL_L2}, c.cent_id) AS rn
+        FROM e CROSS JOIN c2 c
+    ) WHERE rn = 1
+),
+exact AS (
+    SELECT query_id, candidate_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round({_COS}, 6) DESC, c.vec_id) AS rn
+        FROM (SELECT * FROM e WHERE vec_id >= 100 AND vec_id < 120) q
+        JOIN e c ON c.vec_id != q.vec_id
+    ) WHERE rn <= {_Q165_TOPK}
+),
+ap0 AS (
+    SELECT query_id, candidate_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round({_COS}, 6) DESC, c.vec_id) AS rn
+        FROM (SELECT * FROM af0 WHERE vec_id >= 100 AND vec_id < 120) q
+        JOIN af0 c ON c.cell = q.cell AND c.vec_id != q.vec_id
+    ) WHERE rn <= {_Q165_TOPK}
+),
+ap2 AS (
+    SELECT query_id, candidate_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round({_COS}, 6) DESC, c.vec_id) AS rn
+        FROM (SELECT * FROM af2 WHERE vec_id >= 100 AND vec_id < 120) q
+        JOIN af2 c ON c.cell = q.cell AND c.vec_id != q.vec_id
+    ) WHERE rn <= {_Q165_TOPK}
+)
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT)               AS n_exact,
+       CAST(count(a0.candidate_id) AS BIGINT) AS hit_seed,
+       CAST(count(a2.candidate_id) AS BIGINT) AS hit_trained,
+       round(count(a0.candidate_id) * 1.0 / count(*), 4) AS recall_seed,
+       round(count(a2.candidate_id) * 1.0 / count(*), 4) AS recall_trained
+FROM exact x
+LEFT JOIN ap0 a0 ON a0.query_id = x.query_id AND a0.candidate_id = x.candidate_id
+LEFT JOIN ap2 a2 ON a2.query_id = x.query_id AND a2.candidate_id = x.candidate_id
+GROUP BY x.query_id
+""",
+)
+def q165_ivf_training_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING SELF-EVALUATION: recall@{_Q165_TOPK} of IVF search under the
+    SEED codebook (first-{N_CENTROIDS} vectors, q63's caveat) vs the
+    Lloyd-TRAINED codebook (q161's cells), both against the exact cosine
+    top-{_Q165_TOPK} — the eval loop a production vector index runs to
+    decide whether a codebook refresh ships, and the number that makes
+    q161's "training helps" claim measurable instead of asserted. Both
+    variants use the same L2 assignment metric, isolating the training
+    effect from the metric choice.
+
+    Plan: q64's shape twice over — every assignment is a map-only
+    literal-codebook argmin, every search a broadcast equi join on the cell
+    key, the exact baseline a broadcast-bounded 20-query cross join; hit
+    accounting is two broadcast left joins on (query, candidate). At 100 TB
+    this runs on a sample exactly as written."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    seed = _seed_centroids(e)
+    trained = _lloyd_train_ivf(e)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "candidate_id")
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _Q165_TOPK)
+            .select("query_id", "candidate_id")
+        )
+
+    def in_cell_topk(cents: list[tuple[int, list[float]]]) -> DataFrame:
+        a = e.withColumn("cell", _nearest_code(F.col("emb"), cents)["code"])
+        q = a.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("cell").alias("q_cell"),
+        )
+        return topk(
+            a.join(
+                F.broadcast(q),
+                (F.col("cell") == F.col("q_cell"))
+                & (F.col("vec_id") != F.col("query_id")),
+            ).select(
+                "query_id",
+                F.col("vec_id").alias("candidate_id"),
+                F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+            )
+        )
+
+    qx = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    exact = topk(
+        e.crossJoin(F.broadcast(qx))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    h0 = in_cell_topk(seed).withColumn("h0", F.lit(1))
+    h2 = in_cell_topk(trained).withColumn("h2", F.lit(1))
+    return (
+        exact.join(h0, ["query_id", "candidate_id"], "left")
+        .join(h2, ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("h0").cast("bigint").alias("hit_seed"),
+            F.count("h2").cast("bigint").alias("hit_trained"),
+            F.round(F.count("h0") / F.count(F.lit(1)), 4).alias("recall_seed"),
+            F.round(F.count("h2") / F.count(F.lit(1)), 4).alias("recall_trained"),
+        )
+    )
+
+
+_Q166_INERTIA = (
+    "SELECT CAST({k} AS BIGINT) AS iteration, round(sum(m), 3) AS inertia "
+    "FROM (SELECT vec_id, min({l2}) AS m FROM e CROSS JOIN {cents} c GROUP BY vec_id)"
+)
+
+
+@query(
+    "q166_lloyd_inertia",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+c0 AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < {N_CENTROIDS}),
+{_ivf_iter_sql("c0", "a1", "c1")},
+{_ivf_iter_sql("c1", "a2", "c2")}
+{_Q166_INERTIA.format(k=0, l2=_Q161_FINAL_L2, cents="c0")}
+UNION ALL
+{_Q166_INERTIA.format(k=1, l2=_Q161_FINAL_L2, cents="c1")}
+UNION ALL
+{_Q166_INERTIA.format(k=2, l2=_Q161_FINAL_L2, cents="c2")}
+""",
+)
+def q166_lloyd_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLOYD CONVERGENCE DIAGNOSTIC: total k-means inertia (sum over vectors
+    of squared L2 to the nearest codebook centroid) after 0 (seed), 1, and
+    2 training iterations — the monotone-descent curve that certifies the
+    training loop actually optimizes its objective (k-means guarantees
+    non-increasing inertia; a rise would mean a broken assignment or
+    averaging step). Production k-means stops on exactly this number's
+    relative drop.
+
+    Plan: per stage, ONE map-only nearest-centroid pass (literal codebook,
+    the q63/q161 contract) collapsing into a single-row sum — three 1-row
+    aggregates unioned. Training reuses _lloyd_train_ivf at 1 and 2
+    iterations (re-running iteration 1 costs one extra small job and keeps
+    the trainer a pure function). Inertia rounds at 3 decimals: magnitudes
+    are ~1e4-1e5, far above sum-order ulp noise."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    stages = [
+        (0, _seed_centroids(e)),
+        (1, _lloyd_train_ivf(e, iters=1)),
+        (2, _lloyd_train_ivf(e, iters=2)),
+    ]
+    parts = [
+        e.select(_nearest_code(F.col("emb"), cents)["err"].alias("m"))
+        .agg(F.round(F.sum("m"), 3).alias("inertia"))
+        .select(F.lit(k).cast("bigint").alias("iteration"), "inertia")
+        for k, cents in stages
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

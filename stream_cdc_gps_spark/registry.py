@@ -83,6 +83,8 @@ _PRIORITY: list[str] = [
     "q162_pq_trained_codes",
     "q163_gps_pipeline",
     "q164_cap_telemetry",
+    "q165_ivf_training_recall",
+    "q166_lloyd_inertia",
     # (b) r1-era official rows
     "q14_grouping_sets",
     "q15_percentiles",
@@ -126,8 +128,6 @@ _PRIORITY: list[str] = [
     "q85_csv_scan",
     "q88_orc_roundtrip",
     "q60_cosine_topk",
-    "q61_ann_bucketed_topk",
-    "q62_embedding_stats",
 ]
 
 

@@ -66,3 +66,30 @@ def test_cap_telemetry_reports_every_guard(spark):
     gate_open = C._bench_side_is_small(spark, SF_SMOKE, C._DECONTAM_BROADCAST_MAX)
     assert gate["n_capped"] == (0 if gate_open else 1)
     assert gate["dropped_pairs_bound"] == 0 and gate["n_keys"] > 0
+
+
+def test_lloyd_training_descends_and_lifts_recall(spark):
+    """The training loop must demonstrably optimize: q166's inertia curve is
+    non-increasing across iterations (k-means descent guarantee; a rise
+    means a broken assignment or averaging step — tiny tolerance for the
+    per-round 6-decimal centroid rounding), and q165's trained-cell recall
+    must not be WORSE than the seed-cell recall in aggregate (training that
+    hurts retrieval would mean the codebook optimizes the wrong objective)."""
+    from pyspark.sql import functions as F
+
+    from stream_cdc_gps_spark.registry import queries
+
+    qs = queries()
+    inertia = {
+        r["iteration"]: r["inertia"]
+        for r in qs["q166_lloyd_inertia"](spark, SF_SMOKE).collect()
+    }
+    assert set(inertia) == {0, 1, 2}
+    assert inertia[1] <= inertia[0] * 1.0001
+    assert inertia[2] <= inertia[1] * 1.0001
+    r = (
+        qs["q165_ivf_training_recall"](spark, SF_SMOKE)
+        .agg(F.sum("hit_seed").alias("s"), F.sum("hit_trained").alias("t"))
+        .collect()[0]
+    )
+    assert r["t"] >= r["s"]
