@@ -43,6 +43,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q39_uncorrelated_subquery",
         "q60_cosine_topk",       # broadcast 20-query sample (documented)
         "q64_ann_recall",        # same sample, exact baseline
+        "q165_ivf_training_recall",  # same sample, exact baseline (q64 shape)
         "q90_exists_subqueries",
         "q91_cross_join",
         "q78_tfidf",             # broadcast 1-row corpus-size aggregate
