@@ -83,6 +83,10 @@ HEADLINE = [
     "q162_pq_trained_codes",
     "q163_gps_pipeline",
     "q164_cap_telemetry",
+    "q167_semdedup",
+    "q169_hourly_acf",
+    "q170_cusum_changepoint",
+    "q171_seasonal_anomaly",
 ]
 
 

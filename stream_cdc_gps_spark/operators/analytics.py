@@ -1287,3 +1287,308 @@ def q140_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_flagged"),
         )
     )
+
+
+# Degree-ordered orientation condition, shared by the Spark plan and the
+# oracle: edge (u,v) points from the endpoint with the smaller (degree, id)
+# key, so every triangle is counted exactly once as a directed wedge whose
+# closing edge follows the same order.
+_TRI_FWD_SQL = "(du.d < dv.d OR (du.d = dv.d AND p.u < p.v))"
+
+
+@query(
+    "q168_triangle_count",
+    oracle=f"""
+WITH pr AS (
+    SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+    FROM lineitem x JOIN lineitem y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+deg AS (
+    SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM pr UNION ALL SELECT v AS n FROM pr
+    ) GROUP BY n
+),
+dirE AS (
+    SELECT CASE WHEN {_TRI_FWD_SQL} THEN p.u ELSE p.v END AS s,
+           CASE WHEN {_TRI_FWD_SQL} THEN p.v ELSE p.u END AS t,
+           CASE WHEN {_TRI_FWD_SQL} THEN dv.d ELSE du.d END AS td
+    FROM pr p JOIN deg du ON du.n = p.u JOIN deg dv ON dv.n = p.v
+),
+tri AS (
+    SELECT count(*) AS n_tri
+    FROM dirE e1 JOIN dirE e2
+      ON e1.s = e2.s AND (e1.td < e2.td OR (e1.td = e2.td AND e1.t < e2.t))
+    WHERE EXISTS (SELECT 1 FROM dirE e3 WHERE e3.s = e1.t AND e3.t = e2.t)
+),
+sizes AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+           sum(d * (d - 1) / 2) AS n_wedges
+    FROM deg
+)
+SELECT n_nodes, n_edges, CAST(n_tri AS BIGINT) AS n_triangles,
+       round(3.0e0 * n_tri / n_wedges, 6) AS clustering
+FROM sizes, tri
+""",
+)
+def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the part
+    co-purchase graph (parts adjacent when lines of the same order ship
+    them) — the third graph-algorithm family next to q57 components and
+    q126 PageRank. The part graph (not supplier) is the deliberately
+    SPARSE choice: |parts| >> |suppliers| keeps average degree
+    market-basket-like, the regime triangle counting is built for.
+
+    Scale: the naive wedge join fans out quadratically in the max degree;
+    this plan uses the standard degree-ordered orientation (cite: MPI/
+    node-iterator literature, public) so every edge points from its
+    smaller-(degree,id) endpoint — wedge fan-out is bounded by the
+    arboricity-ish out-degree, the shape that keeps Twitter-scale triangle
+    jobs tractable. Three equi-joins (wedge build on source, closing-edge
+    left-semi on the (b, c) pair), all key-partitioned; the edge list is
+    localCheckpoint-ed once and reused by degree, orientation, and both
+    join sides. Wedge totals come free from the degree table
+    (sum d*(d-1)/2). Final 1-row combine is a broadcast of two 1-row
+    aggregates (q126's allowlisted pattern)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pr = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+        .join(li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")), "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        pr.select(F.col("u").alias("n"))
+        .union(pr.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = pr.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("ud")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("vd")), "v")
+    fwd = (F.col("ud") < F.col("vd")) | (
+        (F.col("ud") == F.col("vd")) & (F.col("u") < F.col("v"))
+    )
+    dir_e = j.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd, F.col("vd")).otherwise(F.col("ud")).alias("td"),
+    ).localCheckpoint()
+    e1 = dir_e.select("s", F.col("t").alias("b"), F.col("td").alias("bd"))
+    e2 = dir_e.select("s", F.col("t").alias("c"), F.col("td").alias("cd"))
+    wedges = e1.join(e2, "s").filter(
+        (F.col("bd") < F.col("cd"))
+        | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
+    )
+    closing = dir_e.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = (
+        wedges.join(closing, ["b", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    sizes = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum("d") / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - F.lit(1)) / F.lit(2)).alias("n_wedges"),
+    )
+    return sizes.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        F.col("n_tri").cast("bigint").alias("n_triangles"),
+        F.round(F.lit(3.0e0) * F.col("n_tri") / F.col("n_wedges"), 6).alias("clustering"),
+    )
+
+
+_ACF_MAX_LAG = 6
+
+
+def _acf_lag_terms() -> list[int]:
+    return list(range(1, _ACF_MAX_LAG + 1))
+
+
+@query(
+    "q169_hourly_acf",
+    oracle=f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS DOUBLE) AS cnt
+    FROM events GROUP BY 1
+),
+dv AS (
+    SELECT h, cnt - avg(cnt) OVER () AS dev FROM hourly
+),
+lagged AS (
+    SELECT dev,
+           {", ".join(f"lag(dev, {k}) OVER (ORDER BY h) AS dev_{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+    FROM dv
+),
+agg AS (
+    SELECT sum(dev * dev) AS den, CAST(count(*) AS BIGINT) AS n_hours,
+           {", ".join(f"sum(dev * dev_{k}) AS num_{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+    FROM lagged
+)
+{" UNION ALL ".join(f"SELECT CAST({k} AS BIGINT) AS lag, round(num_{k} / den, 6) AS acf, n_hours FROM agg" for k in range(1, _ACF_MAX_LAG + 1))}
+""",
+)
+def q169_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-arrival series at lags
+    1..{6} — the standard seasonality probe (a 24-lag echo means daily
+    cycle) run before fitting any forecast model. Estimator: the classic
+    sum-of-lagged-deviation-products over the global sum of squares.
+
+    Scale: the raw table collapses to one row PER HOUR in the first
+    map-side-combined aggregate, so the window stage that follows runs on
+    the tiny series (a month = 720 rows; a decade = 87k) — single-partition
+    by construction and deliberately so, documented: the series, not the
+    corpus, is the window input. One generator (stack) unpivots the six
+    numerators; no self-joins, no per-lag passes. Oracle runs the identical
+    window/aggregate algebra in DuckDB."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    w_all = Window.partitionBy(F.lit(0))
+    w_ord = Window.partitionBy(F.lit(0)).orderBy("h")
+    dv = hourly.select(
+        "h", (F.col("cnt") - F.avg("cnt").over(w_all)).alias("dev")
+    )
+    lagged = dv.select(
+        "dev", *[F.lag("dev", k).over(w_ord).alias(f"dev_{k}") for k in _acf_lag_terms()]
+    )
+    agg = lagged.agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        *[
+            F.sum(F.col("dev") * F.col(f"dev_{k}")).alias(f"num_{k}")
+            for k in _acf_lag_terms()
+        ],
+    )
+    stack_args: list = [F.lit(_ACF_MAX_LAG)]
+    for k in _acf_lag_terms():
+        stack_args.append(F.lit(k).cast("bigint"))
+        stack_args.append(F.round(F.col(f"num_{k}") / F.col("den"), 6))
+    return agg.select(F.stack(*stack_args).alias("lag", "acf"), "n_hours")
+
+
+# CUSUM parameters: slack k (in sigma units) absorbs noise, threshold h
+# raises the alarm. Textbook defaults, identical literals on both engines.
+_CUSUM_SLACK = 0.5e0
+_CUSUM_H = 4.0e0
+
+
+@query(
+    "q170_cusum_changepoint",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, sum(value) AS x FROM events GROUP BY 1
+),
+z AS (
+    SELECT day,
+           (x - avg(x) OVER ()) / stddev_samp(x) OVER () AS zval
+    FROM daily
+),
+p AS (
+    SELECT day,
+           sum(zval - {_CUSUM_SLACK}) OVER (ORDER BY day) AS ppos,
+           sum(-zval - {_CUSUM_SLACK}) OVER (ORDER BY day) AS pneg
+    FROM z
+),
+s AS (
+    SELECT day,
+           ppos - least(0.0e0, min(ppos) OVER (ORDER BY day)) AS spos,
+           pneg - least(0.0e0, min(pneg) OVER (ORDER BY day)) AS sneg
+    FROM p
+)
+SELECT day, round(spos, 6) AS cusum_pos, round(sneg, 6) AS cusum_neg,
+       (spos > {_CUSUM_H} OR sneg > {_CUSUM_H}) AS alarm
+FROM s
+""",
+)
+def q170_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detector over the daily revenue series:
+    standardized daily totals accumulate S+ = max(0, S+ + z - k) and
+    S- = max(0, S- - z - k); either side crossing h flags a level shift.
+
+    The max(0, ...) recursion looks inherently sequential, but the classic
+    prefix identity S_i = P_i - min(0, min_j<=i P_j) (P = running sum of
+    the slack-adjusted deviations) turns it into two window passes — no
+    recursion, no UDF, no driver loop, same algebra on both engines.
+
+    Scale: like q169 the corpus collapses to one row per day before any
+    window runs; the single-partition window sees only the series. The
+    global mean/std come from an unpartitioned analytic window over that
+    same tiny series (q123's one-shuffle pattern), not a self-join."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(F.sum("value").alias("x"))
+    w_all = Window.partitionBy(F.lit(0))
+    w_ord = Window.partitionBy(F.lit(0)).orderBy("day")
+    z = daily.select(
+        "day",
+        (
+            (F.col("x") - F.avg("x").over(w_all)) / F.stddev_samp("x").over(w_all)
+        ).alias("zval"),
+    )
+    p = z.select(
+        "day",
+        F.sum(F.col("zval") - F.lit(_CUSUM_SLACK)).over(w_ord).alias("ppos"),
+        F.sum(-F.col("zval") - F.lit(_CUSUM_SLACK)).over(w_ord).alias("pneg"),
+    )
+    s = p.select(
+        "day",
+        (F.col("ppos") - F.least(F.lit(0.0e0), F.min("ppos").over(w_ord))).alias("spos"),
+        (F.col("pneg") - F.least(F.lit(0.0e0), F.min("pneg").over(w_ord))).alias("sneg"),
+    )
+    return s.select(
+        "day",
+        F.round("spos", 6).alias("cusum_pos"),
+        F.round("sneg", 6).alias("cusum_neg"),
+        ((F.col("spos") > F.lit(_CUSUM_H)) | (F.col("sneg") > F.lit(_CUSUM_H))).alias(
+            "alarm"
+        ),
+    )
+
+
+@query(
+    "q171_seasonal_anomaly",
+    oracle="""
+WITH base AS (
+    SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+           avg(value) AS mu, stddev_samp(value) AS sd
+    FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, CAST(b.hod AS INT) AS hod,
+       round((e.value - b.mu) / b.sd, 3) AS z
+FROM events e JOIN base b
+  ON b.event_type = e.event_type AND b.hod = EXTRACT(hour FROM e.ts)
+WHERE abs((e.value - b.mu) / b.sd) > 3.0e0
+""",
+)
+def q171_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly screen: a (event_type, hour-of-day) baseline of
+    mean/std, each event standardized against ITS seasonal cell, |z| > 3
+    flagged — the variant of q123's global z-score that survives diurnal
+    load patterns (a 3am spike is anomalous even when 3pm traffic dwarfs
+    it).
+
+    Scale: the baseline is at most |types| x 24 rows regardless of corpus
+    size, so it broadcast-hash-joins back onto the stream side — the big
+    table is scanned once, never shuffled (vs the window formulation,
+    which would shuffle the full corpus on the seasonal key)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.hour("ts").alias("hod"), "value"
+    )
+    base = e.groupBy("event_type", "hod").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.join(F.broadcast(base), ["event_type", "hod"])
+        .filter(F.abs(z) > F.lit(3.0e0))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("hod").cast("int").alias("hod"),
+            F.round(z, 3).alias("z"),
+        )
+    )

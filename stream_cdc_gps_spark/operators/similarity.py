@@ -1248,3 +1248,94 @@ def q166_lloyd_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# SemDeDup screen threshold. The synthetic embeddings cluster by label with
+# wide intra-cluster spread, so the test corpus exercises the screen at 0.3;
+# production corpora run the same plan at ~0.95+.
+_SEMDEDUP_TAU = 0.3
+
+_Q167_AF_L2 = _SQL_L2_EC.format(a="e.emb", b="c.cent", d=_DIM)
+
+
+@query(
+    "q167_semdedup",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+c0 AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < {N_CENTROIDS}),
+{_ivf_iter_sql("c0", "a1", "c1")},
+{_ivf_iter_sql("c1", "a2", "c2")},
+af AS (
+    SELECT vec_id, emb, cell, err FROM (
+        SELECT e.vec_id, e.emb, c.cent_id AS cell, {_Q167_AF_L2} AS err,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_Q167_AF_L2}, c.cent_id) AS rn
+        FROM e CROSS JOIN c2 c
+    ) WHERE rn = 1
+),
+ranked AS (
+    SELECT vec_id, emb, cell,
+           row_number() OVER (PARTITION BY cell ORDER BY err DESC, vec_id) AS r
+    FROM af
+),
+drops AS (
+    SELECT DISTINCT b.vec_id
+    FROM ranked a JOIN ranked b ON a.cell = b.cell AND a.r < b.r
+    WHERE {_sql_cosine("a.emb", "b.emb")} >= {_SEMDEDUP_TAU}
+)
+SELECT r.cell, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+FROM ranked r LEFT JOIN drops d ON d.vec_id = r.vec_id
+GROUP BY r.cell
+""",
+)
+def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embedding space (the q161 Lloyd-trained codebook),
+    then WITHIN each cluster drop every member whose cosine similarity to an
+    earlier-ranked member exceeds tau, where members rank farthest-from-
+    centroid first (the paper's keep-the-outlier convention; ties by id).
+    Output is the per-cluster dedup ledger: members / dropped / kept.
+
+    Scale: this is exactly why SemDeDup clusters first — the quadratic
+    screen runs only within a cell, and k grows with the corpus so cell
+    sizes stay bounded (100 TB: k~100k cells of ~1k docs). The plan is ONE
+    shuffle on the cell key that serves both the rank window and the
+    pair self-join (equi join on cell, no cartesian), then a broadcast-able
+    drop-list anti-ledger. Assignment itself is map-only literal-codebook
+    argmin (q161's plan). The oracle unrolls the same two Lloyd iterations
+    as CTEs and mirrors the rank/screen exactly — err and cosine use the
+    same sequential folds, so rank order is bit-identical."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cents = _lloyd_train_ivf(e)
+    nearest = _nearest_code(F.col("emb"), cents)
+    assigned = e.select(
+        "vec_id", "emb", nearest["code"].alias("cell"), nearest["err"].alias("cerr")
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("cerr"), "vec_id")
+    ranked = assigned.withColumn("r", F.row_number().over(w))
+    earlier = ranked.select(
+        F.col("cell").alias("cell_a"), F.col("emb").alias("emb_a"), F.col("r").alias("r_a")
+    )
+    dropped = (
+        ranked.join(
+            earlier,
+            (F.col("cell") == F.col("cell_a")) & (F.col("r_a") < F.col("r")),
+        )
+        .filter(cosine(F.col("emb_a"), F.col("emb")) >= _SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        ranked.join(dropped, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.count("is_dup").cast("bigint").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dup")).cast("bigint").alias("n_kept"),
+        )
+    )

@@ -72,10 +72,13 @@ DRIVER_WINDOW = 50
 # query's official driver row ends up <= 3 rounds old):
 # (a) queries changed or ADDED in r5 (the staleness gate forces these):
 #     q105 (gate cache rekeyed), q161/q162 (Lloyd-trained codebooks),
-#     q163 (GPS composition canary), q164 (cap telemetry);
+#     q163 (GPS composition canary), q164 (cap telemetry), q165/q166
+#     (training self-eval), q167-q171 (semdedup, triangles, ACF, CUSUM,
+#     seasonal anomaly — new this round);
 # (b) the 16 queries still carrying r1-era official rows;
 # (c) oldest r2-era official rows, registration order, up to the window
-#     minus slack (q30-q33 window family and later r2 rows rotate in r6).
+#     minus slack (q89/q84/q85/q88/q60 yielded their slots to the five
+#     new r5 queries and rotate in r6 with the q30-q33 window family).
 _PRIORITY: list[str] = [
     # (a) changed or added in r5
     "q105_decontamination",
@@ -85,6 +88,11 @@ _PRIORITY: list[str] = [
     "q164_cap_telemetry",
     "q165_ivf_training_recall",
     "q166_lloyd_inertia",
+    "q167_semdedup",
+    "q168_triangle_count",
+    "q169_hourly_acf",
+    "q170_cusum_changepoint",
+    "q171_seasonal_anomaly",
     # (b) r1-era official rows
     "q14_grouping_sets",
     "q15_percentiles",
@@ -123,11 +131,6 @@ _PRIORITY: list[str] = [
     "q92_right_join",
     "q93_posexplode",
     "q96_date_spine_coverage",
-    "q89_cogroup_stats",
-    "q84_json_scan",
-    "q85_csv_scan",
-    "q88_orc_roundtrip",
-    "q60_cosine_topk",
 ]
 
 

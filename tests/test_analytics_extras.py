@@ -1,0 +1,97 @@
+"""Semantic invariants for the r5 time-series / graph / semantic-dedup
+operators — properties the oracle comparison cannot express (it only proves
+Spark == DuckDB; these prove both engines compute the *intended* quantity).
+"""
+
+from __future__ import annotations
+
+from stream_cdc_gps_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+QS = all_queries()
+
+
+def test_semdedup_ledger_balances(spark):
+    """Per-cell members = kept + dropped, every embedding appears in exactly
+    one cell, and at least one cell actually deduplicates at the test
+    threshold (the screen is exercised, not vacuous)."""
+    rows = QS["q167_semdedup"].fn(spark, SF_SMOKE).collect()
+    assert all(r["n_members"] == r["n_kept"] + r["n_dropped"] for r in rows)
+    from stream_cdc_gps_spark.operators.common import t
+
+    n_emb = t(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n_emb
+    assert any(r["n_dropped"] > 0 for r in rows)
+    assert all(r["n_kept"] >= 1 for r in rows if r["n_members"] >= 1)
+
+
+def test_triangle_count_bounds(spark):
+    """3 * triangles <= wedges (every triangle closes exactly 3 wedges), so
+    the clustering coefficient lands in [0, 1]; edge/node counts positive."""
+    row = QS["q168_triangle_count"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["n_nodes"] > 0 and row["n_edges"] > 0
+    assert 0.0 <= row["clustering"] <= 1.0
+    assert row["n_triangles"] >= 0
+
+
+def test_acf_within_unit_interval(spark):
+    """|acf(k)| <= 1 for every lag (Cauchy-Schwarz on the deviation
+    series) and all requested lags are reported."""
+    rows = QS["q169_hourly_acf"].fn(spark, SF_SMOKE).collect()
+    assert sorted(r["lag"] for r in rows) == [1, 2, 3, 4, 5, 6]
+    assert all(-1.0 <= r["acf"] <= 1.0 for r in rows)
+    assert all(r["n_hours"] > 24 for r in rows)
+
+
+def test_cusum_prefix_identity_nonnegative(spark):
+    """The prefix-sum formulation must reproduce the clamped recursion's
+    invariant: S+ and S- are nonnegative at every step (max(0, .) can never
+    go below zero) and alarm agrees with the reported statistics."""
+    rows = QS["q170_cusum_changepoint"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) >= 28  # a month of days
+    for r in rows:
+        assert r["cusum_pos"] >= 0.0 and r["cusum_neg"] >= 0.0
+        assert r["alarm"] == (r["cusum_pos"] > 4.0 or r["cusum_neg"] > 4.0)
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    """Drive the textbook sequential recursion over the same daily series
+    and require the window-based prefix identity to match it exactly —
+    the proof the algebraic rewrite is the same detector."""
+    from pyspark.sql import functions as F
+
+    from stream_cdc_gps_spark.operators.common import t
+
+    e = t(spark, SF_SMOKE, "events")
+    daily = sorted(
+        e.groupBy(F.to_date("ts").alias("day")).agg(F.sum("value").alias("x")).collect(),
+        key=lambda r: r["day"],
+    )
+    xs = [r["x"] for r in daily]
+    mean = sum(xs) / len(xs)
+    var = sum((v - mean) ** 2 for v in xs) / (len(xs) - 1)
+    sd = var**0.5
+    spos = sneg = 0.0
+    expect = {}
+    for r in daily:
+        z = (r["x"] - mean) / sd
+        spos = max(0.0, spos + z - 0.5)
+        sneg = max(0.0, sneg - z - 0.5)
+        expect[r["day"]] = (spos, sneg)
+    got = QS["q170_cusum_changepoint"].fn(spark, SF_SMOKE).collect()
+    for r in got:
+        ep, en = expect[r["day"]]
+        assert abs(r["cusum_pos"] - ep) < 1e-4, r["day"]
+        assert abs(r["cusum_neg"] - en) < 1e-4, r["day"]
+
+
+def test_seasonal_anomalies_exceed_threshold(spark):
+    """Every flagged event is a genuine >3-sigma deviation within its
+    (event_type, hour) cell, and the screen flags a small minority."""
+    from stream_cdc_gps_spark.operators.common import t
+
+    rows = QS["q171_seasonal_anomaly"].fn(spark, SF_SMOKE).collect()
+    n_events = t(spark, SF_SMOKE, "events").count()
+    assert all(abs(r["z"]) > 2.99 for r in rows)
+    assert all(0 <= r["hod"] <= 23 for r in rows)
+    assert len(rows) < n_events * 0.05
