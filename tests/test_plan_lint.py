@@ -54,6 +54,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q121_locf_gapfill",     # broadcast day spine (bounded by calendar)
         "q126_pagerank",         # broadcast 1-row node-count N
         "q168_triangle_count",   # broadcast 1-row triangle-count combine
+        "q172_association_rules",  # broadcast 1-row basket-count N
         "q131_hll_partition_merge",  # broadcast 1-row exact-count bound
         "q141_bm25",             # broadcast 1-row corpus N/avgdl stats
         "q142_bigram_lm_score",  # broadcast 1-row vocab size
