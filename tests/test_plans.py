@@ -322,3 +322,56 @@ def test_q163_gps_pipeline_two_exchanges_no_selfjoin(spark):
     p = plan_string(df)
     assert exchange_count(df) == 2, p
     assert "Join" not in p
+
+
+def test_q167_semdedup_single_cell_shuffle(spark):
+    """Assignment is map-only literal-codebook argmin (q161's contract), so
+    every exchange in the plan is keyed on the cell id (rank window + pair
+    self-join + ledger agg reuse that partitioning); no cartesian pair
+    expansion anywhere."""
+    df = Q["q167_semdedup"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q168_triangle_joins_are_all_equi(spark):
+    """Wedge build and closing-edge check must be hash/sort equi-joins on
+    the oriented edge keys — the only BNLJ allowed is the final 1-row
+    size/triangle-count combine."""
+    import re
+
+    df = Q["q168_triangle_count"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    # exactly one BNLJ NODE (the formatted plan repeats each node in its
+    # detail section, so count numbered tree entries, not substrings)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1, p
+    assert "SortMergeJoin LeftSemi" in p or "LeftSemi" in p
+
+
+def test_q170_cusum_collapses_before_windows(spark):
+    """The corpus must reduce to the daily series (one keyed aggregate)
+    BEFORE any single-partition window pass — the plan contains the
+    pre-aggregation under the window, and no join at all."""
+    df = Q["q170_cusum_changepoint"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "HashAggregate" in p and "Window" in p
+
+
+def test_q171_seasonal_baseline_is_broadcast(spark):
+    """The (type x hour) baseline joins back as a broadcast hash join —
+    the corpus side is never shuffled for the join."""
+    df = Q["q171_seasonal_anomaly"](spark, SF_SMOKE)
+    assert broadcast_join_count(df) >= 1
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q172_rules_topk_is_takeordered(spark):
+    """The global top-20 by lift must be TakeOrdered (per-partition heads
+    tree-reduced), never a single-partition global sort of all rules."""
+    df = Q["q172_association_rules"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "TakeOrderedAndProject" in p, p
