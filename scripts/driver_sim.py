@@ -140,9 +140,16 @@ def main() -> None:
             ["git", "-C", repo, "rev-parse", "HEAD"],
             capture_output=True, text=True, check=True,
         ).stdout.strip()
+        # The dirty probe certifies the CODE the run executed, so prior
+        # certificate outputs under artifacts/ are excluded: a back-to-back
+        # sf0.01 + sf0.1 certification pass regenerates them mid-sequence,
+        # and counting those outputs as dirt made each run invalidate the
+        # next (the r5 chicken-and-egg). Any non-artifact modification
+        # still flags dirty.
         dirty = bool(
             subprocess.run(
-                ["git", "-C", repo, "status", "--porcelain"],
+                ["git", "-C", repo, "status", "--porcelain", "--",
+                 ".", ":(exclude)artifacts"],
                 capture_output=True, text=True, check=True,
             ).stdout.strip()
         )
