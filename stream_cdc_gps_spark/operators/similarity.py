@@ -771,8 +771,52 @@ def _nearest_code(emb: F.Column, cents: list[tuple[int, list[float]]]) -> F.Colu
     )
 
 
-def _lloyd_train_ivf(e: DataFrame, iters: int = _LLOYD_ITERS) -> list[tuple[int, list[float]]]:
-    """Train the IVF codebook: init = first N_CENTROIDS vectors by vec_id,
+def _nearest_code_packed(
+    emb: F.Column, cents: list[tuple[int, list[float]]]
+) -> F.Column:
+    """Same struct(err, code) argmin as _nearest_code, but the codebook
+    enters as ONE literal array-of-structs traversed by a single transform
+    lambda instead of k inlined expression copies. Semantically identical
+    (same sequential L2 fold, ties to lowest code via struct comparison);
+    the point is Catalyst analysis cost — a k-branch argmin tree grows
+    O(k * dim) per branch and re-analyzes every Lloyd round, which at
+    k=32 made TRAINING (a driver-side loop of tiny jobs) the dominant
+    cost. The packed form keeps the tree at one lambda + a flat literal
+    array."""
+    # ONE py4j call: a k x dim codebook built from per-element F.lit()
+    # costs thousands of driver->JVM roundtrips (~1.7 s at k=32) PER
+    # training round; rendering it as a SQL literal and parsing JVM-side
+    # is milliseconds. 'D' suffixes pin DOUBLE (bare decimals parse as
+    # DECIMAL in Spark SQL); repr() is exact round-trip for doubles.
+    cb = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('cent', array("
+            + ",".join(repr(float(x)) + "D" for x in cent)
+            + f"), 'code', {int(cid)})"
+            for cid, cent in cents
+        )
+        + ")"
+    )
+    return F.array_min(
+        F.transform(
+            cb,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(emb, c["cent"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("err"),
+                c["code"].alias("code"),
+            ),
+        )
+    )
+
+
+def _lloyd_train_ivf(
+    e: DataFrame, iters: int = _LLOYD_ITERS, k: int = N_CENTROIDS
+) -> list[tuple[int, list[float]]]:
+    """Train the IVF codebook: init = first ``k`` vectors by vec_id,
     then ``iters`` rounds of assign → re-average. Each round is ONE map-only
     assignment + ONE k-key groupBy (64 avg aggregates with map-side
     partials, the q65 centroid aggregation) + a bounded k-row collect — the
@@ -784,13 +828,20 @@ def _lloyd_train_ivf(e: DataFrame, iters: int = _LLOYD_ITERS) -> list[tuple[int,
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["emb"]])
         for r in sorted(
-            e.filter(F.col("vec_id") < N_CENTROIDS).collect(),
+            e.filter(F.col("vec_id") < k).collect(),
             key=lambda r: r["vec_id"],
         )
     ]
+    # the corpus ships as single-row-group parquet (1 scan task), and the
+    # per-row argmin is an interpreted k x dim fold — without an explicit
+    # repartition every training round runs on ONE core. The shuffle is
+    # ~|corpus| x dim doubles (tiny next to the argmin CPU) and the k-key
+    # avg aggregation is ordering-insensitive up to the 6-decimal round
+    # both engines already pin.
+    e = e.repartition(16)
     for _ in range(iters):
         rows = (
-            e.withColumn("cell", _nearest_code(F.col("emb"), cents)["code"])
+            e.withColumn("cell", _nearest_code_packed(F.col("emb"), cents)["code"])
             .groupBy("cell")
             .agg(
                 *[
@@ -1255,6 +1306,11 @@ def q166_lloyd_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
 # production corpora run the same plan at ~0.95+.
 _SEMDEDUP_TAU = 0.3
 
+# SemDeDup cell count: k scales with corpus size so cells stay bounded —
+# 32 cells over the 500-2000-vector test corpora keeps the within-cell
+# pair screen at ~60 members/cell, mirroring the paper's k ~ N/50 regime.
+_SEMDEDUP_K = 32
+
 _Q167_AF_L2 = _SQL_L2_EC.format(a="e.emb", b="c.cent", d=_DIM)
 
 
@@ -1262,7 +1318,7 @@ _Q167_AF_L2 = _SQL_L2_EC.format(a="e.emb", b="c.cent", d=_DIM)
     "q167_semdedup",
     oracle=f"""
 WITH e AS ({EMB_D}),
-c0 AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < {N_CENTROIDS}),
+c0 AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < {_SEMDEDUP_K}),
 {_ivf_iter_sql("c0", "a1", "c1")},
 {_ivf_iter_sql("c1", "a2", "c2")},
 af AS (
@@ -1310,13 +1366,17 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    cents = _lloyd_train_ivf(e)
-    nearest = _nearest_code(F.col("emb"), cents)
+    cents = _lloyd_train_ivf(e, k=_SEMDEDUP_K)
+    nearest = _nearest_code_packed(F.col("emb"), cents)
     assigned = e.select(
         "vec_id", "emb", nearest["code"].alias("cell"), nearest["err"].alias("cerr")
     )
     w = Window.partitionBy("cell").orderBy(F.desc("cerr"), "vec_id")
-    ranked = assigned.withColumn("r", F.row_number().over(w))
+    # materialize the assignment+rank ONCE: the literal-codebook argmin is
+    # an interpreted 32 x 64-element fold per row, and the ranked relation
+    # feeds three plan branches (both pair-join sides and the ledger agg) —
+    # without truncation each branch would re-evaluate it (q57/q126 pattern)
+    ranked = assigned.withColumn("r", F.row_number().over(w)).localCheckpoint()
     earlier = ranked.select(
         F.col("cell").alias("cell_a"), F.col("emb").alias("emb_a"), F.col("r").alias("r_a")
     )
