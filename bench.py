@@ -87,6 +87,8 @@ HEADLINE = [
     "q169_hourly_acf",
     "q170_cusum_changepoint",
     "q171_seasonal_anomaly",
+    "q173_source_divergence",
+    "q174_twap",
 ]
 
 

@@ -1703,3 +1703,81 @@ def q172_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lift_raw", 6).alias("lift"),
         )
     )
+
+
+@query(
+    "q174_twap",
+    oracle="""
+WITH seq AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, value,
+           epoch_us(ts) AS t_us,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id) AS next_us,
+           epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY)
+               AS day_end_us
+    FROM events
+),
+w AS (
+    SELECT event_type, day, value,
+           coalesce(next_us, day_end_us) - t_us AS dur_us
+    FROM seq
+)
+SELECT event_type, day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(CAST(sum(CAST(value AS DECIMAL(12, 6)) * dur_us) AS DOUBLE)
+             / sum(dur_us) * 10000 + 0.5e0) / 10000.0 AS twap,
+       floor(CAST(sum(CAST(value AS DECIMAL(12, 6))) AS DOUBLE)
+             / count(*) * 10000 + 0.5e0) / 10000.0 AS mean_value
+FROM w
+GROUP BY event_type, day
+""",
+)
+def q174_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day) over the
+    IRREGULARLY-sampled event stream: each observation holds until the
+    next one (last of the day holds to midnight), so its weight is that
+    holding duration — the TWAP/TWA aggregation finance and metering
+    systems use where a plain mean over-counts bursts. The unweighted
+    mean rides along to expose exactly that gap.
+
+    Scale: ONE shuffle on (event_type, day) serves both the lead()
+    window and the final aggregate (q123's pattern). Durations are
+    integer microseconds (unix epoch on both engines), so the weights
+    are exact; ts ties are ordered by event_id on both engines, which
+    pins which of two simultaneous observations gets the zero-duration
+    weight."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value", F.to_date("ts").alias("day")
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    day_end = F.unix_micros(F.to_timestamp(F.date_add(F.col("day"), 1)))
+    seq = e.select(
+        "event_type",
+        "day",
+        "value",
+        (
+            F.coalesce(F.lead(F.unix_micros("ts")).over(w), day_end)
+            - F.unix_micros("ts")
+        ).alias("dur_us"),
+    )
+    # the weighted sums run through DECIMAL so partial-aggregation ORDER
+    # cannot move the result: value*dur_us in double differs by an ulp
+    # between engines' combine orders, and a group whose ratio lands on a
+    # 4th-decimal half boundary then rounds differently (observed at
+    # sf0.001). Per-row double->DECIMAL(12,6) casts are deterministic,
+    # DECIMAL sums are exact, and the single final double division is
+    # bit-identical on identical inputs.
+    # ...and the final 4-decimal quantization is floor(x*1e4 + 0.5)/1e4
+    # (the q125 idiom), NOT round(): exact decimal sums make half-boundary
+    # means COMMON (e.g. 307.03/8 = 38.378750), where Spark's HALF_UP on
+    # the shortest repr and DuckDB's rounding disagree; floor is exact on
+    # identical doubles.
+    vdec = F.col("value").cast("decimal(12,6)")
+    twap_raw = F.sum(vdec * F.col("dur_us")).cast("double") / F.sum("dur_us")
+    mean_raw = F.sum(vdec).cast("double") / F.count(F.lit(1))
+    return seq.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.floor(twap_raw * 10000 + F.lit(0.5e0)) / 10000.0).alias("twap"),
+        (F.floor(mean_raw * 10000 + F.lit(0.5e0)) / 10000.0).alias("mean_value"),
+    )

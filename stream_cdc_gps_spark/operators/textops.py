@@ -1024,3 +1024,106 @@ def q144_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens"),
     )
+
+
+# ln(2) written identically on both engines: JSD in nats / _LN2 = bits.
+_JSD_LN2 = "0.6931471805599453e0"
+
+
+@query(
+    "q173_source_divergence",
+    oracle=f"""
+WITH tc AS (
+    SELECT source, tok AS token, count(*) AS n
+    FROM (SELECT source, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(toks) AS u(tok)
+    GROUP BY source, tok
+),
+tot AS (SELECT source, sum(n) AS total FROM tc GROUP BY source),
+p AS (
+    SELECT tc.source, tc.token, tc.n * 1.0e0 / tot.total AS prob
+    FROM tc JOIN tot USING (source)
+),
+shared AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           sum(a.prob * ln(2.0e0 * a.prob / (a.prob + b.prob))
+             + b.prob * ln(2.0e0 * b.prob / (a.prob + b.prob))) AS kl_shared,
+           sum(a.prob) AS pa_shared, sum(b.prob) AS pb_shared
+    FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_shared,
+       round((0.5e0 * kl_shared
+              + 0.5e0 * {_JSD_LN2} * (2.0e0 - pa_shared - pb_shared))
+             / {_JSD_LN2}, 6) AS jsd_bits
+FROM shared
+""",
+)
+def q173_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (in bits) between every pair of sources'
+    unigram distributions — the corpus-curation probe for which feeds are
+    interchangeable and which bring genuinely different text (mixture
+    design, duplicate-feed detection; complements q74's count matrix with
+    a distributional distance).
+
+    The disjoint-support mass needs no outer join: a token present only in
+    P contributes 0.5*p*ln2 to JSD, so the out-of-overlap term collapses
+    to 0.5*ln2*(2 - sum_shared p - sum_shared q) and ONE inner equi-join
+    on token covers everything. Scale: token-keyed join between two
+    per-source distributions (each a fraction of the vocab), per-pair
+    aggregate on |sources|^2 keys; per-source totals are a broadcast the
+    optimizer sizes itself. JSD is symmetric and bounded [0, 1] in bits —
+    asserted in tests."""
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tc.groupBy("source").agg(F.sum("n").alias("total"))
+    # materialize the per-source distribution ONCE: both pair-join sides
+    # consume it, and Catalyst does not share identical subplans across a
+    # self-join — without truncation the tokenize+count pass runs twice
+    p = (
+        tc.join(tot, "source")
+        .select(
+            "source", "token", (F.col("n") * F.lit(1.0e0) / F.col("total")).alias("prob")
+        )
+        .localCheckpoint()
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "token", F.col("prob").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"), F.col("token").alias("token_b"),
+        F.col("prob").alias("pb"),
+    )
+    ln2 = F.lit(0.6931471805599453e0)
+    m = F.col("pa") + F.col("pb")
+    shared = (
+        a.join(b, (F.col("token") == F.col("token_b")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(
+                F.col("pa") * F.log(F.lit(2.0e0) * F.col("pa") / m)
+                + F.col("pb") * F.log(F.lit(2.0e0) * F.col("pb") / m)
+            ).alias("kl_shared"),
+            F.sum("pa").alias("pa_shared"),
+            F.sum("pb").alias("pb_shared"),
+        )
+    )
+    return shared.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        F.round(
+            (
+                F.lit(0.5e0) * F.col("kl_shared")
+                + F.lit(0.5e0) * ln2 * (F.lit(2.0e0) - F.col("pa_shared") - F.col("pb_shared"))
+            )
+            / ln2,
+            6,
+        ).alias("jsd_bits"),
+    )

@@ -73,12 +73,13 @@ DRIVER_WINDOW = 50
 # (a) queries changed or ADDED in r5 (the staleness gate forces these):
 #     q105 (gate cache rekeyed), q161/q162 (Lloyd-trained codebooks),
 #     q163 (GPS composition canary), q164 (cap telemetry), q165/q166
-#     (training self-eval), q167-q172 (semdedup, triangles, ACF, CUSUM,
-#     seasonal anomaly, association rules — new this round);
+#     (training self-eval), q167-q174 (semdedup, triangles, ACF, CUSUM,
+#     seasonal anomaly, association rules, source JSD, TWAP — new this
+#     round);
 # (b) the 16 queries still carrying r1-era official rows;
 # (c) oldest r2-era official rows, registration order, up to the window
-#     minus slack (q89/q84/q85/q88/q60/q96 yielded their slots to the six
-#     new r5 queries and rotate in r6 with the q30-q33 window family).
+#     minus slack (q89/q84/q85/q88/q60/q96/q92/q93 yielded their slots to
+#     the eight new r5 queries and rotate in r6 with the q30-q33 family).
 _PRIORITY: list[str] = [
     # (a) changed or added in r5
     "q105_decontamination",
@@ -94,6 +95,8 @@ _PRIORITY: list[str] = [
     "q170_cusum_changepoint",
     "q171_seasonal_anomaly",
     "q172_association_rules",
+    "q173_source_divergence",
+    "q174_twap",
     # (b) r1-era official rows
     "q14_grouping_sets",
     "q15_percentiles",
@@ -129,8 +132,6 @@ _PRIORITY: list[str] = [
     "q49_unpivot",
     "q90_exists_subqueries",
     "q91_cross_join",
-    "q92_right_join",
-    "q93_posexplode",
 ]
 
 

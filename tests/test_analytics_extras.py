@@ -113,3 +113,41 @@ def test_association_rule_metric_identities(spark):
     for (a, b), lv in lifts.items():
         if (b, a) in lifts:
             assert abs(lifts[(b, a)] - lv) < 1e-9
+
+
+def test_source_jsd_bounded_and_complete(spark):
+    """JSD in bits lives in [0, 1]; every unordered source pair appears
+    exactly once (the s1 < s2 join emits the full upper triangle)."""
+    rows = QS["q173_source_divergence"].fn(spark, SF_SMOKE).collect()
+    from stream_cdc_gps_spark.operators.common import t
+
+    n_src = t(spark, SF_SMOKE, "documents").select("source").distinct().count()
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert 0.0 <= r["jsd_bits"] <= 1.0, r
+        assert r["source_a"] < r["source_b"]
+        assert r["n_shared"] > 0
+
+
+def test_twap_is_convex_combination(spark):
+    """TWAP is a weighted mean, so it must lie within the day's value
+    range; weights must be exercised (twap != mean somewhere)."""
+    from pyspark.sql import functions as F
+
+    from stream_cdc_gps_spark.operators.common import t
+
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in QS["q174_twap"].fn(spark, SF_SMOKE).collect()
+    }
+    bounds = {
+        (r["event_type"], r["day"]): r
+        for r in t(spark, SF_SMOKE, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert set(got) == set(bounds)
+    for k, r in got.items():
+        assert bounds[k]["lo"] - 1e-4 <= r["twap"] <= bounds[k]["hi"] + 1e-4
+    assert any(abs(r["twap"] - r["mean_value"]) > 1e-4 for r in got.values())
