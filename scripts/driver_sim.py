@@ -140,16 +140,19 @@ def main() -> None:
             ["git", "-C", repo, "rev-parse", "HEAD"],
             capture_output=True, text=True, check=True,
         ).stdout.strip()
-        # The dirty probe certifies the CODE the run executed, so prior
-        # certificate outputs under artifacts/ are excluded: a back-to-back
-        # sf0.01 + sf0.1 certification pass regenerates them mid-sequence,
-        # and counting those outputs as dirt made each run invalidate the
-        # next (the r5 chicken-and-egg). Any non-artifact modification
-        # still flags dirty.
+        # The dirty probe certifies the CODE the run executed, so ONLY the
+        # certificate files this run family regenerates are excluded: a
+        # back-to-back sf0.01 + sf0.1 certification pass regenerates them
+        # mid-sequence, and counting those outputs as dirt made each run
+        # invalidate the next (the r5 chicken-and-egg). Everything else
+        # under artifacts/ — including hand-edited prior certificates —
+        # still flags dirty (r5 advice: a blanket artifacts/ exclusion
+        # hid non-regenerated modifications).
         dirty = bool(
             subprocess.run(
                 ["git", "-C", repo, "status", "--porcelain", "--",
-                 ".", ":(exclude)artifacts"],
+                 ".", ":(exclude)artifacts/driver_sim_full.json",
+                 ":(exclude)artifacts/driver_sim_full_sf*.json"],
                 capture_output=True, text=True, check=True,
             ).stdout.strip()
         )

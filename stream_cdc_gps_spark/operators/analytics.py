@@ -1725,9 +1725,9 @@ w AS (
 )
 SELECT event_type, day,
        CAST(count(*) AS BIGINT) AS n_events,
-       floor(CAST(sum(CAST(value AS DECIMAL(12, 6)) * dur_us) AS DOUBLE)
+       floor(CAST(sum(CAST(value AS DECIMAL(18, 6)) * dur_us) AS DOUBLE)
              / sum(dur_us) * 10000 + 0.5e0) / 10000.0 AS twap,
-       floor(CAST(sum(CAST(value AS DECIMAL(12, 6))) AS DOUBLE)
+       floor(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE)
              / count(*) * 10000 + 0.5e0) / 10000.0 AS mean_value
 FROM w
 GROUP BY event_type, day
@@ -1765,15 +1765,17 @@ def q174_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot move the result: value*dur_us in double differs by an ulp
     # between engines' combine orders, and a group whose ratio lands on a
     # 4th-decimal half boundary then rounds differently (observed at
-    # sf0.001). Per-row double->DECIMAL(12,6) casts are deterministic,
+    # sf0.001). Per-row double->DECIMAL(18,6) casts are deterministic,
     # DECIMAL sums are exact, and the single final double division is
-    # bit-identical on identical inputs.
+    # bit-identical on identical inputs. DECIMAL(18,6) (r5 advice, was
+    # 12,6) holds |value| < 10^12 — a 12,6 cast NULLs any |value| >= 10^6
+    # in Spark's non-ANSI mode while DuckDB raises, a silent divergence.
     # ...and the final 4-decimal quantization is floor(x*1e4 + 0.5)/1e4
     # (the q125 idiom), NOT round(): exact decimal sums make half-boundary
     # means COMMON (e.g. 307.03/8 = 38.378750), where Spark's HALF_UP on
     # the shortest repr and DuckDB's rounding disagree; floor is exact on
     # identical doubles.
-    vdec = F.col("value").cast("decimal(12,6)")
+    vdec = F.col("value").cast("decimal(18,6)")
     twap_raw = F.sum(vdec * F.col("dur_us")).cast("double") / F.sum("dur_us")
     mean_raw = F.sum(vdec).cast("double") / F.count(F.lit(1))
     return seq.groupBy("event_type", "day").agg(

@@ -824,7 +824,15 @@ def _lloyd_train_ivf(
     the codebook re-enters as literals. Coordinates round to 6 decimals each
     round on BOTH engines so ulp-level avg divergence can't flip a later
     assignment. A cell that loses all members drops out of the codebook
-    (same on both sides)."""
+    (same on both sides).
+
+    The per-cell average is combine-order-proof (r5 advice): each coordinate
+    casts to DECIMAL(20,12) before summing — decimal addition is exact and
+    associative, so the sum is identical regardless of how the 16 training
+    partitions combine — then ONE double division + ONE 6-decimal round.
+    A double `avg` would re-associate across partitions and could flip a
+    half-boundary coordinate between runs (observed in r5); the oracle runs
+    the same decimal algebra so both engines round the same quotient."""
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["emb"]])
         for r in sorted(
@@ -845,7 +853,13 @@ def _lloyd_train_ivf(
             .groupBy("cell")
             .agg(
                 *[
-                    F.round(F.avg(F.element_at("emb", i + 1)), 6).alias(f"c{i}")
+                    F.round(
+                        F.sum(
+                            F.element_at("emb", i + 1).cast("decimal(20,12)")
+                        ).cast("double")
+                        / F.count(F.lit(1)),
+                        6,
+                    ).alias(f"c{i}")
                     for i in range(_DIM)
                 ]
             )
@@ -873,7 +887,9 @@ def _ivf_iter_sql(prev: str, a_name: str, c_name: str) -> str:
 ),
 {c_name} AS (
     SELECT cell AS cent_id, list(cavg ORDER BY dim) AS cent FROM (
-        SELECT cell, dim, round(avg(emb[dim]), 6) AS cavg
+        SELECT cell, dim,
+               round(CAST(sum(CAST(emb[dim] AS DECIMAL(20,12))) AS DOUBLE)
+                     / count(*), 6) AS cavg
         FROM {a_name}, UNNEST(range(1, {_DIM} + 1)) AS r(dim)
         GROUP BY cell, dim
     ) GROUP BY cell
@@ -987,7 +1003,13 @@ def _lloyd_train_pq(e: DataFrame, iters: int = _LLOYD_ITERS) -> dict[int, list[t
             .groupBy("m", "code")
             .agg(
                 *[
-                    F.round(F.avg(F.element_at("sv", i + 1)), 6).alias(f"c{i}")
+                    F.round(
+                        F.sum(
+                            F.element_at("sv", i + 1).cast("decimal(20,12)")
+                        ).cast("double")
+                        / F.count(F.lit(1)),
+                        6,
+                    ).alias(f"c{i}")
                     for i in range(_PQ_D)
                 ]
             )
@@ -1022,7 +1044,9 @@ def _pq_iter_sql(prev: str, a_name: str, c_name: str) -> str:
 ),
 {c_name} AS (
     SELECT m, code, list(cavg ORDER BY dim) AS cent FROM (
-        SELECT m, code, dim, round(avg(sv[dim]), 6) AS cavg
+        SELECT m, code, dim,
+               round(CAST(sum(CAST(sv[dim] AS DECIMAL(20,12))) AS DOUBLE)
+                     / count(*), 6) AS cavg
         FROM {a_name}, UNNEST(range(1, {_PQ_D} + 1)) AS r(dim)
         GROUP BY m, code, dim
     ) GROUP BY m, code

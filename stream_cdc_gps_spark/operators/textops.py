@@ -1052,12 +1052,21 @@ shared AS (
            sum(a.prob) AS pa_shared, sum(b.prob) AS pb_shared
     FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
     GROUP BY a.source, b.source
+),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b
+    FROM tot a JOIN tot b ON a.source < b.source
 )
-SELECT source_a, source_b, n_shared,
-       round((0.5e0 * kl_shared
-              + 0.5e0 * {_JSD_LN2} * (2.0e0 - pa_shared - pb_shared))
+SELECT pr.source_a, pr.source_b,
+       COALESCE(s.n_shared, 0) AS n_shared,
+       round((0.5e0 * COALESCE(s.kl_shared, 0.0e0)
+              + 0.5e0 * {_JSD_LN2}
+                * (2.0e0 - COALESCE(s.pa_shared, 0.0e0)
+                         - COALESCE(s.pb_shared, 0.0e0)))
              / {_JSD_LN2}, 6) AS jsd_bits
-FROM shared
+FROM pairs pr
+LEFT JOIN shared s
+  ON s.source_a = pr.source_a AND s.source_b = pr.source_b
 """,
 )
 def q173_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1070,10 +1079,14 @@ def q173_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     The disjoint-support mass needs no outer join: a token present only in
     P contributes 0.5*p*ln2 to JSD, so the out-of-overlap term collapses
     to 0.5*ln2*(2 - sum_shared p - sum_shared q) and ONE inner equi-join
-    on token covers everything. Scale: token-keyed join between two
-    per-source distributions (each a fraction of the vocab), per-pair
-    aggregate on |sources|^2 keys; per-source totals are a broadcast the
-    optimizer sizes itself. JSD is symmetric and bounded [0, 1] in bits —
+    on token covers everything. Every pair of sources appears in the output
+    (r5 advice): the full pair set comes from the tiny per-source totals,
+    left-joined to the shared aggregate with the shared sums coalesced to
+    0, so a zero-overlap pair reports jsd_bits = 1 instead of vanishing.
+    Scale: token-keyed join between two per-source distributions (each a
+    fraction of the vocab), per-pair aggregate on |sources|^2 keys; the
+    pair frame and shared aggregate are |sources|^2 rows — broadcast-sized
+    by construction. JSD is symmetric and bounded [0, 1] in bits —
     asserted in tests."""
     d = t(spark, sf_dir, "documents")
     tc = (
@@ -1114,14 +1127,27 @@ def q173_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pb").alias("pb_shared"),
         )
     )
-    return shared.select(
+    pairs = (
+        tot.select(F.col("source").alias("source_a"))
+        .join(
+            tot.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    return pairs.join(F.broadcast(shared), ["source_a", "source_b"], "left").select(
         "source_a",
         "source_b",
-        "n_shared",
+        F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint")).alias("n_shared"),
         F.round(
             (
-                F.lit(0.5e0) * F.col("kl_shared")
-                + F.lit(0.5e0) * ln2 * (F.lit(2.0e0) - F.col("pa_shared") - F.col("pb_shared"))
+                F.lit(0.5e0) * F.coalesce(F.col("kl_shared"), F.lit(0.0e0))
+                + F.lit(0.5e0)
+                * ln2
+                * (
+                    F.lit(2.0e0)
+                    - F.coalesce(F.col("pa_shared"), F.lit(0.0e0))
+                    - F.coalesce(F.col("pb_shared"), F.lit(0.0e0))
+                )
             )
             / ln2,
             6,

@@ -60,6 +60,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q142_bigram_lm_score",  # broadcast 1-row vocab size
         "q145_equidepth_histogram_approx",  # broadcast 1-row sketch bounds
         "q160_idf_weighted_jaccard",  # broadcast 1-row corpus doc count
+        "q173_source_divergence",  # broadcast O(#sources) pair frame (< pred)
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
