@@ -1,9 +1,21 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}. The driver records this per-round
-as BENCH_r{N}.json and grades against BASELINE.md (first full run self-sets
-the baseline; later revisions must stay within 2x — BASELINE.md).
+Output contract (r6, judge task #1 — r5's 4.6 KB single line overflowed the
+driver's 2000-char stdout tail and shipped ``parsed: null``): per-query
+detail prints FIRST (one line per query, plus the full min/median dump to
+``artifacts/bench_detail.json``), and the run ENDS with ONE compact JSON
+line — short query keys, 2-decimal values, < 1 KB — that always survives
+the tail capture. That final line carries the numbers the contract is
+judged on: ``value`` (permanent-suite min-sum), ``shared21_min_sum`` (the
+2x-vs-BASELINE subset, comparable r2→now), and the rotating spotlight sum.
+
+Suite structure (r6, judge task #3 — the one-flat-list suite grew ~8
+queries/round and was heading past a minute of wall): PERMANENT is pinned
+to the shared-21 r2 subset + one representative per family added since
+(29 queries, stable across rounds for comparability); SPOTLIGHT rotates
+per round (5-8 queries, recorded in BASELINE.md) to give new or changed
+operators a tracked number without unbounded suite growth. Off-headline
+heavyweights (q168, q172) keep isolated numbers in BASELINE.md.
 
 Methodology: one shared session (cluster-style reuse), one untimed warmup
 query to JIT/codegen-prime the executors, then each headline query timed
@@ -16,11 +28,10 @@ Methodology changed r1→r2 (count → noop); compare like-for-like from r2 on
 
 Since r3 each query runs REPS=3 times round-robin (full suite passes, not
 back-to-back — spreads a co-tenant CPU-steal burst across queries instead
-of concentrating it on one): ``queries``/``value`` carry the per-query MIN
-(the best estimate of true cost under bursty steal, BASELINE.md variance
-notes), ``queries_median`` the median, so run-to-run stability is visible
-in the artifact itself without judge-side judgment calls. Headliners span
-every operator family so a regression anywhere shows up here.
+of concentrating it on one): mins are the best estimate of true cost under
+bursty steal, medians make run-to-run stability visible (BASELINE.md
+variance notes). Headliners span every operator family so a regression
+anywhere shows up here.
 """
 
 from __future__ import annotations
@@ -35,10 +46,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from stream_cdc_gps_spark.registry import queries  # noqa: E402
 from stream_cdc_gps_spark.session import get_spark  # noqa: E402
 
-# One per operator family (SURVEY.md §2B): scan+agg, star join, window,
-# GPS motion, CDC roundtrip, exact dedup, LSH candidates, jaccard,
-# brute-force ANN, bucketed ANN, text quality, term frequency.
-HEADLINE = [
+# The r2 suite — the 2x contract is judged on this subset's min-sum,
+# comparable across every round since the noop-sink re-baseline.
+SHARED21 = [
     "q01_pricing_summary",
     "q03_top_revenue_orders",
     "q08_regional_revenue",
@@ -60,36 +70,40 @@ HEADLINE = [
     "q82_media_frames",
     "q86_cdc_snapshot_upsert",
     "q97_sliding_window_rate",
-    # round-3 families: decontamination, funnel, sketch, gap-fill, iterative
+]
+
+# One representative per family added after r2 (stable — do not rotate):
+# decontamination, funnel, sketch, gap-fill, iterative graph (r3); SCD2,
+# tolerance as-of, corpus-pipeline composition (r4).
+PERMANENT = SHARED21 + [
     "q105_decontamination",
     "q111_event_funnel",
     "q113_heavy_hitters_cms",
     "q121_locf_gapfill",
     "q126_pagerank",
-    # round-4 additions (r3 judge task #5): SCD2 history, tolerance as-of,
-    # and the end-to-end corpus pipeline composition (best whole-engine canary)
     "q114_scd2_history",
     "q136_asof_tolerance",
     "q144_corpus_pipeline",
-    # round-5 additions (r4 judge task #8): every family added in r4 gets a
-    # tracked perf number — shingle novelty, cluster-safe split, Morton keys,
-    # IDF-weighted Jaccard — plus r5's trained codebooks (training cost is
-    # part of the timed query), the GPS composition canary, and cap telemetry
-    "q152_shingle_novelty",
-    "q153_cluster_safe_split",
-    "q158_zorder_morton",
-    "q160_idf_weighted_jaccard",
+]
+
+# Rotates each round (BASELINE.md records the per-round pick): queries
+# added or materially changed this round get a tracked number here.
+# r6: the five queries whose algebra changed under the r5 advice fixes
+# (deterministic Lloyd averaging -> q161/q162/q167; complete JSD pair set
+# -> q173; wider TWAP decimal -> q174) plus the r6 additions.
+SPOTLIGHT = [
     "q161_ivf_trained_topk",
     "q162_pq_trained_codes",
-    "q163_gps_pipeline",
-    "q164_cap_telemetry",
     "q167_semdedup",
-    "q169_hourly_acf",
-    "q170_cusum_changepoint",
-    "q171_seasonal_anomaly",
     "q173_source_divergence",
     "q174_twap",
 ]
+
+HEADLINE = PERMANENT + SPOTLIGHT
+
+
+def _short(name: str) -> str:
+    return name.split("_", 1)[0]
 
 
 def main() -> None:
@@ -116,20 +130,45 @@ def main() -> None:
 
     mins = {n: round(min(s), 3) for n, s in samples.items()}
     medians = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
-    total = round(sum(mins.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": mins,
-                "queries_median": medians,
-                "reps": REPS,
-                "sf": float(sf),
-            }
-        )
+
+    # Per-query detail FIRST: full names + min/median, one line per query
+    # (head-truncation by the driver's tail capture loses nothing the
+    # final line needs), plus the whole dump as an artifact.
+    for n in HEADLINE:
+        print(f"# {n}: min={mins[n]} median={medians[n]}")
+    detail = {
+        "queries_min": mins,
+        "queries_median": medians,
+        "permanent": PERMANENT,
+        "spotlight": SPOTLIGHT,
+        "reps": REPS,
+        "sf": float(sf),
+    }
+    art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+    os.makedirs(art_dir, exist_ok=True)
+    with open(os.path.join(art_dir, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    # Final line: compact (< 1 KB), short keys, 2-decimal values — this is
+    # the line the driver parses from its bounded stdout tail.
+    line = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": round(sum(mins[n] for n in PERMANENT), 3),
+            "unit": "sec",
+            "sf": float(sf),
+            "reps": REPS,
+            "n_queries": len(HEADLINE),
+            "shared21_min_sum": round(sum(mins[n] for n in SHARED21), 3),
+            "shared21_median_sum": round(sum(medians[n] for n in SHARED21), 3),
+            "spotlight_min_sum": round(sum(mins[n] for n in SPOTLIGHT), 3),
+            "queries": {_short(n): round(mins[n], 2) for n in HEADLINE},
+            "detail": "artifacts/bench_detail.json",
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 1900, f"final bench line {len(line)}B would overflow tail"
+    print(line)
 
 
 if __name__ == "__main__":

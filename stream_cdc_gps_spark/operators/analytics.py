@@ -1295,64 +1295,45 @@ def q140_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closing edge follows the same order.
 _TRI_FWD_SQL = "(du.d < dv.d OR (du.d = dv.d AND p.u < p.v))"
 
-
-@query(
-    "q168_triangle_count",
-    oracle=f"""
-WITH pr AS (
+# Part co-purchase edge list (parts adjacent when lines of the same order
+# ship them) — the graph under q168/q175/q176.
+_TRI_EDGES_SQL = """
     SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
     FROM lineitem x JOIN lineitem y
       ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-),
-deg AS (
+"""
+
+
+def _tri_sql(edges: str, p: str) -> str:
+    """Degree-ordered triangle-count CTE chain over the edge CTE ``edges``
+    (columns u < v, distinct), with CTE names prefixed ``p`` so the full
+    and sampled chains can coexist in one query (q176)."""
+    return f"""
+{p}deg AS (
     SELECT n, count(*) AS d FROM (
-        SELECT u AS n FROM pr UNION ALL SELECT v AS n FROM pr
+        SELECT u AS n FROM {edges} UNION ALL SELECT v AS n FROM {edges}
     ) GROUP BY n
 ),
-dirE AS (
+{p}dirE AS (
     SELECT CASE WHEN {_TRI_FWD_SQL} THEN p.u ELSE p.v END AS s,
            CASE WHEN {_TRI_FWD_SQL} THEN p.v ELSE p.u END AS t,
            CASE WHEN {_TRI_FWD_SQL} THEN dv.d ELSE du.d END AS td
-    FROM pr p JOIN deg du ON du.n = p.u JOIN deg dv ON dv.n = p.v
+    FROM {edges} p JOIN {p}deg du ON du.n = p.u JOIN {p}deg dv ON dv.n = p.v
 ),
-tri AS (
+{p}tri AS (
     SELECT count(*) AS n_tri
-    FROM dirE e1 JOIN dirE e2
+    FROM {p}dirE e1 JOIN {p}dirE e2
       ON e1.s = e2.s AND (e1.td < e2.td OR (e1.td = e2.td AND e1.t < e2.t))
-    WHERE EXISTS (SELECT 1 FROM dirE e3 WHERE e3.s = e1.t AND e3.t = e2.t)
-),
-sizes AS (
-    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-           CAST(sum(d) / 2 AS BIGINT) AS n_edges,
-           sum(d * (d - 1) / 2) AS n_wedges
-    FROM deg
-)
-SELECT n_nodes, n_edges, CAST(n_tri AS BIGINT) AS n_triangles,
-       round(3.0e0 * n_tri / n_wedges, 6) AS clustering
-FROM sizes, tri
-""",
-)
-def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count + global clustering coefficient over the part
-    co-purchase graph (parts adjacent when lines of the same order ship
-    them) — the third graph-algorithm family next to q57 components and
-    q126 PageRank. The part graph (not supplier) is the deliberately
-    SPARSE choice: |parts| >> |suppliers| keeps average degree
-    market-basket-like, the regime triangle counting is built for.
+    WHERE EXISTS (SELECT 1 FROM {p}dirE e3 WHERE e3.s = e1.t AND e3.t = e2.t)
+)"""
 
-    Scale: the naive wedge join fans out quadratically in the max degree;
-    this plan uses the standard degree-ordered orientation (cite: MPI/
-    node-iterator literature, public) so every edge points from its
-    smaller-(degree,id) endpoint — wedge fan-out is bounded by the
-    arboricity-ish out-degree, the shape that keeps Twitter-scale triangle
-    jobs tractable. Three equi-joins (wedge build on source, closing-edge
-    left-semi on the (b, c) pair), all key-partitioned; the edge list is
-    localCheckpoint-ed once and reused by degree, orientation, and both
-    join sides. Wedge totals come free from the degree table
-    (sum d*(d-1)/2). Final 1-row combine is a broadcast of two 1-row
-    aggregates (q126's allowlisted pattern)."""
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected part co-purchase edge list (u < v, distinct),
+    localCheckpoint-ed once: degree, orientation, and both wedge-join
+    sides all reuse the materialization."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pr = (
+    return (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
         .join(li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")), "ok")
         .filter(F.col("u") < F.col("v"))
@@ -1360,6 +1341,15 @@ def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+
+
+def _orient_count_triangles(pr: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Degree-ordered orientation + wedge/closing-edge triangle count over
+    the undirected edge list ``pr``. Returns (sizes, tri): two 1-row
+    frames — (n_nodes, n_edges, n_wedges) from the degree table, and the
+    triangle count. All equi-joins; the oriented edge list is
+    localCheckpoint-ed once and feeds both wedge sides + the closing-edge
+    semi join."""
     deg = (
         pr.select(F.col("u").alias("n"))
         .union(pr.select(F.col("v").alias("n")))
@@ -1393,11 +1383,160 @@ def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("d") / F.lit(2)).cast("bigint").alias("n_edges"),
         F.sum(F.col("d") * (F.col("d") - F.lit(1)) / F.lit(2)).alias("n_wedges"),
     )
+    return sizes, tri
+
+
+@query(
+    "q168_triangle_count",
+    oracle=f"""
+WITH pr AS ({_TRI_EDGES_SQL}),
+{_tri_sql("pr", "")},
+sizes AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+           sum(d * (d - 1) / 2) AS n_wedges
+    FROM deg
+)
+SELECT n_nodes, n_edges, CAST(n_tri AS BIGINT) AS n_triangles,
+       round(3.0e0 * n_tri / n_wedges, 6) AS clustering
+FROM sizes, tri
+""",
+)
+def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the part
+    co-purchase graph (parts adjacent when lines of the same order ship
+    them) — the third graph-algorithm family next to q57 components and
+    q126 PageRank. The part graph (not supplier) is the deliberately
+    SPARSE choice: |parts| >> |suppliers| keeps average degree
+    market-basket-like, the regime triangle counting is built for.
+
+    Scale: the naive wedge join fans out quadratically in the max degree;
+    this plan uses the standard degree-ordered orientation (cite: MPI/
+    node-iterator literature, public) so every edge points from its
+    smaller-(degree,id) endpoint — wedge fan-out is bounded by the
+    arboricity-ish out-degree, the shape that keeps Twitter-scale triangle
+    jobs tractable. Three equi-joins (wedge build on source, closing-edge
+    left-semi on the (b, c) pair), all key-partitioned; the edge list is
+    localCheckpoint-ed once and reused by degree, orientation, and both
+    join sides. Wedge totals come free from the degree table
+    (sum d*(d-1)/2). Final 1-row combine is a broadcast of two 1-row
+    aggregates (q126's allowlisted pattern)."""
+    pr = _copurchase_edges(spark, sf_dir)
+    sizes, tri = _orient_count_triangles(pr)
     return sizes.crossJoin(F.broadcast(tri)).select(
         "n_nodes",
         "n_edges",
         F.col("n_tri").cast("bigint").alias("n_triangles"),
         F.round(F.lit(3.0e0) * F.col("n_tri") / F.col("n_wedges"), 6).alias("clustering"),
+    )
+
+
+# DOULION edge-sampling probability 1/_TRI_SAMPLE_MOD: a triangle survives
+# with p^3, so the unbiased estimate is n_tri_sampled * _TRI_SAMPLE_MOD^3.
+_TRI_SAMPLE_MOD = 9
+
+# Deterministic per-edge coin: first 2 md5 bytes of "u|v" mod 9 (the q87
+# hash-mod idiom — seedless, identical on both engines, stable under
+# re-partitioning, so the estimate is oracle-able, not a random variable).
+_TRI_KEEP_SQL = (
+    "('0x' || substr(md5(CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 4))"
+    f"::BIGINT % {_TRI_SAMPLE_MOD} = 0"
+)
+
+
+def _sampled_edges(pr: DataFrame) -> DataFrame:
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("u").cast("string"), F.col("v").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _TRI_SAMPLE_MOD
+        == 0
+    )
+    return pr.filter(keep)
+
+
+@query(
+    "q175_triangle_estimate",
+    oracle=f"""
+WITH pr AS ({_TRI_EDGES_SQL}),
+kept AS (SELECT u, v FROM pr WHERE {_TRI_KEEP_SQL}),
+{_tri_sql("kept", "k")}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_edges_kept,
+       CAST(n_tri AS BIGINT) AS n_tri_sampled,
+       CAST(n_tri * {_TRI_SAMPLE_MOD ** 3} AS BIGINT) AS est_triangles
+FROM ktri
+""",
+)
+def q175_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION-style sampled triangle estimate (Tsourakakis et al. 2009,
+    public): keep each co-purchase edge with probability p = 1/9 via a
+    deterministic hash coin, count triangles on the sampled subgraph with
+    q168's degree-ordered orientation, scale by 1/p^3. The 100 TB-affordable
+    companion to q168's exact count: the wedge join runs on ~1/81 of the
+    edge pairs (both wedge legs sampled), so the dominant cost shrinks
+    ~quadratically in p while the estimator stays unbiased.
+
+    Scale: identical plan shape to q168 (all equi-joins, checkpointed
+    oriented edge list, 1-row combines) on a 9x-smaller edge list; the
+    sampling filter is map-only on the checkpointed edge materialization.
+    Seedless hash sampling (q87 idiom) keeps the result reproducible
+    across runs, engines, and cluster sizes — the estimate is
+    oracle-checked exactly, not statistically. q176 records the
+    estimate-vs-exact error as data."""
+    pr = _copurchase_edges(spark, sf_dir)
+    kept = _sampled_edges(pr)
+    _, tri = _orient_count_triangles(kept)
+    n_kept = kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges_kept"))
+    return n_kept.crossJoin(F.broadcast(tri)).select(
+        "n_edges_kept",
+        F.col("n_tri").cast("bigint").alias("n_tri_sampled"),
+        (F.col("n_tri") * F.lit(_TRI_SAMPLE_MOD ** 3)).cast("bigint").alias("est_triangles"),
+    )
+
+
+@query(
+    "q176_triangle_estimate_error",
+    oracle=f"""
+WITH pr AS ({_TRI_EDGES_SQL}),
+kept AS (SELECT u, v FROM pr WHERE {_TRI_KEEP_SQL}),
+{_tri_sql("pr", "")},
+{_tri_sql("kept", "k")}
+SELECT CAST(tri.n_tri AS BIGINT) AS exact_triangles,
+       CAST(ktri.n_tri * {_TRI_SAMPLE_MOD ** 3} AS BIGINT) AS est_triangles,
+       round(abs(ktri.n_tri * {_TRI_SAMPLE_MOD ** 3} - tri.n_tri) * 1.0e0
+             / NULLIF(tri.n_tri, 0), 6) AS rel_error
+FROM tri, ktri
+""",
+)
+def q176_triangle_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-vs-sampled triangle count with relative error — the q64/q165
+    self-evaluation pattern applied to q175's DOULION estimator: the error
+    a pipeline would monitor before trusting the cheap estimate on a graph
+    it hasn't measured. Runs BOTH counts (deliberately q168-cost; the
+    affordable production path is q175 alone), sharing one checkpointed
+    edge materialization across the full and sampled chains."""
+    pr = _copurchase_edges(spark, sf_dir)
+    _, exact = _orient_count_triangles(pr)
+    _, sampled = _orient_count_triangles(_sampled_edges(pr))
+    est = F.col("k_tri") * F.lit(_TRI_SAMPLE_MOD ** 3)
+    return (
+        exact.crossJoin(F.broadcast(sampled.select(F.col("n_tri").alias("k_tri"))))
+        .select(
+            F.col("n_tri").cast("bigint").alias("exact_triangles"),
+            est.cast("bigint").alias("est_triangles"),
+            F.round(
+                F.abs(est - F.col("n_tri"))
+                * F.lit(1.0e0)
+                / F.nullif(F.col("n_tri"), F.lit(0)),
+                6,
+            ).alias("rel_error"),
+        )
     )
 
 

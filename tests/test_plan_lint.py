@@ -54,6 +54,8 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q121_locf_gapfill",     # broadcast day spine (bounded by calendar)
         "q126_pagerank",         # broadcast 1-row node-count N
         "q168_triangle_count",   # broadcast 1-row triangle-count combine
+        "q175_triangle_estimate",  # broadcast 1-row sampled-count combine
+        "q176_triangle_estimate_error",  # broadcast 1-row est-vs-exact combine
         "q172_association_rules",  # broadcast 1-row basket-count N
         "q131_hll_partition_merge",  # broadcast 1-row exact-count bound
         "q141_bm25",             # broadcast 1-row corpus N/avgdl stats
