@@ -57,10 +57,14 @@ _BAND_SELECTS = " UNION ALL ".join(
 )
 
 
-def bucket_pair_expand(buckets: DataFrame, ids: str = "ids") -> DataFrame:
+def bucket_pair_expand(
+    buckets: DataFrame, ids: str = "ids", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Expand each bucket's sorted element array into ordered pairs (a, b)
     with a before b in array order — array HOFs inside one projection, no
     self-join, no extra shuffle. Elements may be atoms or structs.
+    ``keep`` columns ride along unchanged (the incremental index keeps the
+    bucket key on each pair so retraction can target a bucket).
 
     Callers must cap bucket size first (``MAX_POSTING``): expansion is
     O(|bucket|²) by nature, and the cap is what makes that a constant."""
@@ -74,7 +78,9 @@ def bucket_pair_expand(buckets: DataFrame, ids: str = "ids") -> DataFrame:
             ),
         )
     )
-    return buckets.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    return buckets.select(*keep, F.explode(pairs).alias("p")).select(
+        *keep, "p.a", "p.b"
+    )
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,26 +94,31 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_arrays_of(d: DataFrame) -> DataFrame:
     """(doc_id, array of shingles) — per-row, no explode/shuffle.
 
     No array_distinct: min-hash is duplicate-invariant (min over a multiset
     equals min over its distinct set), so signatures match the oracle's
     DISTINCT-shingle formulation without paying for per-row dedup."""
-    d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("toks"))
     shs = F.filter(word_shingles(F.col("toks"), 3), lambda s: s != "")
     return toks.select("doc_id", shs.alias("shs")).filter(F.size("shs") > 0)
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_arrays_of(t(spark, sf_dir, "documents"))
+
+
+def minhash_signatures_of(d: DataFrame) -> DataFrame:
     """K min-hashes per doc as pure per-row array math — ZERO shuffles.
 
     array_min over md5(seed|shingle) of the per-doc distinct-shingle array is
     the same min the explode→groupBy plan computes, but stays entirely inside
     codegen: at 100 TB the signature stage is an embarrassingly parallel map
-    with no exchange (the explode version shuffles O(total shingles) rows)."""
-    sh = _shingle_arrays(spark, sf_dir)
+    with no exchange (the explode version shuffles O(total shingles) rows).
+    Takes the documents frame directly so the incremental index (streaming/
+    dedup_index.py) can run the identical stage over a micro-batch."""
+    sh = shingle_arrays_of(d)
 
     def minhash_col(k: int):
         # NB: the lambda must stay single-argument — pyspark treats a
@@ -120,12 +131,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.select("doc_id", *[minhash_col(k) for k in range(N_MINHASH)])
 
 
-def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures_of(t(spark, sf_dir, "documents"))
+
+
+def band_tuples_of(d: DataFrame) -> DataFrame:
     """LSH banding: (doc_id, band, band_key) via ONE posexplode pass.
 
     A single plan node instead of a per-band union — the signature stage is
     computed once, not once per band."""
-    mh = minhash_signatures(spark, sf_dir)
+    mh = minhash_signatures_of(d)
     keys = F.array(
         *[
             F.concat(F.col(f"h{BAND_SIZE * b}"), F.col(f"h{BAND_SIZE * b + 1}"))
@@ -133,6 +148,10 @@ def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return mh.select("doc_id", F.posexplode(keys).alias("band", "band_key"))
+
+
+def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return band_tuples_of(t(spark, sf_dir, "documents"))
 
 
 @query(
@@ -180,9 +199,10 @@ def q52_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(spark, sf_dir)
 
 
-@query(
-    "q53_lsh_candidate_pairs",
-    oracle=f"""
+# The all-at-once LSH candidate-pair result — q53's oracle, and ALSO
+# q177's: the incremental index's parity contract is that a sliced replay
+# lands exactly this relation.
+LSH_PAIRS_SQL = f"""
 WITH mh AS ({MINHASH_SQL}),
 bands AS ({_BAND_SELECTS}),
 ok AS (SELECT band, band_key FROM bands
@@ -192,7 +212,12 @@ FROM bands a JOIN ok USING (band, band_key)
 JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
-""",
+"""
+
+
+@query(
+    "q53_lsh_candidate_pairs",
+    oracle=LSH_PAIRS_SQL,
 )
 def q53_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: docs colliding in ≥1 LSH band.
@@ -217,6 +242,41 @@ def q53_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+@query(
+    "q177_lsh_incremental_parity",
+    oracle=LSH_PAIRS_SQL,
+)
+def q177_lsh_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup (streaming/dedup_index.py) replayed over a
+    2-slice split of the corpus — even doc_ids land first, odd second, an
+    interleaved arrival order harsher than a prefix split — then the
+    index's ``pairs()`` snapshot. The oracle is q53's OWN SQL: the parity
+    contract "incremental == all-at-once, cap included" is itself the
+    driver-checked claim, covering the cap-crossing retraction path on
+    every bucket the second slice pushes past MAX_POSTING.
+
+    Scale: two merges, each = one map-only signature pass over its slice +
+    one band-key semi join against the posting store + bounded per-bucket
+    expansion (see the module docstring for the 100 TB layout). The
+    streaming (foreachBatch + checkpoint + replay) form of the same class
+    is pytest-verified in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.dedup_index import IncrementalLshIndex
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="lsh_idx_")
+    try:
+        idx = IncrementalLshIndex(spark, base)
+        idx.merge(d.filter(F.col("doc_id") % 2 == 0), 0)
+        idx.merge(d.filter(F.col("doc_id") % 2 == 1), 1)
+        # materialize before the temp state dir is removed
+        return idx.pairs().localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @query(

@@ -761,3 +761,112 @@ def test_upsert_corrupt_target_raises_not_overwrites(spark, tmp_path):
         target.upsert(b0, 0)
     # the garbage file must still be there — nothing overwrote the target
     assert (out / "part-00000.parquet").read_text() == "this is not parquet"
+
+
+def test_incremental_lsh_streaming_matches_batch(spark, tmp_path):
+    """Streaming form of q177 (incremental MinHash-LSH dedup): documents
+    fed as two micro-batches through foreachBatch(IncrementalLshIndex.merge)
+    under availableNow land the same candidate pairs as the all-at-once
+    q53 batch plan over the full corpus, and a full replay (fresh
+    checkpoint) is a no-op."""
+    from stream_cdc_gps_spark.operators.dedup import (
+        MAX_POSTING,
+        band_tuples_of,
+        bucket_pair_expand,
+    )
+    from stream_cdc_gps_spark.streaming.dedup_index import IncrementalLshIndex
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # near-dup family split ACROSS the two batches (docs 1/2 in b0, their
+    # near-identical sibling 3 in b1) so cross-batch pairing is exercised
+    b0 = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 4, "text": "completely different material about spark engines"},
+    ]
+    b1 = [
+        {"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 5, "text": "completely different material about spark engines here"},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in b0))
+    (src / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in b1))
+
+    idx = IncrementalLshIndex(spark, str(tmp_path / "idx"))
+    schema = "doc_id long, text string"
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", "1")  # two real micro-batches
+            .format("text")
+            .load(str(src))
+            .select(F.from_json("value", schema).alias("m"))
+            .select("m.*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(idx.merge)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+
+    # golden: the q53 batch plan over the WHOLE corpus
+    full = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in b0 + b1], schema
+    )
+    bands = band_tuples_of(full)
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_POSTING))
+    )
+    golden = sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands)
+        for r in bucket_pair_expand(buckets)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .collect()
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands) for r in idx.pairs().collect()
+    )
+    assert got == golden
+    # docs 1 and 3 are byte-identical -> they must pair on every band
+    assert (1, 3, 3) in got
+
+    # worst-case restart: fresh checkpoint replays every micro-batch;
+    # distinct-keyed merges make it a no-op
+    run("ck2")
+    assert sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands) for r in idx.pairs().collect()
+    ) == golden
+
+
+def test_incremental_lsh_cap_crossing_retracts(spark, tmp_path):
+    """The MAX_POSTING semantics q177's parity depends on: a bucket that
+    crosses the cap when a later batch lands has its previously-emitted
+    collisions RETRACTED (and never emits again), exactly matching the
+    all-at-once plan's final-size cap."""
+    from stream_cdc_gps_spark.streaming.dedup_index import IncrementalLshIndex
+
+    schema = "doc_id long, text string"
+    text = "identical bucket stuffing text repeated verbatim each time"
+    mk = lambda ids: spark.createDataFrame([(i, text) for i in ids], schema)
+
+    idx = IncrementalLshIndex(spark, str(tmp_path / "idx"), max_posting=2)
+    idx.merge(mk([1, 2]), 0)
+    # two identical docs share all 3 bands; bucket size 2 == cap -> alive
+    assert sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands) for r in idx.pairs().collect()
+    ) == [(1, 2, 3)]
+    # third identical doc pushes every shared bucket past the cap
+    idx.merge(mk([3]), 1)
+    assert idx.pairs().count() == 0
+    # dead buckets stay dead: a fourth arrival emits nothing either
+    idx.merge(mk([4]), 2)
+    assert idx.pairs().count() == 0
