@@ -68,70 +68,70 @@ DRIVER_WINDOW = 50
 # instead require a committed full driver-sim artifact
 # (artifacts/driver_sim_full.json certifying a 0-fail run from this round).
 #
-# Round 5 front-loads, in order (r4 judge mandate #1: rotate so every
-# query's official driver row ends up <= 3 rounds old):
-# (a) queries changed or ADDED in r5 (the staleness gate forces these):
-#     q105 (gate cache rekeyed), q161/q162 (Lloyd-trained codebooks),
-#     q163 (GPS composition canary), q164 (cap telemetry), q165/q166
-#     (training self-eval), q167-q174 (semdedup, triangles, ACF, CUSUM,
-#     seasonal anomaly, association rules, source JSD, TWAP — new this
-#     round);
-# (b) the 16 queries still carrying r1-era official rows;
-# (c) oldest r2-era official rows, registration order, up to the window
-#     minus slack (q89/q84/q85/q88/q60/q96/q92/q93 yielded their slots to
-#     the eight new r5 queries and rotate in r6 with the q30-q33 family).
+# Round 6 front-loads, in order (r5 judge mandate #2: rotate the r2-era
+# official rows in after the staleness-mandated changed queries):
+# (a) queries changed or ADDED in r6 — the staleness gate forces these:
+#     the r5-advice algebra fixes (deterministic decimal Lloyd averaging
+#     -> q161/q162 + their self-eval q165/q166 and SemDeDup q167; complete
+#     JSD pair frame -> q173; DECIMAL(18,6) TWAP -> q174), the triangle
+#     family refactor + DOULION additions (q168, q175, q176), and the
+#     dedup-family refactor for the incremental LSH index (q52-q59, q79,
+#     q146, q147, q150, q153, q154, q155, q160, q164, new q177);
+# (b) oldest r2-era official rows, judge order, up to the window minus
+#     slack: 21 of the 30 fit this round (q88/q89/q92-q96/q98/q99 rotate
+#     first in r7; all 30 are also covered by this round's clean-tree
+#     full-sim certificate at both scale factors).
 _PRIORITY: list[str] = [
-    # (a) changed or added in r5
-    "q105_decontamination",
+    # (a) changed or added in r6
     "q161_ivf_trained_topk",
     "q162_pq_trained_codes",
-    "q163_gps_pipeline",
-    "q164_cap_telemetry",
     "q165_ivf_training_recall",
     "q166_lloyd_inertia",
     "q167_semdedup",
-    "q168_triangle_count",
-    "q169_hourly_acf",
-    "q170_cusum_changepoint",
-    "q171_seasonal_anomaly",
-    "q172_association_rules",
     "q173_source_divergence",
     "q174_twap",
-    # (b) r1-era official rows
-    "q14_grouping_sets",
-    "q15_percentiles",
-    "q16_having",
-    "q17_conditional_agg",
-    "q18_intersect",
-    "q19_except",
-    "q20_union_all",
-    "q21_distinct",
-    "q22_string_funcs",
-    "q23_date_funcs",
-    "q24_json_funcs",
-    "q25_hash_funcs",
-    "q27_correlated_subquery",
-    "q28_pivot",
-    "q29_min_max_by",
-    "q36_map_functions",
-    # (c) oldest r2-era official rows, registration order
-    "q34_asof_join",
-    "q50_dedup_exact",
-    "q51_dedup_fingerprint",
+    "q168_triangle_count",
+    "q175_triangle_estimate",
+    "q176_triangle_estimate_error",
+    "q52_minhash_signatures",
+    "q53_lsh_candidate_pairs",
+    "q177_lsh_incremental_parity",
+    "q54_ngram_jaccard",
+    "q56_embedding_near_dup",
+    "q57_neardup_components",
+    "q58_simhash_pairs",
+    "q59_dedup_keep_one",
+    "q146_minhash_jaccard_estimate",
+    "q147_neardup_cluster_stats",
+    "q150_split_leakage_check",
+    "q153_cluster_safe_split",
+    "q154_cross_source_dup_matrix",
+    "q155_dedup_threshold_sweep",
+    "q160_idf_weighted_jaccard",
     "q79_lev_verify_pairs",
-    "q43_tumbling_hourly",
-    "q97_sliding_window_rate",
-    "q86_cdc_snapshot_upsert",
-    "q26_approx_stats",
-    "q35_collect_sorted",
-    "q37_set_ops_all",
-    "q38_except_all",
-    "q39_uncorrelated_subquery",
-    "q47_hypertable_rollup",
-    "q48_array_functions",
-    "q49_unpivot",
-    "q90_exists_subqueries",
-    "q91_cross_join",
+    "q164_cap_telemetry",
+    # (b) r2-era official rows, judge order
+    "q30_topk_per_group",
+    "q31_rank_dense_ntile",
+    "q32_lag_lead",
+    "q33_window_frames",
+    "q60_cosine_topk",
+    "q61_ann_bucketed_topk",
+    "q62_embedding_stats",
+    "q63_ivf_topk",
+    "q64_ann_recall",
+    "q65_label_centroids",
+    "q70_lang_stats",
+    "q71_token_quality",
+    "q72_top_terms",
+    "q73_lang_id_heuristic",
+    "q74_source_lang_matrix",
+    "q75_bpe_token_estimate",
+    "q76_rolling_hash",
+    "q77_stopword_ratio",
+    "q84_json_scan",
+    "q85_csv_scan",
+    "q87_train_val_split",
 ]
 
 
