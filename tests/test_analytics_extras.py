@@ -151,3 +151,53 @@ def test_twap_is_convex_combination(spark):
     for k, r in got.items():
         assert bounds[k]["lo"] - 1e-4 <= r["twap"] <= bounds[k]["hi"] + 1e-4
     assert any(abs(r["twap"] - r["mean_value"]) > 1e-4 for r in got.values())
+
+
+def test_triangle_helper_counts_k4(spark):
+    """K4 has exactly 4 triangles and 6 edges; the degree-ordered
+    orientation must count each triangle exactly once regardless of the
+    (uniform-degree) tie-break path."""
+    from stream_cdc_gps_spark.operators.analytics import _orient_count_triangles
+
+    edges = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+    pr = spark.createDataFrame(edges, "u long, v long")
+    sizes, tri = _orient_count_triangles(pr)
+    s, n = sizes.collect()[0], tri.collect()[0]
+    assert (s.n_nodes, s.n_edges) == (4, 6)
+    assert n.n_tri == 4
+
+
+def test_triangle_sample_coin_matches_reference_hash(spark):
+    """The DOULION edge coin is first-2-md5-bytes("u|v") % 9 == 0 — pin it
+    against an independent hashlib computation so the Spark and DuckDB
+    idioms can't silently drift from the documented semantics."""
+    import hashlib
+
+    from stream_cdc_gps_spark.operators.analytics import (
+        _TRI_SAMPLE_MOD,
+        _sampled_edges,
+    )
+
+    edges = [(u, v) for u in range(50) for v in range(u + 1, 52)]
+    pr = spark.createDataFrame(edges, "u long, v long")
+    got = sorted((r.u, r.v) for r in _sampled_edges(pr).collect())
+    want = sorted(
+        (u, v)
+        for u, v in edges
+        if int(hashlib.md5(f"{u}|{v}".encode()).hexdigest()[:4], 16)
+        % _TRI_SAMPLE_MOD
+        == 0
+    )
+    assert got == want and 0 < len(got) < len(edges)
+
+
+def test_triangle_estimate_scales_sampled_count(spark):
+    """est_triangles is exactly n_tri_sampled * 9^3 and the sampled count
+    never exceeds the exact count (a subgraph cannot gain triangles)."""
+    from stream_cdc_gps_spark.registry import queries
+
+    qs = queries()
+    est = qs["q175_triangle_estimate"](spark, SF_SMOKE).collect()[0]
+    assert est.est_triangles == est.n_tri_sampled * 9**3
+    exact = qs["q168_triangle_count"](spark, SF_SMOKE).collect()[0]
+    assert est.n_tri_sampled <= exact.n_triangles

@@ -103,3 +103,86 @@ def test_sign_lsh_band_bucket_distribution(spark):
     sizes = {r["count"]: r["n_buckets"] for r in dist}
     print(f"sign-LSH band bucket-size -> n_buckets: {sizes}")
     assert max(sizes) <= MAX_POSTING
+
+
+def test_bucket_pair_expand_keep_carries_key_columns(spark):
+    """keep= columns ride along on every expanded pair (the incremental
+    index keys retraction on them)."""
+    df = spark.createDataFrame(
+        [(0, "k0", [1, 2, 3]), (1, "k1", [7, 8])],
+        "band int, band_key string, ids array<int>",
+    )
+    got = sorted(
+        tuple(r) for r in bucket_pair_expand(df, keep=("band", "band_key")).collect()
+    )
+    assert got == [
+        (0, "k0", 1, 2),
+        (0, "k0", 1, 3),
+        (0, "k0", 2, 3),
+        (1, "k1", 7, 8),
+    ]
+
+
+def test_incremental_lsh_random_slicings_match_batch(spark):
+    """Slice-order independence: ANY partition of the corpus into ordered
+    batches lands the same pairs() as the all-at-once batch plan —
+    a handful of adversarial slicings over a corpus built to produce both
+    near-dup collisions and a hot bucket right at the cap boundary."""
+    import itertools
+
+    from stream_cdc_gps_spark.operators.dedup import band_tuples_of
+    from stream_cdc_gps_spark.streaming.dedup_index import IncrementalLshIndex
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, base),
+        (2, base),                       # exact dup of 1
+        (3, base + " iota"),             # near dup
+        (4, "unrelated text about nothing in particular here"),
+        (5, base),                       # third member of the hot family
+        (6, base),                       # fourth — crosses max_posting=3
+    ]
+    schema = "doc_id long, text string"
+    full = spark.createDataFrame(docs, schema)
+
+    def batch_pairs(cap):
+        bands = band_tuples_of(full)
+        buckets = (
+            bands.groupBy("band", "band_key")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .filter((F.size("ids") > 1) & (F.size("ids") <= cap))
+        )
+        return sorted(
+            tuple(r)
+            for r in bucket_pair_expand(buckets)
+            .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+    slicings = [
+        [[1, 2, 3, 4, 5, 6]],                    # single batch
+        [[1, 2], [3, 4], [5, 6]],                # pairs in order
+        [[6, 5], [4, 3], [2, 1]],                # reverse arrival
+        [[1], [2], [3], [4], [5], [6]],          # one doc per batch
+        [[4], [1, 5, 6], [2, 3]],                # hot family split unevenly
+    ]
+    for cap in (3, 64):
+        golden = batch_pairs(cap)
+        for si, slices in enumerate(slicings):
+            import tempfile, shutil
+
+            tmp = tempfile.mkdtemp(prefix="lsh_prop_")
+            try:
+                idx = IncrementalLshIndex(spark, tmp, max_posting=cap)
+                for bi, ids in enumerate(slices):
+                    idx.merge(
+                        full.filter(F.col("doc_id").isin(ids)), bi
+                    )
+                got = sorted(
+                    (r.doc_a, r.doc_b, r.n_shared_bands)
+                    for r in idx.pairs().collect()
+                )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            assert got == golden, f"cap={cap} slicing#{si} diverged"
