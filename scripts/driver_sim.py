@@ -152,7 +152,8 @@ def main() -> None:
             subprocess.run(
                 ["git", "-C", repo, "status", "--porcelain", "--",
                  ".", ":(exclude)artifacts/driver_sim_full.json",
-                 ":(exclude)artifacts/driver_sim_full_sf*.json"],
+                 ":(exclude)artifacts/driver_sim_full_sf*.json",
+                 ":(exclude)artifacts/bench_detail.json"],
                 capture_output=True, text=True, check=True,
             ).stdout.strip()
         )

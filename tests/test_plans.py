@@ -375,3 +375,39 @@ def test_q172_rules_topk_is_takeordered(spark):
     df = Q["q172_association_rules"](spark, SF_SMOKE)
     p = plan_string(df)
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_q175_sampled_triangle_plan_matches_q168_shape(spark):
+    """The estimator must keep q168's plan discipline on the sampled
+    subgraph: all equi-joins, the deterministic hash coin applied as a
+    plain filter (no extra exchange), one BNLJ node for the final 1-row
+    combine."""
+    import re
+
+    df = Q["q175_triangle_estimate"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1, p
+
+
+def test_q177_pairs_snapshot_is_single_aggregate(spark):
+    """The incremental index's pairs() snapshot is ONE groupBy over the
+    landed collision store — no join, no recompute of signatures."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.dedup_index import IncrementalLshIndex
+
+    tmp = tempfile.mkdtemp(prefix="lsh_plan_")
+    try:
+        idx = IncrementalLshIndex(spark, tmp)
+        docs = spark.createDataFrame(
+            [(1, "one two three four"), (2, "one two three four")],
+            "doc_id long, text string",
+        )
+        idx.merge(docs, 0)
+        p = plan_string(idx.pairs())
+        assert "Join" not in p
+        assert "HashAggregate" in p
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
