@@ -870,3 +870,40 @@ def test_incremental_lsh_cap_crossing_retracts(spark, tmp_path):
     # dead buckets stay dead: a fourth arrival emits nothing either
     idx.merge(mk([4]), 2)
     assert idx.pairs().count() == 0
+
+
+def test_incremental_lsh_partial_write_crash_self_heals(spark, tmp_path):
+    """merge() writes postings THEN collisions; a crash between the two
+    leaves the index with updated postings but stale collisions. Because
+    each merge re-expands the FULL contents of every affected bucket (not
+    old-docs x new-docs), replaying the same micro-batch repairs the
+    collision store — the property that makes the two-directory state
+    safe without a cross-directory transaction."""
+    import shutil
+
+    from stream_cdc_gps_spark.streaming.dedup_index import IncrementalLshIndex
+
+    schema = "doc_id long, text string"
+    base = "alpha beta gamma delta epsilon zeta"
+    b0 = spark.createDataFrame([(1, base), (2, base + " extra")], schema)
+    b1 = spark.createDataFrame([(3, base)], schema)
+
+    idx = IncrementalLshIndex(spark, str(tmp_path / "idx"))
+    idx.merge(b0, 0)
+    # snapshot the collision store, then land b1 and roll ONLY the
+    # collision store back — the exact partial-write crash state
+    shutil.copytree(idx.collisions_path, str(tmp_path / "coll_backup"))
+    idx.merge(b1, 1)
+    healthy = sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands) for r in idx.pairs().collect()
+    )
+    shutil.rmtree(idx.collisions_path)
+    shutil.copytree(str(tmp_path / "coll_backup"), idx.collisions_path)
+    assert sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands) for r in idx.pairs().collect()
+    ) != healthy  # the crash state is genuinely inconsistent
+    # checkpoint replay re-delivers b1: the merge must repair, not double
+    idx.merge(b1, 1)
+    assert sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands) for r in idx.pairs().collect()
+    ) == healthy
