@@ -97,6 +97,13 @@ SPOTLIGHT = [
     "q167_semdedup",
     "q173_source_divergence",
     "q174_twap",
+    # r6 session-2 additions
+    "q178_score_auc",
+    "q179_k_anonymity",
+    "q180_chi2_independence",
+    "q181_feature_corr_matrix",
+    "q182_minhash_containment",
+    "q183_pq_adc_topk",
 ]
 
 HEADLINE = PERMANENT + SPOTLIGHT

@@ -1922,3 +1922,313 @@ def q174_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(twap_raw * 10000 + F.lit(0.5e0)) / 10000.0).alias("twap"),
         (F.floor(mean_raw * 10000 + F.lit(0.5e0)) / 10000.0).alias("mean_value"),
     )
+
+
+@query(
+    "q178_score_auc",
+    oracle="""
+WITH labeled AS (
+    SELECT value AS score,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+by_score AS (
+    SELECT score,
+           CAST(sum(pos) AS BIGINT) AS n_pos_v,
+           CAST(count(*) - sum(pos) AS BIGINT) AS n_neg_v
+    FROM labeled GROUP BY score
+),
+cum AS (
+    SELECT n_pos_v, n_neg_v,
+           coalesce(sum(n_neg_v) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+    FROM by_score
+),
+tot AS (SELECT CAST(sum(n_pos_v) AS BIGINT) AS n_pos,
+               CAST(sum(n_neg_v) AS BIGINT) AS n_neg FROM by_score)
+SELECT t.n_pos, t.n_neg,
+       floor((sum(p.n_pos_v * (p.neg_below + 0.5e0 * p.n_neg_v))
+              / (t.n_pos * t.n_neg)) * 1000000 + 0.5e0) / 1000000.0e0 AS auc
+FROM cum p CROSS JOIN tot t
+GROUP BY t.n_pos, t.n_neg
+""",
+)
+def q178_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of `value` as a ranking score for `event_type = 'purchase'`
+    (the Mann-Whitney U estimator: AUC = P(score+ > score-) + ½·P(=)) —
+    the standard evaluation of any learned quality/filter score against a
+    binary label in a training-data pipeline.
+
+    Scale design: NO global rank over n rows. Compressing to per-DISTINCT-
+    score (pos, neg) counts first makes the sort/window run over |distinct
+    scores| rows instead of |events| — one uniform score-keyed shuffle,
+    then a window over the (small) distinct frame, then a 1-row aggregate.
+    AUC = Σ_v n_pos(v)·(neg_below(v) + ½·n_neg(v)) / (n_pos·n_neg) is
+    algebraically identical to the ties-averaged rank-sum formula. The
+    final quantization is the floor(x·1e6 + 0.5) idiom (q174): the sum is
+    a double fold over integer-valued terms accumulated in window order on
+    both engines, so identical inputs give identical doubles.
+
+    Extends SURVEY.md §2B's analytics battery (reference has no evaluation
+    surface; cmd/main.go streams rows only)."""
+    e = t(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    by_score = e.groupBy("score").agg(
+        F.sum("pos").cast("bigint").alias("n_pos_v"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n_neg_v"),
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = by_score.select(
+        "n_pos_v",
+        "n_neg_v",
+        F.coalesce(F.sum("n_neg_v").over(w), F.lit(0)).alias("neg_below"),
+    )
+    agg = cum.agg(
+        F.sum("n_pos_v").cast("bigint").alias("n_pos"),
+        F.sum("n_neg_v").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("n_pos_v") * (F.col("neg_below") + 0.5 * F.col("n_neg_v"))
+        ).alias("num"),
+    )
+    auc_raw = F.col("num") / (F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (F.floor(auc_raw * 1000000 + F.lit(0.5e0)) / 1000000.0).alias("auc"),
+    )
+
+
+def chi2_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, lang, count) contingency table — the ONE corpus pass of
+    q180; pruned to the two grouping columns at the scan."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+
+
+K_ANON_THRESHOLD = 8
+
+
+@query(
+    "q179_k_anonymity",
+    oracle=f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END)
+            AS BIGINT) AS l_distinct,
+       (count(*) < {K_ANON_THRESHOLD}
+        OR count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END) < 2)
+           AS at_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+""",
+)
+def q179_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the (nation, market-segment)
+    quasi-identifier: per equivalence class, its size (k), the number of
+    distinct sensitive-attribute categories (l; sensitive = sign of the
+    account balance), and an at-risk flag (k < {K_ANON_THRESHOLD} or l < 2
+    — a class whose members are individually re-identifiable or all share
+    the sensitive value). The privacy gate a governed training-data
+    pipeline runs before releasing a slice.
+
+    Scale: ONE shuffle on the quasi-identifier key; count + distinct-count
+    of a 2-category derivation partial-aggregate map-side. Output is one
+    row per equivalence class (bounded by the quasi-identifier domain,
+    not the row count). Extends SURVEY.md §2B's DQ family (q116)."""
+    c = t(spark, sf_dir, "customer")
+    sens = F.when(F.col("c_acctbal") < 0, "neg").otherwise("nonneg")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.countDistinct(sens).cast("bigint").alias("l_distinct"),
+    )
+    at_risk = (F.col("group_size") < K_ANON_THRESHOLD) | (F.col("l_distinct") < 2)
+    return g.select(
+        "c_nationkey", "c_mktsegment", "group_size", "l_distinct",
+        at_risk.alias("at_risk"),
+    )
+
+
+@query(
+    "q180_chi2_independence",
+    oracle="""
+WITH obs AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+    FROM documents GROUP BY source, lang
+),
+rows_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY source),
+cols_ AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY lang),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+grid AS (
+    SELECT r.source, c.lang, r.rt, c.ct, coalesce(o.o, 0) AS o
+    FROM rows_ r CROSS JOIN cols_ c
+    LEFT JOIN obs o ON o.source = r.source AND o.lang = c.lang
+),
+terms AS (
+    SELECT t.n,
+           CAST(floor(((g.o - g.rt * g.ct / CAST(t.n AS DOUBLE))
+                       * (g.o - g.rt * g.ct / CAST(t.n AS DOUBLE))
+                       / (g.rt * g.ct / CAST(t.n AS DOUBLE))) * 1000000000
+                      + 0.5e0) AS BIGINT) AS tq
+    FROM grid g CROSS JOIN tot t
+)
+SELECT n,
+       CAST((SELECT count(*) - 1 FROM rows_)
+            * (SELECT count(*) - 1 FROM cols_) AS BIGINT) AS dof,
+       floor((CAST(sum(tq) AS DOUBLE) / 1000.0e0) + 0.5e0) / 1000000.0e0 AS chi2
+FROM terms
+GROUP BY n
+""",
+)
+def q180_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document source and
+    language — the frequentist companion to q137's mutual information:
+    chi2 = Σ_cells (O - E)² / E with E = row_total·col_total / N, summed
+    over the FULL source×lang grid (absent combinations contribute their
+    expected mass — dropping them understates the statistic). Reports N,
+    degrees of freedom (R-1)(C-1), and chi2.
+
+    Scale: one (source, lang)-keyed count shuffle; everything after runs
+    on the contingency table, whose size is the attribute-domain product,
+    independent of corpus row count. Marginals are tiny aggregates of the
+    table itself, recombined via broadcast joins; the grid is a broadcast
+    cross of the two marginal frames so zero-observed cells exist.
+
+    Determinism: each cell's (O-E)²/E is an inexact double, so a naive
+    double SUM would be combine-order-sensitive. Every per-cell term is
+    instead quantized to integer nano-units with the floor idiom (the
+    per-term double is bit-identical cross-engine — same integer inputs,
+    same scalar ops), and the SUM runs over exact BIGINTs, which is
+    order-proof; one final floor rounds the nano-sum to 6 decimals.
+
+    The contingency table is localCheckpoint-ed once: five downstream
+    consumers (marginals, grid, N, dof) would otherwise each re-run the
+    corpus scan+count — at 100 TB that is five full passes for one."""
+    obs = chi2_observed(spark, sf_dir).localCheckpoint(eager=True)
+    rows_ = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("rt"))
+    cols_ = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("ct"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .join(F.broadcast(obs), ["source", "lang"], "left")
+        .select("rt", "ct", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    n_row = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    dof_row = rows_.crossJoin(cols_).agg(
+        ((F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1))
+        .cast("bigint")
+        .alias("dof")
+    )
+    e_cell = F.col("rt") * F.col("ct") / F.col("n").cast("double")
+    term = (F.col("o") - e_cell) * (F.col("o") - e_cell) / e_cell
+    tq = F.floor(term * 1000000000 + F.lit(0.5e0)).cast("bigint")
+    return (
+        grid.crossJoin(F.broadcast(n_row))
+        .select("n", tq.alias("tq"))
+        .groupBy("n")
+        .agg(
+            (
+                F.floor(F.sum("tq").cast("double") / 1000.0 + F.lit(0.5e0))
+                / 1000000.0
+            ).alias("chi2")
+        )
+        .crossJoin(F.broadcast(dof_row))
+        .select("n", "dof", "chi2")
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_sql_pairs() -> str:
+    terms = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            terms.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,\n"
+                f"  floor(((n * CAST(s_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))\n"
+                f"   / sqrt((n * CAST(s2_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))\n"
+                f"        * (n * CAST(s2_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))))\n"
+                f"  * 1000000 + 0.5e0) / 1000000.0e0 AS corr FROM sums"
+            )
+    return "\nUNION ALL\n".join(terms)
+
+
+def _corr_sums_sql() -> str:
+    # one operand widened to DECIMAL(19,4): DuckDB computes the product of
+    # two int64-backed DECIMAL(18,4)s in int64 (overflows on price²) and
+    # rejects 28×28 at bind time (precision 56 > 38); 18+19 = 37 keeps the
+    # result type legal while forcing int128 arithmetic — still exact.
+    parts = ["CAST(count(*) AS DOUBLE) AS n"]
+    for a in _CORR_COLS:
+        parts.append(f"sum(CAST({a} AS DECIMAL(18,4))) AS s_{a}")
+        parts.append(
+            f"sum(CAST({a} AS DECIMAL(18,4)) * CAST({a} AS DECIMAL(19,4))) AS s2_{a}"
+        )
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            parts.append(
+                f"sum(CAST({a} AS DECIMAL(18,4)) * CAST({b} AS DECIMAL(19,4))) AS s_{a}_{b}"
+            )
+    return "SELECT " + ",\n       ".join(parts) + " FROM lineitem"
+
+
+@query(
+    "q181_feature_corr_matrix",
+    oracle=f"WITH sums AS ({_corr_sums_sql()})\n{_corr_sql_pairs()}",
+)
+def q181_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem numeric features
+    (quantity, extendedprice, discount, tax) in long form — the feature-
+    screening pass a modeling pipeline runs before training.
+
+    Scale: ONE map-side-combinable pass computes every moment (n, Σx, Σx²,
+    Σxy for all 6 pairs) in a single 1-row aggregate — no per-pair scans,
+    no shuffle beyond the final combine. The moments run through exact
+    DECIMAL(18,4) sums (inputs have ≤2 decimals, so the casts are exact
+    and the sums combine-order-proof — the q174 idiom); each correlation
+    is then a handful of bit-identical double ops on identical inputs,
+    quantized with the floor idiom. The 6-row long-form output is built
+    from the single moment row with per-pair literal projections."""
+    li = t(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(18,4)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for a in _CORR_COLS:
+        aggs.append(F.sum(dec[a]).alias(f"s_{a}"))
+        aggs.append(F.sum(dec[a] * dec[a]).alias(f"s2_{a}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(dec[a] * dec[b]).alias(f"s_{a}_{b}"))
+    sums = li.agg(*aggs)
+
+    def corr_expr(a: str, b: str) -> F.Column:
+        n = F.col("n")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sxy = F.col(f"s_{a}_{b}").cast("double")
+        s2a = F.col(f"s2_{a}").cast("double")
+        s2b = F.col(f"s2_{b}").cast("double")
+        raw = (n * sxy - sa * sb) / F.sqrt(
+            (n * s2a - sa * sa) * (n * s2b - sb * sb)
+        )
+        return F.floor(raw * 1000000 + F.lit(0.5e0)) / 1000000.0
+
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                corr_expr(a, b).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return sums.select(F.explode(out).alias("p")).select("p.col_a", "p.col_b", "p.corr")

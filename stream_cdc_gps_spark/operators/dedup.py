@@ -1277,3 +1277,70 @@ def q79_lev_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lev <= 24).alias("confirmed"),
         )
     )
+
+
+@query(
+    "q182_minhash_containment",
+    oracle=f"""
+WITH sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {MAX_POSTING}),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN ok USING (sh)
+    JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS n_smaller,
+       round(n_common / least(sa.n_sh, sb.n_sh), 4) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / least(sa.n_sh, sb.n_sh) >= 0.6
+""",
+)
+def q182_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT |A∩B| / min(|A|,|B|) for candidate pairs —
+    the subsumption detector Jaccard misses: a short document pasted
+    inside a long one scores near-zero Jaccard (the union is dominated
+    by the long side) but containment ≈ 1. Training-data pipelines run
+    this next to q54 to catch quote-expansion and boilerplate-wrapping
+    duplicates (Broder's containment measure, the basis of "superset"
+    dedup rules).
+
+    Plan shape is q54's proven two-exchange inverted index — per-row
+    distinct-shingle arrays carry TRUE sizes into the posting buckets,
+    pairs expand in-bucket (MAX_POSTING-capped, the O(n²) guard), and
+    the measure is a plain expression over (n_common, na, nb) — only
+    the denominator differs: min(na, nb) instead of the union size."""
+    sh = _shingle_arrays(spark, sf_dir)
+    docs = sh.select(
+        "doc_id", F.array_distinct("shs").alias("shs")
+    ).withColumn("n_sh", F.size("shs"))
+    exploded = docs.select("doc_id", "n_sh", F.explode("shs").alias("sh"))
+    buckets = (
+        exploded.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_POSTING))
+    )
+    inter = (
+        bucket_pair_expand(buckets)
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n_smaller = F.least("na", "nb")
+    cont = F.col("n_common") / n_smaller
+    return (
+        inter.filter(cont >= 0.6)
+        .select(
+            "doc_a",
+            "doc_b",
+            n_smaller.cast("bigint").alias("n_smaller"),
+            F.round(cont, 4).alias("containment"),
+        )
+    )

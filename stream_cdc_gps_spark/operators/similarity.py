@@ -1423,3 +1423,164 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count("is_dup")).cast("bigint").alias("n_kept"),
         )
     )
+
+
+_ADC_CAND_SQL = f"""
+sub AS (
+    SELECT v.vec_id, m.m AS m,
+           (v.emb)[m.m * {_PQ_D} + 1 : (m.m + 1) * {_PQ_D}] AS sv
+    FROM e v, (SELECT unnest(range(0, {_PQ_M})) AS m) m
+),
+best AS (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_SQL_SUB_L2.format(a="s.sv", b="c.cent", d=_PQ_D)},
+                                           c.code) AS rn
+        FROM sub s JOIN cb c ON c.m = s.m
+    ) WHERE rn = 1
+)"""
+
+
+@query(
+    "q183_pq_adc_topk",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+cb AS (
+    SELECT m.m AS m, c.vec_id AS code,
+           (c.emb)[m.m * {_PQ_D} + 1 : (m.m + 1) * {_PQ_D}] AS cent
+    FROM (SELECT unnest(range(0, {_PQ_M})) AS m) m
+    CROSS JOIN (SELECT * FROM e WHERE vec_id < {_PQ_K}) c
+),
+{_ADC_CAND_SQL},
+q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id >= 100 AND vec_id < 120),
+lut AS (
+    SELECT q.query_id, c.m, c.code,
+           {_SQL_SUB_L2.format(a="((q.emb)[c.m * " + str(_PQ_D) + " + 1 : (c.m + 1) * " + str(_PQ_D) + "])", b="c.cent", d=_PQ_D)} AS d
+    FROM q CROSS JOIN cb c
+),
+adc AS (
+    SELECT l.query_id, b.vec_id AS candidate_id,
+           -- fixed-order fold ((d0+d1)+d2)+d3: matches the Spark
+           -- expression's left-to-right addition bit-for-bit
+           ((max(CASE WHEN l.m = 0 THEN l.d END)
+             + max(CASE WHEN l.m = 1 THEN l.d END))
+            + max(CASE WHEN l.m = 2 THEN l.d END))
+           + max(CASE WHEN l.m = 3 THEN l.d END) AS s
+    FROM best b JOIN lut l ON l.m = b.m AND l.code = b.code
+    WHERE b.vec_id != l.query_id
+    GROUP BY l.query_id, b.vec_id
+),
+ranked AS (
+    SELECT query_id, candidate_id, round(sqrt(s), 6) AS adc_l2,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(sqrt(s), 6), candidate_id) AS rn
+    FROM adc
+)
+SELECT r.query_id, r.candidate_id, r.adc_l2,
+       round(sqrt({_SQL_SUB_L2.format(a="q.emb", b="c.emb", d=64)}), 6) AS exact_l2
+FROM ranked r
+JOIN q ON q.query_id = r.query_id
+JOIN e c ON c.vec_id = r.candidate_id
+WHERE r.rn <= 3
+""",
+)
+def q183_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ASYMMETRIC-DISTANCE (ADC) top-3 search — the query half of the
+    product-quantization story (q159/q162 built the codes; this searches
+    them): each query keeps its RAW vector, each candidate only its
+    {_PQ_M}-byte code, and the approximate L2 is the sum of per-subspace
+    query→centroid distances looked up by code (Jégou et al.'s ADC).
+    Returns each query's top-3 by ADC distance with the true L2 alongside
+    — the approximation error is visible per pair.
+
+    Plan: codes are the q159 map-only HOF encoding (literal codebook,
+    zero joins); each query row precomputes its {_PQ_M}×{_PQ_K} lookup
+    table ONCE as literal-codebook array math (map-only over the 20-row
+    query side); the scored frame is candidates ⋈ broadcast(queries),
+    where the ADC per pair is {_PQ_M} element_at lookups + 3 adds — no
+    per-pair 64-d math anywhere in the scan. At 100 TB this is exactly
+    the FAISS IVF-ADC inner loop: the base side streams codes only
+    (16 bytes/vector instead of 256), and true-vector access happens
+    AFTER top-k, here as a re-rank join on the ≤3·|queries| survivors.
+    The 4-term ADC sum folds left-to-right in one expression; the oracle
+    pivots to the same fixed order, so the doubles agree bit-for-bit."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cb_rows = sorted(
+        e.filter(F.col("vec_id") < _PQ_K).collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def sub_l2_lit(sv: F.Column, cent: list[float]) -> F.Column:
+        diff2 = F.transform(
+            sv,
+            lambda x, i: (x - F.element_at(F.array(*[F.lit(c) for c in cent]), i + 1)) ** 2,
+        )
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+    # candidate side: codes only (the q159 encoding, map-only)
+    code_cols = []
+    for m in range(_PQ_M):
+        sv = F.slice("emb", m * _PQ_D + 1, _PQ_D)
+        cands = F.array(
+            *[
+                F.struct(
+                    sub_l2_lit(sv, [float(x) for x in r["emb"][m * _PQ_D : (m + 1) * _PQ_D]]).alias("err"),
+                    F.lit(int(r["vec_id"])).alias("code"),
+                )
+                for r in cb_rows
+            ]
+        )
+        code_cols.append(F.array_min(cands)["code"].cast("int").alias(f"code{m}"))
+    coded = e.select("vec_id", *code_cols)
+
+    # query side: raw vector + per-subspace LUT (one literal-codebook pass)
+    q = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    lut_cols = []
+    for m in range(_PQ_M):
+        sv = F.slice("q_emb", m * _PQ_D + 1, _PQ_D)
+        lut_cols.append(
+            F.array(
+                *[
+                    sub_l2_lit(sv, [float(x) for x in r["emb"][m * _PQ_D : (m + 1) * _PQ_D]])
+                    for r in cb_rows
+                ]
+            ).alias(f"lut{m}")
+        )
+    q_lut = q.select("query_id", "q_emb", *lut_cols)
+
+    scored = coded.crossJoin(F.broadcast(q_lut)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = scored.select(
+        "query_id",
+        F.col("vec_id").alias("candidate_id"),
+        "q_emb",
+        sum(
+            [F.element_at(f"lut{m}", F.col(f"code{m}") + 1) for m in range(_PQ_M)],
+            F.lit(0.0),
+        ).alias("s"),
+    )
+    # NB: python sum() with a 0.0 start folds 0.0+d0+d1+d2+d3 left-to-right;
+    # the oracle's ((d0+d1)+d2)+d3 equals that only because +0.0 is exact.
+    w = Window.partitionBy("query_id").orderBy(F.round(F.sqrt("s"), 6), "candidate_id")
+    top = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "candidate_id", F.round(F.sqrt("s"), 6).alias("adc_l2"), "q_emb")
+    )
+    diff2 = F.zip_with("q_emb", "emb", lambda x, y: (x - y) * (x - y))
+    exact = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        top.join(e, top.candidate_id == e.vec_id)
+        .select(
+            "query_id",
+            "candidate_id",
+            "adc_l2",
+            F.round(F.sqrt(exact), 6).alias("exact_l2"),
+        )
+    )

@@ -77,10 +77,14 @@ DRIVER_WINDOW = 50
 #     family refactor + DOULION additions (q168, q175, q176), and the
 #     dedup-family refactor for the incremental LSH index (q52-q59, q79,
 #     q146, q147, q150, q153, q154, q155, q160, q164, new q177);
+# (a2) ADDED in r6 session 2 (brand-new queries are stale by definition):
+#     q178 AUC, q179 k-anonymity, q180 chi-square, q181 correlation
+#     matrix, q182 containment, q183 PQ-ADC search;
 # (b) oldest r2-era official rows, judge order, up to the window minus
-#     slack: 21 of the 30 fit this round (q88/q89/q92-q96/q98/q99 rotate
-#     first in r7; all 30 are also covered by this round's clean-tree
-#     full-sim certificate at both scale factors).
+#     slack: 15 of the 30 fit this round (q75/q76/q77/q84/q85/q87 joined
+#     q88/q89/q92-q96/q98/q99 in the rotate-first-in-r7 set when the six
+#     (a2) additions claimed their slots; all 30 are also covered by this
+#     round's clean-tree full-sim certificate at both scale factors).
 _PRIORITY: list[str] = [
     # (a) changed or added in r6
     "q161_ivf_trained_topk",
@@ -110,6 +114,13 @@ _PRIORITY: list[str] = [
     "q160_idf_weighted_jaccard",
     "q79_lev_verify_pairs",
     "q164_cap_telemetry",
+    # (a2) added in r6 session 2
+    "q178_score_auc",
+    "q179_k_anonymity",
+    "q180_chi2_independence",
+    "q181_feature_corr_matrix",
+    "q182_minhash_containment",
+    "q183_pq_adc_topk",
     # (b) r2-era official rows, judge order
     "q30_topk_per_group",
     "q31_rank_dense_ntile",
@@ -126,12 +137,6 @@ _PRIORITY: list[str] = [
     "q72_top_terms",
     "q73_lang_id_heuristic",
     "q74_source_lang_matrix",
-    "q75_bpe_token_estimate",
-    "q76_rolling_hash",
-    "q77_stopword_ratio",
-    "q84_json_scan",
-    "q85_csv_scan",
-    "q87_train_val_split",
 ]
 
 

