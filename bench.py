@@ -104,6 +104,9 @@ SPOTLIGHT = [
     "q181_feature_corr_matrix",
     "q182_minhash_containment",
     "q183_pq_adc_topk",
+    "q184_group_ols_trend",
+    "q185_touch_attribution",
+    "q186_ivfpq_search",
 ]
 
 HEADLINE = PERMANENT + SPOTLIGHT

@@ -2232,3 +2232,174 @@ def q181_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return sums.select(F.explode(out).alias("p")).select("p.col_a", "p.col_b", "p.corr")
+
+
+@query(
+    "q184_group_ols_trend",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS DOUBLE) AS sx,
+           CAST(sum(x * x) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy,
+           CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(y * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+           CAST(count(*) AS DOUBLE) AS nd
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+       floor(((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * 1000000 + 0.5e0)
+           / 1000000.0e0 AS slope,
+       floor(((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd)
+             * 1000000 + 0.5e0) / 1000000.0e0 AS intercept,
+       floor(((nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+              / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)))
+             * 1000000 + 0.5e0) / 1000000.0e0 AS r2
+FROM m
+""",
+)
+def q184_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS: regress each event type's DAILY revenue on
+    the day number — slope (revenue drift/day), intercept, and R² from the
+    five moment sums. The trend screen a metrics warehouse runs per series
+    without ever materializing a design matrix.
+
+    Scale: two keyed aggregates — (type, day) daily totals, then per-type
+    moments — both map-side combinable; no windows, no sorts, no joins.
+    Determinism: daily totals and all cross-moments accumulate in exact
+    DECIMAL (per-row double→DECIMAL(18,6) casts are deterministic, decimal
+    sums are combine-order-proof — the q174 idiom); x is an integer epoch
+    day so Σx/Σx² are exact BIGINTs. The closed-form slope/intercept/R²
+    are then a fixed sequence of double ops on identical inputs, floor-
+    quantized to 6 decimals."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    daily = e.groupBy("event_type", "x").agg(
+        F.sum("v").cast("decimal(18,6)").alias("y")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y")).cast("double").alias("sxy"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y").cast("decimal(19,6)")).cast("double").alias("syy"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+    )
+    nd, sx, sxx = F.col("nd"), F.col("sx"), F.col("sxx")
+    sxy, sy, syy = F.col("sxy"), F.col("sy"), F.col("syy")
+    slope_raw = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    intercept_raw = (sy - slope_raw * sx) / nd
+    r2_raw = (
+        (nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+        / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    )
+
+    def q6(c: F.Column) -> F.Column:
+        return F.floor(c * 1000000 + F.lit(0.5e0)) / 1000000.0
+
+    return m.select(
+        "event_type",
+        "n_days",
+        q6(slope_raw).alias("slope"),
+        q6(intercept_raw).alias("intercept"),
+        q6(r2_raw).alias("r2"),
+    )
+
+
+@query(
+    "q185_touch_attribution",
+    oracle="""
+WITH p AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT p.event_id,
+           first(e.event_type ORDER BY e.ts, e.event_id)  AS first_touch,
+           first(e.event_type ORDER BY e.ts DESC, e.event_id DESC) AS last_touch
+    FROM p JOIN events e
+      ON e.user_id = p.user_id AND e.ts < p.ts AND e.event_type != 'purchase'
+    GROUP BY p.event_id
+),
+attributed AS (
+    SELECT p.event_id, p.value,
+           coalesce(t.first_touch, 'none') AS first_touch,
+           coalesce(t.last_touch, 'none')  AS last_touch
+    FROM p LEFT JOIN touches t USING (event_id)
+),
+stacked AS (
+    SELECT 'first' AS model, first_touch AS touch_type, value FROM attributed
+    UNION ALL
+    SELECT 'last' AS model, last_touch AS touch_type, value FROM attributed
+)
+SELECT model, touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM stacked GROUP BY model, touch_type
+""",
+)
+def q185_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch revenue attribution: every purchase is
+    credited to the user's earliest (first-touch model) and latest
+    (last-touch model) preceding non-purchase event; purchases with no
+    prior touch credit 'none'. The marketing-attribution battery over the
+    same clickstream as q111's funnel.
+
+    Scale: ONE user-keyed window pass computes both touches for every
+    event (struct min/max over the unbounded-preceding frame — running
+    extremes, no per-purchase scan), then one small (model, touch) agg.
+    The oracle re-derives the touches independently via a purchase×history
+    self-join + ORDER BY-first aggregate — quadratic per user but exact,
+    the deliberate dumb-but-sure check. Tie-break on (ts, event_id) is
+    pinned on both sides via lexicographic struct ordering. Revenue sums
+    run through DECIMAL so combine order cannot move them."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase",
+        F.struct(F.unix_micros("ts").alias("t"), F.col("event_id").alias("eid"),
+                 F.col("event_type").alias("ty")),
+    )
+    flagged = e.select(
+        "event_id", "event_type", "value",
+        F.min(touch).over(w).alias("ft"),
+        F.max(touch).over(w).alias("lt"),
+    )
+    attributed = flagged.filter(F.col("event_type") == "purchase").select(
+        "value",
+        F.coalesce(F.col("ft")["ty"], F.lit("none")).alias("first_touch"),
+        F.coalesce(F.col("lt")["ty"], F.lit("none")).alias("last_touch"),
+    )
+    stacked = attributed.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("first").alias("model"),
+                         F.col("first_touch").alias("touch_type")),
+                F.struct(F.lit("last").alias("model"),
+                         F.col("last_touch").alias("touch_type")),
+            )
+        ).alias("mt"),
+        "value",
+    )
+    return stacked.groupBy(
+        F.col("mt.model").alias("model"), F.col("mt.touch_type").alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("revenue"),
+    )

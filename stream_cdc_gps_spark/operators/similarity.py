@@ -1584,3 +1584,189 @@ def q183_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(exact), 6).alias("exact_l2"),
         )
     )
+
+
+_IVFPQ_NPROBE = 2
+
+
+@query(
+    "q186_ivfpq_search",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+cents AS ({_CENTROIDS_SQL}),
+assigned AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DOT_EC} DESC, c.cent_id DESC) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+cb AS (
+    SELECT m.m AS m, c.vec_id AS code,
+           (c.emb)[m.m * {_PQ_D} + 1 : (m.m + 1) * {_PQ_D}] AS cent
+    FROM (SELECT unnest(range(0, {_PQ_M})) AS m) m
+    CROSS JOIN (SELECT * FROM e WHERE vec_id < {_PQ_K}) c
+),
+{_ADC_CAND_SQL},
+qp AS (
+    SELECT vec_id AS query_id, cell AS probe_cell FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DOT_EC} DESC, c.cent_id DESC) AS rn
+        FROM e CROSS JOIN cents c
+        WHERE e.vec_id >= 100 AND e.vec_id < 120
+    ) WHERE rn <= {_IVFPQ_NPROBE}
+),
+q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id >= 100 AND vec_id < 120),
+lut AS (
+    SELECT q.query_id, c.m, c.code,
+           {_SQL_SUB_L2.format(a="((q.emb)[c.m * " + str(_PQ_D) + " + 1 : (c.m + 1) * " + str(_PQ_D) + "])", b="c.cent", d=_PQ_D)} AS d
+    FROM q CROSS JOIN cb c
+),
+cand AS (
+    SELECT qp.query_id, a.vec_id AS candidate_id
+    FROM qp JOIN assigned a ON a.cell = qp.probe_cell
+    WHERE a.vec_id != qp.query_id
+),
+adc AS (
+    SELECT c.query_id, c.candidate_id,
+           ((max(CASE WHEN l.m = 0 THEN l.d END)
+             + max(CASE WHEN l.m = 1 THEN l.d END))
+            + max(CASE WHEN l.m = 2 THEN l.d END))
+           + max(CASE WHEN l.m = 3 THEN l.d END) AS s
+    FROM cand c
+    JOIN best b ON b.vec_id = c.candidate_id
+    JOIN lut l ON l.query_id = c.query_id AND l.m = b.m AND l.code = b.code
+    GROUP BY c.query_id, c.candidate_id
+)
+SELECT query_id, candidate_id, adc_l2 FROM (
+    SELECT query_id, candidate_id, round(sqrt(s), 6) AS adc_l2,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(sqrt(s), 6), candidate_id) AS rn
+    FROM adc
+) WHERE rn <= 3
+""",
+)
+def q186_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ (IVFADC) search — q63's inverted-file pruning composed
+    with q183's asymmetric-distance scoring: the base side stores ONLY
+    (cell, {_PQ_M}-byte code) per vector, each query probes its
+    {_IVFPQ_NPROBE} nearest cells, and candidates are scored by LUT
+    lookups inside the probed cells. This is the FAISS IVFADC layout —
+    the configuration that actually runs at 10⁹+-vector scale.
+
+    Plan: cell assignment AND PQ encoding are one map-only projection
+    (literal codebooks, zero joins — the q63/q159 moves). The query side
+    (probe cells + LUTs) is 20×{_IVFPQ_NPROBE} rows broadcast; the
+    candidate meet is an EQUI-join on cell id — unlike q183's broadcast
+    cross of the whole base, the inverted file prunes the scan to the
+    probed cells' postings, which is what makes ADC affordable when the
+    base no longer fits a broadcast pass. One query-keyed top-k window
+    after; the 4-term ADC sum folds in the fixed q183 order."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").cast("int").alias("cent_id"), "emb")
+        .collect(),
+        key=lambda r: r["cent_id"],
+    )
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cent_id"])).alias("cent_id"),
+                F.array(*[F.lit(float(v)) for v in r["emb"]]).alias("cent"),
+            )
+            for r in cent_rows
+        ]
+    )
+    cb_rows = sorted(
+        e.filter(F.col("vec_id") < _PQ_K).collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def sub_l2_lit(sv: F.Column, cent: list[float]) -> F.Column:
+        diff2 = F.transform(
+            sv,
+            lambda x, i: (x - F.element_at(F.array(*[F.lit(c) for c in cent]), i + 1)) ** 2,
+        )
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+    # ranked (desc-dot, desc-cent_id) cell candidates: shared by base
+    # assignment (top-1) and query probing (top-NPROBE)
+    def ranked_cells() -> F.Column:
+        return F.reverse(
+            F.array_sort(
+                F.transform(
+                    cents_lit,
+                    lambda c: F.struct(
+                        dot_col(F.col("emb"), c["cent"]).alias("d"),
+                        c["cent_id"].alias("cent_id"),
+                    ),
+                )
+            )
+        )
+
+    code_cols = []
+    for m in range(_PQ_M):
+        sv = F.slice("emb", m * _PQ_D + 1, _PQ_D)
+        cands = F.array(
+            *[
+                F.struct(
+                    sub_l2_lit(sv, [float(x) for x in r["emb"][m * _PQ_D : (m + 1) * _PQ_D]]).alias("err"),
+                    F.lit(int(r["vec_id"])).alias("code"),
+                )
+                for r in cb_rows
+            ]
+        )
+        code_cols.append(F.array_min(cands)["code"].cast("int").alias(f"code{m}"))
+    # base side: (vec_id, cell, codes) in ONE map-only projection
+    base = e.select(
+        "vec_id",
+        F.element_at(ranked_cells(), 1)["cent_id"].alias("cell"),
+        *code_cols,
+    )
+
+    qv = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    lut_cols = []
+    for m in range(_PQ_M):
+        sv = F.slice("emb", m * _PQ_D + 1, _PQ_D)
+        lut_cols.append(
+            F.array(
+                *[
+                    sub_l2_lit(sv, [float(x) for x in r["emb"][m * _PQ_D : (m + 1) * _PQ_D]])
+                    for r in cb_rows
+                ]
+            ).alias(f"lut{m}")
+        )
+    probes = qv.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(ranked_cells(), 1, _IVFPQ_NPROBE),
+                lambda s: s["cent_id"],
+            )
+        ).alias("probe_cell"),
+        *lut_cols,
+    )
+    scored = base.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    adc = scored.select(
+        "query_id",
+        F.col("vec_id").alias("candidate_id"),
+        sum(
+            [F.element_at(f"lut{m}", F.col(f"code{m}") + 1) for m in range(_PQ_M)],
+            F.lit(0.0),
+        ).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round(F.sqrt("s"), 6), "candidate_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "candidate_id", F.round(F.sqrt("s"), 6).alias("adc_l2"))
+    )

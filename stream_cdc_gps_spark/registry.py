@@ -79,10 +79,11 @@ DRIVER_WINDOW = 50
 #     q146, q147, q150, q153, q154, q155, q160, q164, new q177);
 # (a2) ADDED in r6 session 2 (brand-new queries are stale by definition):
 #     q178 AUC, q179 k-anonymity, q180 chi-square, q181 correlation
-#     matrix, q182 containment, q183 PQ-ADC search;
+#     matrix, q182 containment, q183 PQ-ADC search, q184 OLS trend,
+#     q185 touch attribution, q186 IVF-PQ search;
 # (b) oldest r2-era official rows, judge order, up to the window minus
-#     slack: 15 of the 30 fit this round (q75/q76/q77/q84/q85/q87 joined
-#     q88/q89/q92-q96/q98/q99 in the rotate-first-in-r7 set when the six
+#     slack: 12 of the 30 fit this round (q72-q77/q84/q85/q87 joined
+#     q88/q89/q92-q96/q98/q99 in the rotate-first-in-r7 set when the nine
 #     (a2) additions claimed their slots; all 30 are also covered by this
 #     round's clean-tree full-sim certificate at both scale factors).
 _PRIORITY: list[str] = [
@@ -121,6 +122,9 @@ _PRIORITY: list[str] = [
     "q181_feature_corr_matrix",
     "q182_minhash_containment",
     "q183_pq_adc_topk",
+    "q184_group_ols_trend",
+    "q185_touch_attribution",
+    "q186_ivfpq_search",
     # (b) r2-era official rows, judge order
     "q30_topk_per_group",
     "q31_rank_dense_ntile",
@@ -134,9 +138,6 @@ _PRIORITY: list[str] = [
     "q65_label_centroids",
     "q70_lang_stats",
     "q71_token_quality",
-    "q72_top_terms",
-    "q73_lang_id_heuristic",
-    "q74_source_lang_matrix",
 ]
 
 

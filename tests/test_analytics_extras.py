@@ -331,3 +331,91 @@ def test_adc_topk_is_close_to_exact(spark):
         # distribution — bound the worst absolute gap loosely
         for r in rs:
             assert abs(r["adc_l2"] - r["exact_l2"]) < r["exact_l2"] + 1.0
+
+
+def test_ols_trend_matches_numpy_polyfit(spark):
+    """q184's moment-form slope/intercept equal numpy's least-squares fit
+    on the same per-day totals; R² in [0, 1]."""
+    import numpy as np
+
+    from stream_cdc_gps_spark.operators.common import t
+
+    rows = {r["event_type"]: r for r in QS["q184_group_ols_trend"].fn(spark, SF_SMOKE).collect()}
+    ev = t(spark, SF_SMOKE, "events").select("event_type", "ts", "value").collect()
+    daily = {}
+    for r in ev:
+        key = (r["event_type"], r["ts"].date())
+        daily[key] = daily.get(key, 0.0) + r["value"]
+    by_type = {}
+    for (ty, day), y in daily.items():
+        by_type.setdefault(ty, []).append(((day - __import__("datetime").date(1970, 1, 1)).days, y))
+    for ty, pts in by_type.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        got = rows[ty]
+        assert got["n_days"] == len(pts)
+        assert abs(got["slope"] - slope) < 1e-4
+        assert abs(got["intercept"] - intercept) < max(1e-4, abs(intercept) * 1e-6)
+        assert 0.0 <= got["r2"] <= 1.0
+
+
+def test_attribution_conserves_purchases(spark):
+    """Each model's n_purchases sums to the total purchase count, both
+    models attribute identical total revenue, and touch types are drawn
+    from the non-purchase event domain plus 'none'."""
+    from stream_cdc_gps_spark.operators.common import t
+
+    rows = QS["q185_touch_attribution"].fn(spark, SF_SMOKE).collect()
+    n_purch = (
+        t(spark, SF_SMOKE, "events").filter("event_type = 'purchase'").count()
+    )
+    for model in ("first", "last"):
+        mrows = [r for r in rows if r["model"] == model]
+        assert sum(r["n_purchases"] for r in mrows) == n_purch
+        for r in mrows:
+            assert r["touch_type"] in {"view", "click", "signup", "error", "none"}
+    rev = {m: sum(r["revenue"] for r in rows if r["model"] == m) for m in ("first", "last")}
+    assert abs(rev["first"] - rev["last"]) < 1e-6
+
+
+def test_ivfpq_candidates_come_from_probed_cells(spark):
+    """Recompute cells/codes driver-side with numpy: every returned
+    candidate must live in one of its query's nprobe probed cells, and
+    the reported ADC distance must match the LUT arithmetic."""
+    import numpy as np
+
+    from stream_cdc_gps_spark.operators.common import t
+    from stream_cdc_gps_spark.operators.similarity import (
+        _IVFPQ_NPROBE, _PQ_D, _PQ_K, _PQ_M, N_CENTROIDS,
+    )
+
+    rows = QS["q186_ivfpq_search"].fn(spark, SF_SMOKE).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in t(spark, SF_SMOKE, "embeddings").collect()
+    }
+    cents = {i: emb[i] for i in range(N_CENTROIDS)}
+
+    def ranked_cells(v):
+        return sorted(cents, key=lambda c: (-float(v @ cents[c]), -c))
+
+    def code(v, m):
+        sub = v[m * _PQ_D : (m + 1) * _PQ_D]
+        errs = [
+            (float(((sub - emb[k][m * _PQ_D : (m + 1) * _PQ_D]) ** 2).sum()), k)
+            for k in range(_PQ_K)
+        ]
+        return min(errs)[1]
+
+    assert len(rows) == 60
+    for r in rows:
+        probes = ranked_cells(emb[r["query_id"]])[:_IVFPQ_NPROBE]
+        assert ranked_cells(emb[r["candidate_id"]])[0] in probes
+        q = emb[r["query_id"]]
+        s = 0.0
+        for m in range(_PQ_M):
+            k = code(emb[r["candidate_id"]], m)
+            sub = q[m * _PQ_D : (m + 1) * _PQ_D]
+            s += float(((sub - emb[k][m * _PQ_D : (m + 1) * _PQ_D]) ** 2).sum())
+        assert abs(r["adc_l2"] - s ** 0.5) < 1e-5

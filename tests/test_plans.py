@@ -484,3 +484,36 @@ def test_q183_adc_scan_reads_codes_not_vectors(spark):
     p = plan_string(df)
     assert "CartesianProduct" not in p
     assert broadcast_join_count(df) >= 1
+
+
+def test_q184_ols_two_keyed_aggregates_no_joins(spark):
+    """Daily totals then per-type moments: two exchanges, no joins, scan
+    pruned to the three needed event columns."""
+    df = Q["q184_group_ols_trend"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "Join" not in p
+    assert exchange_count(df) == 2
+    (cols,) = read_schema_columns(df, "events")
+    assert set(cols) == {"event_type", "ts", "value"}
+
+
+def test_q185_attribution_single_user_window_pass(spark):
+    """Both touch models ride ONE user-keyed window sort (running struct
+    extremes) — no purchase×history join anywhere in the engine plan."""
+    df = Q["q185_touch_attribution"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "Join" not in p
+    assert p.count("Window") >= 1
+    assert exchange_count(df) == 2  # user-keyed window + final (model, touch) agg
+
+
+def test_q186_ivfpq_cell_join_is_broadcast_hash(spark):
+    """The candidate meet must be an EQUI join on cell id with the tiny
+    probe side broadcast — BroadcastHashJoin, not a nested loop: the
+    inverted file is what prunes the base scan, so a BNLJ here would mean
+    the pruning silently degraded to a full cross."""
+    df = Q["q186_ivfpq_search"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
