@@ -907,3 +907,95 @@ def test_incremental_lsh_partial_write_crash_self_heals(spark, tmp_path):
     assert sorted(
         (r.doc_a, r.doc_b, r.n_shared_bands) for r in idx.pairs().collect()
     ) == healthy
+
+
+def test_incremental_cms_streaming_matches_batch(spark, tmp_path):
+    """Streaming CMS maintenance: documents fed as two micro-batches
+    through foreachBatch(IncrementalCmsSketch.merge) produce EXACTLY the
+    all-at-once batch counter matrix (CMS linearity), replay from a fresh
+    checkpoint is a no-op (batch-id-partitioned idempotent sink), and
+    point estimates stay admissible (>= true counts)."""
+    from stream_cdc_gps_spark.streaming.cms_index import (
+        IncrementalCmsSketch,
+        batch_partial,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    b0 = [
+        {"doc_id": 1, "text": "spark counts tokens and tokens count spark"},
+        {"doc_id": 2, "text": "a sketch of counts is a sketch of truth"},
+    ]
+    b1 = [
+        {"doc_id": 3, "text": "tokens tokens tokens everywhere in spark"},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in b0))
+    (src / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in b1))
+
+    sk = IncrementalCmsSketch(spark, str(tmp_path / "cms"))
+    schema = "doc_id long, text string"
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", "1")
+            .format("text")
+            .load(str(src))
+            .select(F.from_json("value", schema).alias("m"))
+            .select("m.*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sk.merge)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    assert sk.n_partials() == 2
+
+    full = spark.createDataFrame([(r["doc_id"], r["text"]) for r in b0 + b1], schema)
+    golden = sorted(
+        (r.i, r.bucket, r.cnt) for r in batch_partial(full).collect()
+    )
+    got = sorted((r.i, r.bucket, r.cnt) for r in sk.counters().collect())
+    assert got == golden
+
+    # replay with a fresh checkpoint: partitions overwrite, counters fixed
+    run("ck2")
+    got2 = sorted((r.i, r.bucket, r.cnt) for r in sk.counters().collect())
+    assert got2 == golden
+
+    # admissibility: estimate >= truth for every queried token
+    exact = {"tokens": 4, "spark": 3, "sketch": 2, "absent": 0}
+    est = sk.estimate(list(exact))
+    for tok, n in exact.items():
+        assert est[tok] >= n, tok
+    # an unseen token can still collide, but with 4 independent rows over
+    # this tiny corpus at least one row must be clean
+    assert est["absent"] == 0
+
+
+def test_incremental_cms_compaction_preserves_counters(spark, tmp_path):
+    """compact() folds all batch partials into one base partition without
+    moving a single counter value, and further merges keep accumulating
+    on top of the compacted base."""
+    from stream_cdc_gps_spark.streaming.cms_index import IncrementalCmsSketch
+
+    sk = IncrementalCmsSketch(spark, str(tmp_path / "cms"))
+    schema = "doc_id long, text string"
+    sk.merge(spark.createDataFrame([(1, "alpha beta beta")], schema), 0)
+    sk.merge(spark.createDataFrame([(2, "beta gamma")], schema), 1)
+    before = sorted((r.i, r.bucket, r.cnt) for r in sk.counters().collect())
+    assert sk.n_partials() == 2
+
+    sk.compact()
+    assert sk.n_partials() == 1
+    after = sorted((r.i, r.bucket, r.cnt) for r in sk.counters().collect())
+    assert after == before
+
+    sk.merge(spark.createDataFrame([(3, "gamma delta")], schema), 2)
+    assert sk.n_partials() == 2
+    est = sk.estimate(["beta", "gamma", "delta"])
+    assert est["beta"] >= 3 and est["gamma"] >= 2 and est["delta"] >= 1
