@@ -1064,3 +1064,94 @@ def test_incremental_hll_streaming_matches_batch(spark, tmp_path):
     )
     est2, n2 = hll.estimate()
     assert n2 == 110 and est2 > est
+
+
+def test_incremental_rollup_streaming_matches_batch(spark, tmp_path):
+    """Streaming keyed-aggregate maintenance: events split across two
+    micro-batches (keys recur across the split) roll up to EXACTLY the
+    all-at-once batch aggregate — count/sum/avg/min/max, with avg derived
+    from the mergeable pieces; replay and compaction leave the snapshot
+    untouched."""
+    from stream_cdc_gps_spark.streaming.rollup_index import IncrementalRollup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    b0 = [
+        {"event_id": 1, "event_type": "view", "value": 10.25},
+        {"event_id": 2, "event_type": "click", "value": 3.5},
+        {"event_id": 3, "event_type": "view", "value": 0.75},
+    ]
+    b1 = [
+        {"event_id": 4, "event_type": "view", "value": 99.0},
+        {"event_id": 5, "event_type": "click", "value": 0.01},
+        {"event_id": 6, "event_type": "purchase", "value": 42.42},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in b0))
+    (src / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in b1))
+
+    ru = IncrementalRollup(spark, str(tmp_path / "ru"), "event_type", "value")
+    schema = "event_id long, event_type string, value double"
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", "1")
+            .format("text")
+            .load(str(src))
+            .select(F.from_json("value", schema).alias("m"))
+            .select("m.*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(ru.merge)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    assert ru.n_partials() == 2
+
+    full = spark.createDataFrame(
+        [(r["event_id"], r["event_type"], r["value"]) for r in b0 + b1], schema
+    )
+    golden = sorted(
+        (
+            r["event_type"], r["n_rows"], r["total"],
+            round(r["avg_value"], 9), r["min_value"], r["max_value"],
+        )
+        for r in full.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    )
+
+    def snap():
+        return sorted(
+            (
+                r["event_type"], r["n_rows"], r["total"],
+                round(r["avg_value"], 9), r["min_value"], r["max_value"],
+            )
+            for r in ru.snapshot().collect()
+        )
+
+    assert snap() == golden
+    run("ck2")  # fresh-checkpoint replay
+    assert snap() == golden
+    ru.compact()
+    assert ru.n_partials() == 1
+    assert snap() == golden
+
+    # further merges accumulate on top of the compacted base
+    ru.merge(spark.createDataFrame([(7, "view", 1.0)], schema), 9)
+    got = {r["event_type"]: r for r in ru.snapshot().collect()}
+    assert got["view"]["n_rows"] == 4
+    assert abs(got["view"]["total"] - 111.0) < 1e-9
