@@ -1975,7 +1975,14 @@ def q178_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("score"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
     )
-    by_score = e.groupBy("score").agg(
+    return auc_mann_whitney(e)
+
+
+def auc_mann_whitney(labeled: DataFrame) -> DataFrame:
+    """q178's core over any (score, pos∈{0,1}) frame — factored out so the
+    hypothesis property suite can drive it on generated data (AUC vs
+    brute-force pair counting; monotone-transform invariance)."""
+    by_score = labeled.groupBy("score").agg(
         F.sum("pos").cast("bigint").alias("n_pos_v"),
         (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n_neg_v"),
     )

@@ -1313,7 +1313,17 @@ def q182_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs expand in-bucket (MAX_POSTING-capped, the O(n²) guard), and
     the measure is a plain expression over (n_common, na, nb) — only
     the denominator differs: min(na, nb) instead of the union size."""
-    sh = _shingle_arrays(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    return containment_pairs_of(d)
+
+
+def containment_pairs_of(
+    d: DataFrame, threshold: float = 0.6, max_posting: int = MAX_POSTING
+) -> DataFrame:
+    """q182's core over any (doc_id, text) frame — factored out so the
+    hypothesis property suite can drive it on generated corpora against
+    brute-force set containment."""
+    sh = shingle_arrays_of(d)
     docs = sh.select(
         "doc_id", F.array_distinct("shs").alias("shs")
     ).withColumn("n_sh", F.size("shs"))
@@ -1321,7 +1331,7 @@ def q182_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         exploded.groupBy("sh")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_POSTING))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_posting))
     )
     inter = (
         bucket_pair_expand(buckets)
@@ -1336,7 +1346,7 @@ def q182_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_smaller = F.least("na", "nb")
     cont = F.col("n_common") / n_smaller
     return (
-        inter.filter(cont >= 0.6)
+        inter.filter(cont >= threshold)
         .select(
             "doc_a",
             "doc_b",

@@ -90,3 +90,85 @@ def test_asof_join_matches_bruteforce(spark, rows):
         cand = [(rt, v) for (rk, rt), v in rights.items() if rk == k and rt <= t]
         expect = max(cand)[1] if cand else None
         assert got[i] == expect, (i, k, t, cand, got[i])
+
+
+# Spark-level property: Mann-Whitney AUC == brute-force pair counting, and
+# AUC is invariant under any strictly-increasing score transform.
+_auc_examples = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),  # quantized score (forces ties)
+        st.booleans(),                           # label
+    ),
+    min_size=2,
+    max_size=40,
+).filter(lambda rows: any(p for _, p in rows) and any(not p for _, p in rows))
+
+
+@given(rows=_auc_examples)
+@settings(max_examples=12, deadline=None)
+def test_auc_matches_brute_force_and_is_monotone_invariant(spark, rows):
+    from stream_cdc_gps_spark.operators.analytics import auc_mann_whitney
+
+    df = spark.createDataFrame(
+        [(float(s), int(p)) for s, p in rows], "score double, pos int"
+    )
+    got = auc_mann_whitney(df).collect()[0]
+    pos = [s for s, p in rows if p]
+    neg = [s for s, p in rows if not p]
+    brute = sum((a > b) + 0.5 * (a == b) for a in pos for b in neg) / (
+        len(pos) * len(neg)
+    )
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert abs(got["auc"] - brute) < 1e-6
+
+    # strictly-increasing transform (2s + 1, and an exp-shaped one) must not
+    # move a rank statistic
+    for f in (lambda s: 2.0 * s + 1.0, lambda s: float(2.0**s)):
+        df2 = spark.createDataFrame(
+            [(f(s), int(p)) for s, p in rows], "score double, pos int"
+        )
+        got2 = auc_mann_whitney(df2).collect()[0]
+        assert abs(got2["auc"] - got["auc"]) < 1e-9
+
+
+# Spark-level property: inverted-index containment == brute-force set
+# containment when the posting cap is out of the way.
+_corpus_examples = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=3,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(texts=_corpus_examples)
+@settings(max_examples=10, deadline=None)
+def test_containment_matches_brute_force_sets(spark, texts):
+    from stream_cdc_gps_spark.operators.dedup import containment_pairs_of
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs_of(df, threshold=0.0, max_posting=10**6).collect()
+    }
+
+    def sh3(s):
+        toks = s.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for i, ta in docs:
+        for j, tb in docs:
+            if i >= j:
+                continue
+            a, b = sh3(ta), sh3(tb)
+            inter = len(a & b)
+            if inter == 0:
+                assert (i, j) not in got  # no shared shingle -> no candidate
+                continue
+            expect = inter / min(len(a), len(b))
+            assert (i, j) in got
+            assert abs(got[(i, j)] - expect) < 5e-4  # round(.,4) in-engine
