@@ -419,3 +419,28 @@ def test_ivfpq_candidates_come_from_probed_cells(spark):
             sub = q[m * _PQ_D : (m + 1) * _PQ_D]
             s += float(((sub - emb[k][m * _PQ_D : (m + 1) * _PQ_D]) ** 2).sum())
         assert abs(r["adc_l2"] - s ** 0.5) < 1e-5
+
+
+def test_r6_additions_are_run_to_run_deterministic(spark):
+    """The r5 advice round was triggered by a run-to-run nondeterminism
+    vector (combine-order ulps flipping a rounded value between runs).
+    Every r6 addition was designed order-proof — exact half-integer sums
+    (q178), integer counts (q179), nano-unit quantized terms (q180),
+    exact decimal moments (q181/q184/q185), fixed-order ADC folds
+    (q183/q186), capped-bucket inverted index (q182). Pin it: two
+    fresh evaluations in the same session must collect identical rows."""
+    names = [
+        "q178_score_auc",
+        "q179_k_anonymity",
+        "q180_chi2_independence",
+        "q181_feature_corr_matrix",
+        "q182_minhash_containment",
+        "q183_pq_adc_topk",
+        "q184_group_ols_trend",
+        "q185_touch_attribution",
+        "q186_ivfpq_search",
+    ]
+    for name in names:
+        a = sorted(map(tuple, QS[name].fn(spark, SF_SMOKE).collect()))
+        b = sorted(map(tuple, QS[name].fn(spark, SF_SMOKE).collect()))
+        assert a == b, f"{name} differs between two identical runs"
