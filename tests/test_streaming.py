@@ -1155,3 +1155,63 @@ def test_incremental_rollup_streaming_matches_batch(spark, tmp_path):
     got = {r["event_type"]: r for r in ru.snapshot().collect()}
     assert got["view"]["n_rows"] == 4
     assert abs(got["view"]["total"] - 111.0) < 1e-9
+
+
+def test_incremental_rollup_partial_write_crash_self_heals(spark, tmp_path):
+    """A crash mid-overwrite of a batch partition leaves that batch's
+    contribution missing (commit is per-partition: staged files move in
+    at the end) and can strand a _temporary staging dir in the store.
+    Replaying the batch must fully restore the snapshot — the batch-id
+    partition IS the unit of recovery — and the stray staging dir must
+    not poison reads."""
+    import os
+    import shutil
+
+    from stream_cdc_gps_spark.streaming.rollup_index import IncrementalRollup
+
+    schema = "event_id long, event_type string, value double"
+    ru = IncrementalRollup(spark, str(tmp_path / "ru"), "event_type", "value")
+    ru.merge(spark.createDataFrame([(1, "view", 5.0), (2, "click", 1.0)], schema), 0)
+    ru.merge(spark.createDataFrame([(3, "view", 7.0)], schema), 1)
+    healthy = sorted(map(tuple, ru.snapshot().collect()))
+
+    # crash state: batch 1's partition vanished mid-commit; a staging dir
+    # was left behind
+    shutil.rmtree(os.path.join(ru.path, "batch_id=1"))
+    os.makedirs(os.path.join(ru.path, "_temporary", "0"), exist_ok=True)
+    assert sorted(map(tuple, ru.snapshot().collect())) != healthy
+
+    # checkpoint replay re-delivers batch 1: partition overwrite repairs
+    ru.merge(spark.createDataFrame([(3, "view", 7.0)], schema), 1)
+    assert sorted(map(tuple, ru.snapshot().collect())) == healthy
+
+
+def test_incremental_cms_and_hll_crash_replay_self_heal(spark, tmp_path):
+    """Same recovery contract for the sketch stores: deleting a batch
+    partition (the crash state) is repaired by replaying that batch —
+    counters and estimates return to the healthy values exactly."""
+    import os
+    import shutil
+
+    from stream_cdc_gps_spark.streaming.cms_index import IncrementalCmsSketch
+    from stream_cdc_gps_spark.streaming.hll_index import IncrementalHllCounter
+
+    dschema = "doc_id long, text string"
+    sk = IncrementalCmsSketch(spark, str(tmp_path / "cms"))
+    sk.merge(spark.createDataFrame([(1, "a b a")], dschema), 0)
+    sk.merge(spark.createDataFrame([(2, "b c")], dschema), 1)
+    healthy = sorted((r.i, r.bucket, r.cnt) for r in sk.counters().collect())
+    shutil.rmtree(os.path.join(sk.path, "batch_id=1"))
+    assert sorted((r.i, r.bucket, r.cnt) for r in sk.counters().collect()) != healthy
+    sk.merge(spark.createDataFrame([(2, "b c")], dschema), 1)
+    assert sorted((r.i, r.bucket, r.cnt) for r in sk.counters().collect()) == healthy
+
+    eschema = "event_id long, user_id long"
+    hll = IncrementalHllCounter(spark, str(tmp_path / "hll"), "user_id")
+    hll.merge(spark.createDataFrame([(1, 10), (2, 11)], eschema), 0)
+    hll.merge(spark.createDataFrame([(3, 11), (4, 12)], eschema), 1)
+    healthy_est = hll.estimate()
+    shutil.rmtree(os.path.join(hll.path, "batch_id=1"))
+    assert hll.estimate() != healthy_est
+    hll.merge(spark.createDataFrame([(3, 11), (4, 12)], eschema), 1)
+    assert hll.estimate() == healthy_est
