@@ -82,10 +82,13 @@ DRIVER_WINDOW = 50
 #     matrix, q182 containment, q183 PQ-ADC search, q184 OLS trend,
 #     q185 touch attribution, q186 IVF-PQ search;
 # (b) oldest r2-era official rows, judge order, up to the window minus
-#     slack: 12 of the 30 fit this round (q72-q77/q84/q85/q87 joined
-#     q88/q89/q92-q96/q98/q99 in the rotate-first-in-r7 set when the nine
-#     (a2) additions claimed their slots; all 30 are also covered by this
-#     round's clean-tree full-sim certificate at both scale factors).
+#     the mandated 2-slot slack: 12 of the 30 fit this round (q72-q77/
+#     q84/q85/q87 joined q88/q89/q92-q96/q98/q99 in the rotate-first-in-r7
+#     set when the nine (a2) additions claimed their slots; if the real
+#     window is the full 50, registration order fills the slack with
+#     q110/q111 — fresh r5 greens, no harm; all 30 r2-era rows are also
+#     covered by this round's clean-tree full-sim certificate at both
+#     scale factors).
 _PRIORITY: list[str] = [
     # (a) changed or added in r6
     "q161_ivf_trained_topk",
