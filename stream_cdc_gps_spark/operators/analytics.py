@@ -2118,16 +2118,24 @@ def q180_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers (marginals, grid, N, dof) would otherwise each re-run the
     corpus scan+count — at 100 TB that is five full passes for one."""
     obs = chi2_observed(spark, sf_dir).localCheckpoint(eager=True)
-    rows_ = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("rt"))
-    cols_ = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("ct"))
+    return chi2_from_observed(obs, "source", "lang")
+
+
+def chi2_from_observed(obs: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """q180's core over any (row attr, col attr, o count) contingency
+    frame — factored out so the hypothesis property suite can drive it on
+    generated tables against pure-Python Σ(O-E)²/E (zero-observed cells
+    included, the subtle part)."""
+    rows_ = obs.groupBy(row_col).agg(F.sum("o").cast("bigint").alias("rt"))
+    cols_ = obs.groupBy(col_col).agg(F.sum("o").cast("bigint").alias("ct"))
     grid = (
         rows_.crossJoin(F.broadcast(cols_))
-        .join(F.broadcast(obs), ["source", "lang"], "left")
+        .join(F.broadcast(obs), [row_col, col_col], "left")
         .select("rt", "ct", F.coalesce("o", F.lit(0)).alias("o"))
     )
     n_row = obs.agg(F.sum("o").cast("bigint").alias("n"))
     dof_row = rows_.crossJoin(cols_).agg(
-        ((F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1))
+        ((F.countDistinct(row_col) - 1) * (F.countDistinct(col_col) - 1))
         .cast("bigint")
         .alias("dof")
     )

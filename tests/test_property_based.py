@@ -172,3 +172,47 @@ def test_containment_matches_brute_force_sets(spark, texts):
             expect = inter / min(len(a), len(b))
             assert (i, j) in got
             assert abs(got[(i, j)] - expect) < 5e-4  # round(.,4) in-engine
+
+
+# Spark-level property: the grid chi-square == pure-Python Σ(O-E)²/E over
+# generated contingency tables, zero-observed cells included.
+_chi2_examples = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # row attr
+        st.integers(min_value=0, max_value=2),    # col attr
+        st.integers(min_value=1, max_value=30),   # observed count
+    ),
+    min_size=2,
+    max_size=9,
+    unique_by=lambda t: (t[0], t[1]),
+).filter(
+    lambda cells: len({r for r, _, _ in cells}) >= 2
+    and len({c for _, c, _ in cells}) >= 2
+)
+
+
+@given(cells=_chi2_examples)
+@settings(max_examples=10, deadline=None)
+def test_chi2_matches_pure_python_on_generated_tables(spark, cells):
+    from stream_cdc_gps_spark.operators.analytics import chi2_from_observed
+
+    obs = spark.createDataFrame(
+        [(f"r{r}", f"c{c}", n) for r, c, n in cells], "src string, dst string, o long"
+    )
+    got = chi2_from_observed(obs, "src", "dst").collect()[0]
+
+    counts = {(f"r{r}", f"c{c}"): n for r, c, n in cells}
+    rows = sorted({k for k, _ in counts})
+    cols = sorted({k for _, k in counts})
+    n = sum(counts.values())
+    chi2 = 0.0
+    for r in rows:
+        rt = sum(v for (rr, _), v in counts.items() if rr == r)
+        for c in cols:
+            ct = sum(v for (_, cc), v in counts.items() if cc == c)
+            e = rt * ct / n
+            o = counts.get((r, c), 0)
+            chi2 += (o - e) ** 2 / e
+    assert got["n"] == n
+    assert got["dof"] == (len(rows) - 1) * (len(cols) - 1)
+    assert abs(got["chi2"] - chi2) < 1e-5
