@@ -2277,6 +2277,7 @@ m AS (
            CAST(sum(y * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy,
            CAST(count(*) AS DOUBLE) AS nd
     FROM daily GROUP BY event_type
+    HAVING count(*) >= 2
 )
 SELECT event_type, n_days,
        floor(((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * 1000000 + 0.5e0)
@@ -2302,7 +2303,10 @@ def q184_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are combine-order-proof — the q174 idiom); x is an integer epoch
     day so Σx/Σx² are exact BIGINTs. The closed-form slope/intercept/R²
     are then a fixed sequence of double ops on identical inputs, floor-
-    quantized to 6 decimals."""
+    quantized to 6 decimals. Groups with fewer than 2 days are dropped on
+    both sides (HAVING): a single point has a zero slope denominator, and
+    0/0 renders divergently across engines (NaN vs error) — a trend needs
+    two points by definition."""
     e = t(spark, sf_dir, "events").select(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
@@ -2311,7 +2315,14 @@ def q184_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy("event_type", "x").agg(
         F.sum("v").cast("decimal(18,6)").alias("y")
     )
-    m = daily.groupBy("event_type").agg(
+    return ols_trend_from_daily(daily, "event_type")
+
+
+def ols_trend_from_daily(daily: DataFrame, key: str) -> DataFrame:
+    """q184's core over any (key, x integer, y decimal(18,6)) frame —
+    factored out so the hypothesis property suite can drive it on
+    generated series against numpy's least squares."""
+    m = daily.groupBy(key).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("x").cast("double").alias("sx"),
         F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
@@ -2319,7 +2330,7 @@ def q184_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("double").alias("sy"),
         F.sum(F.col("y") * F.col("y").cast("decimal(19,6)")).cast("double").alias("syy"),
         F.count(F.lit(1)).cast("double").alias("nd"),
-    )
+    ).filter(F.col("n_days") >= 2)
     nd, sx, sxx = F.col("nd"), F.col("sx"), F.col("sxx")
     sxy, sy, syy = F.col("sxy"), F.col("sy"), F.col("syy")
     slope_raw = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
@@ -2333,7 +2344,7 @@ def q184_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.floor(c * 1000000 + F.lit(0.5e0)) / 1000000.0
 
     return m.select(
-        "event_type",
+        key,
         "n_days",
         q6(slope_raw).alias("slope"),
         q6(intercept_raw).alias("intercept"),

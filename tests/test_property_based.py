@@ -216,3 +216,52 @@ def test_chi2_matches_pure_python_on_generated_tables(spark, cells):
     assert got["n"] == n
     assert got["dof"] == (len(rows) - 1) * (len(cols) - 1)
     assert abs(got["chi2"] - chi2) < 1e-5
+
+
+# Spark-level property: moment-form OLS == numpy least squares on generated
+# per-key daily series; single-point keys are dropped, never NaN.
+_ols_examples = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=40),     # x (day index)
+        st.integers(min_value=-10000, max_value=10000),  # y in centi-units
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(rows=_ols_examples)
+@settings(max_examples=10, deadline=None)
+def test_ols_trend_matches_numpy_on_generated_series(spark, rows):
+    import numpy as np
+
+    from stream_cdc_gps_spark.operators.analytics import ols_trend_from_daily
+
+    daily = spark.createDataFrame(
+        [(f"k{k}", x, y / 100.0) for k, x, y in rows],
+        "k string, x int, y double",
+    ).selectExpr("k", "x", "CAST(y AS DECIMAL(18,6)) AS y")
+    got = {r["k"]: r for r in ols_trend_from_daily(daily, "k").collect()}
+
+    by_key = {}
+    for k, x, y in rows:
+        by_key.setdefault(f"k{k}", []).append((x, y / 100.0))
+    for k, pts in by_key.items():
+        if len(pts) < 2:
+            assert k not in got  # degenerate series dropped, never NaN
+            continue
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        # vertical series (all same y) are fine; R² may be 0/0 only when
+        # y-variance is zero AND slope is zero — then r2 is NaN on both
+        # paths; hypothesis will find it, so guard the comparison
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = got[k]
+        assert r["n_days"] == len(pts)
+        assert abs(r["slope"] - slope) < 1e-4
+        assert abs(r["intercept"] - intercept) < max(1e-4, abs(intercept) * 1e-6)
+        yvar = float(((ys - ys.mean()) ** 2).sum())
+        if yvar > 1e-12:
+            assert r["r2"] is not None and -1e-9 <= r["r2"] <= 1.0 + 1e-9
