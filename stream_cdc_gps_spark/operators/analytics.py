@@ -2363,7 +2363,8 @@ touches AS (
            first(e.event_type ORDER BY e.ts, e.event_id)  AS first_touch,
            first(e.event_type ORDER BY e.ts DESC, e.event_id DESC) AS last_touch
     FROM p JOIN events e
-      ON e.user_id = p.user_id AND e.ts < p.ts AND e.event_type != 'purchase'
+      ON e.user_id = p.user_id AND e.event_type != 'purchase'
+     AND (e.ts < p.ts OR (e.ts = p.ts AND e.event_id < p.event_id))
     GROUP BY p.event_id
 ),
 attributed AS (
@@ -2395,12 +2396,22 @@ def q185_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     extremes, no per-purchase scan), then one small (model, touch) agg.
     The oracle re-derives the touches independently via a purchase×history
     self-join + ORDER BY-first aggregate — quadratic per user but exact,
-    the deliberate dumb-but-sure check. Tie-break on (ts, event_id) is
-    pinned on both sides via lexicographic struct ordering. Revenue sums
-    run through DECIMAL so combine order cannot move them."""
+    the deliberate dumb-but-sure check. "Preceding" is (ts, event_id)-
+    lexicographic on BOTH sides — the engine's ROWS frame includes a
+    same-timestamp lower-id event, so the oracle's join predicate spells
+    out the same tie rule rather than `ts <` alone (the hypothesis suite
+    hammers exactly this with duplicate timestamps). Revenue sums run
+    through DECIMAL so combine order cannot move them."""
     e = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
+    return touch_attribution_of(e)
+
+
+def touch_attribution_of(e: DataFrame) -> DataFrame:
+    """q185's core over any (event_id, user_id, ts, event_type, value)
+    frame — factored out so the hypothesis property suite can hammer the
+    (ts, event_id) tie-break against a brute-force reference."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

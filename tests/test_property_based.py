@@ -265,3 +265,52 @@ def test_ols_trend_matches_numpy_on_generated_series(spark, rows):
         yvar = float(((ys - ys.mean()) ** 2).sum())
         if yvar > 1e-12:
             assert r["r2"] is not None and -1e-9 <= r["r2"] <= 1.0 + 1e-9
+
+
+# Spark-level property: windowed first/last-touch attribution == brute
+# force, with duplicate timestamps generated on purpose to hammer the
+# (ts, event_id) tie-break.
+_attr_examples = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=4),   # COARSE ts second (forces ties)
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(rows=_attr_examples)
+@settings(max_examples=10, deadline=None)
+def test_touch_attribution_matches_brute_force(spark, rows):
+    import datetime as dt
+
+    from stream_cdc_gps_spark.operators.analytics import touch_attribution_of
+
+    events = [
+        (i, u, dt.datetime(2024, 1, 1, 0, 0, s), ty, 1.0)
+        for i, (u, s, ty) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        events, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r["model"], r["touch_type"]): r["n_purchases"]
+        for r in touch_attribution_of(df).collect()
+    }
+
+    expect: dict = {}
+    for i, u, ts, ty, _v in events:
+        if ty != "purchase":
+            continue
+        prior = [
+            (pts, pi, pty)
+            for pi, pu, pts, pty, _ in events
+            if pu == u and pty != "purchase" and (pts, pi) < (ts, i)
+        ]
+        ft = min(prior)[2] if prior else "none"
+        lt = max(prior)[2] if prior else "none"
+        expect[("first", ft)] = expect.get(("first", ft), 0) + 1
+        expect[("last", lt)] = expect.get(("last", lt), 0) + 1
+    assert got == expect
