@@ -1215,3 +1215,124 @@ def test_incremental_cms_and_hll_crash_replay_self_heal(spark, tmp_path):
     assert hll.estimate() != healthy_est
     hll.merge(spark.createDataFrame([(3, 11), (4, 12)], eschema), 1)
     assert hll.estimate() == healthy_est
+
+
+def test_corpus_ingest_composition_matches_batch(spark, tmp_path):
+    """The composed ingest handler: ONE two-batch document stream drives
+    the quality gate plus all four incremental indexes, and every store
+    lands exactly what the equivalent batch pipeline over the kept
+    documents computes; a full fresh-checkpoint replay changes nothing."""
+    from stream_cdc_gps_spark.operators.dedup import (
+        MAX_POSTING,
+        band_tuples_of,
+        bucket_pair_expand,
+    )
+    from stream_cdc_gps_spark.streaming.cms_index import batch_partial
+    from stream_cdc_gps_spark.streaming.corpus_ingest import (
+        CorpusIngestPipeline,
+        quality_gate,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog"
+    b0 = [
+        {"doc_id": 1, "text": base, "source": "s0", "n_chars": len(base)},
+        {"doc_id": 2, "text": "too short", "source": "s0", "n_chars": 9},  # gated out
+        {"doc_id": 4, "text": "completely different material about spark engines",
+         "source": "s1", "n_chars": 49},
+    ]
+    b1 = [
+        {"doc_id": 3, "text": base + " again", "source": "s1",
+         "n_chars": len(base) + 6},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in b0))
+    (src / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in b1))
+
+    pipe = CorpusIngestPipeline(spark, str(tmp_path / "ingest"))
+    schema = "doc_id long, text string, source string, n_chars long"
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", "1")
+            .format("text")
+            .load(str(src))
+            .select(F.from_json("value", schema).alias("m"))
+            .select("m.*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(pipe.merge)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+
+    full = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"], r["n_chars"]) for r in b0 + b1], schema
+    )
+    kept = quality_gate(full)
+    kept_rows = {r["doc_id"] for r in kept.collect()}
+    assert kept_rows == {1, 3, 4}  # the gate dropped doc 2 before any index
+
+    def states():
+        lsh = sorted(
+            (r.doc_a, r.doc_b) for r in pipe.lsh.pairs().select("doc_a", "doc_b").collect()
+        )
+        cms = sorted((r.i, r.bucket, r.cnt) for r in pipe.cms.counters().collect())
+        est, n_rows = pipe.hll.estimate()
+        roll = sorted(map(tuple, pipe.rollup.snapshot().collect()))
+        return lsh, cms, est, n_rows, roll
+
+    lsh, cms, est, n_rows, roll = states()
+
+    # LSH == batch q53 plan over the kept docs
+    bands = band_tuples_of(kept.select("doc_id", "text"))
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_POSTING))
+    )
+    golden_pairs = sorted(
+        set(
+            (r.a, r.b)
+            for r in bucket_pair_expand(buckets).select("a", "b").collect()
+        )
+    )
+    assert lsh == golden_pairs and golden_pairs  # docs 1 and 3 must collide
+
+    # CMS == batch partial over kept docs' text
+    assert cms == sorted(
+        (r.i, r.bucket, r.cnt)
+        for r in batch_partial(kept.select("text")).collect()
+    )
+
+    # HLL: 3 kept docs, distinct estimate exact at this cardinality
+    assert (est, n_rows) == (3, 3)
+
+    # rollup == batch aggregate over kept docs
+    golden_roll = sorted(
+        map(
+            tuple,
+            kept.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double").alias("total"),
+                (
+                    F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("avg_value"),
+                F.min("n_chars").alias("min_value"),
+                F.max("n_chars").alias("max_value"),
+            )
+            .collect(),
+        )
+    )
+    assert roll == golden_roll
+
+    # end-to-end replay: every store is idempotent, nothing drifts
+    run("ck2")
+    assert states() == (lsh, cms, est, n_rows, roll)
