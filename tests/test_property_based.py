@@ -314,3 +314,71 @@ def test_touch_attribution_matches_brute_force(spark, rows):
         expect[("first", ft)] = expect.get(("first", ft), 0) + 1
         expect[("last", lt)] = expect.get(("last", lt), 0) + 1
     assert got == expect
+
+
+# Incremental LSH vs batch on GENERATED corpora + arrival orders (r6 judge
+# task #5): the fixed-corpus parity checks (q177, test_streaming) exercise
+# the cap-crossing retraction only on the slices the corpus happens to
+# produce; here hypothesis draws tiny corpora from a 3-text pool so shared
+# buckets routinely cross a deliberately low cap (max_posting=2), in every
+# split position — including empty first/second batches.
+_LSH_TEXT_POOL = [
+    "alpha beta gamma delta epsilon",
+    "alpha beta gamma delta zeta",
+    "one two three four five six",
+]
+
+_lsh_examples = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=2), min_size=2, max_size=9),
+    st.integers(min_value=0, max_value=9),  # split point (mod corpus size)
+)
+
+
+@given(ex=_lsh_examples)
+@settings(max_examples=6, deadline=None)
+def test_incremental_lsh_retraction_matches_batch_on_generated(spark, ex):
+    """incremental(2-batch arrival) == all-at-once batch under the SAME
+    cap, retraction included, for generated corpora and split points."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stream_cdc_gps_spark.operators.dedup import (
+        band_tuples_of,
+        bucket_pair_expand,
+    )
+    from stream_cdc_gps_spark.streaming.dedup_index import IncrementalLshIndex
+
+    choices, split_raw = ex
+    docs = [(i, _LSH_TEXT_POOL[c]) for i, c in enumerate(choices)]
+    split = split_raw % (len(docs) + 1)
+    schema = "doc_id long, text string"
+    cap = 2
+
+    buckets = (
+        band_tuples_of(spark.createDataFrame(docs, schema))
+        .groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= cap))
+    )
+    golden = sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands)
+        for r in bucket_pair_expand(buckets)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .collect()
+    )
+
+    base = tempfile.mkdtemp(prefix="lsh_prop_")
+    try:
+        idx = IncrementalLshIndex(spark, base, max_posting=cap, n_state_buckets=8)
+        idx.merge(spark.createDataFrame(docs[:split], schema), 0)
+        idx.merge(spark.createDataFrame(docs[split:], schema), 1)
+        got = sorted(
+            (r.doc_a, r.doc_b, r.n_shared_bands) for r in idx.pairs().collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    assert got == golden
