@@ -2078,12 +2078,17 @@ grid AS (
     LEFT JOIN obs o ON o.source = r.source AND o.lang = c.lang
 ),
 terms AS (
-    SELECT t.n,
-           CAST(floor(((g.o - g.rt * g.ct / CAST(t.n AS DOUBLE))
-                       * (g.o - g.rt * g.ct / CAST(t.n AS DOUBLE))
-                       / (g.rt * g.ct / CAST(t.n AS DOUBLE))) * 1000000000
-                      + 0.5e0) AS BIGINT) AS tq
-    FROM grid g CROSS JOIN tot t
+    SELECT n,
+           CAST(floor(term) AS DECIMAL(27,0)) * 1000000000
+           + CAST(floor((term - floor(term)) * 1000000000 + 0.5e0)
+                  AS DECIMAL(11,0)) AS tq
+    FROM (
+        SELECT t.n,
+               ((g.o - CAST(g.rt AS DOUBLE) * g.ct / t.n)
+                * (g.o - CAST(g.rt AS DOUBLE) * g.ct / t.n)
+                / (CAST(g.rt AS DOUBLE) * g.ct / t.n)) AS term
+        FROM grid g CROSS JOIN tot t
+    )
 )
 SELECT n,
        CAST((SELECT count(*) - 1 FROM rows_)
@@ -2109,10 +2114,12 @@ def q180_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: each cell's (O-E)²/E is an inexact double, so a naive
     double SUM would be combine-order-sensitive. Every per-cell term is
-    instead quantized to integer nano-units with the floor idiom (the
-    per-term double is bit-identical cross-engine — same integer inputs,
-    same scalar ops), and the SUM runs over exact BIGINTs, which is
-    order-proof; one final floor rounds the nano-sum to 6 decimals.
+    instead quantized to nano-units (the per-term double is bit-identical
+    cross-engine — same integer inputs, same scalar ops) via two
+    int64-safe floors assembled into DECIMAL(38,0) (see
+    chi2_from_observed for the overflow bound), and the SUM runs over
+    exact decimals, which is order-proof; one final floor rounds the
+    nano-sum to 6 decimals.
 
     The contingency table is localCheckpoint-ed once: five downstream
     consumers (marginals, grid, N, dof) would otherwise each re-run the
@@ -2139,11 +2146,28 @@ def chi2_from_observed(obs: DataFrame, row_col: str, col_col: str) -> DataFrame:
         .cast("bigint")
         .alias("dof")
     )
-    e_cell = F.col("rt") * F.col("ct") / F.col("n").cast("double")
+    # rt enters as DOUBLE before the multiply: a bigint rt*ct overflows
+    # int64 once marginals pass ~3e9 (ANSI Spark errors, DuckDB too); the
+    # double product is identical IEEE math on both engines, and exact in
+    # the rt·ct < 2^53 region every small table lives in.
+    e_cell = F.col("rt").cast("double") * F.col("ct") / F.col("n")
     term = (F.col("o") - e_cell) * (F.col("o") - e_cell) / e_cell
-    tq = F.floor(term * 1000000000 + F.lit(0.5e0)).cast("bigint")
+    # Nano-unit quantization in TWO floors so neither overflows int64 (r6
+    # advice: floor(term*1e9) saturates silently past term ≈ 9.2e9, Spark
+    # and DuckDB disagreeing exactly at the scale the trick targets): the
+    # integer part floors directly (exact while term < 2^53 ≈ 9.0e15) and
+    # the fraction quantizes in [0, 1e9]; both pieces assemble into
+    # DECIMAL(38,0), whose SUM is exact and order-proof to ~1e38 nano-units
+    # (chi2 ~1e29). The one remaining double step — the final
+    # floor(sum/1000) — bounds validity at chi2 < 9.2e12, far beyond any
+    # real contingency table (chi2 ≤ N·min(R−1, C−1)).
+    ti = F.floor("term")
+    tq = ti.cast("decimal(27,0)") * F.lit(1000000000) + F.floor(
+        (F.col("term") - ti.cast("double")) * 1000000000 + F.lit(0.5e0)
+    ).cast("decimal(11,0)")
     return (
         grid.crossJoin(F.broadcast(n_row))
+        .withColumn("term", term)
         .select("n", tq.alias("tq"))
         .groupBy("n")
         .agg(

@@ -9,18 +9,15 @@ state, no rescan of history. This is the property that makes sketches the
 map-side and the merge is an O(depth × width) add, and the SAME algebra
 lets a stream keep the sketch current forever.
 
-Exactly-once under replay WITHOUT dedup state: partials land partitioned
-by ``batch_id`` with dynamic partition overwrite, so a re-delivered
-micro-batch (Structured Streaming re-runs the last batch after a crash)
-overwrites its own partition instead of double-counting — the classic
-idempotent-sink contract (same batch_id ⇒ same bytes ⇒ same state).
-
-``compact()`` folds all landed partials into one base partition when the
-partial count grows — the log-compaction move; the snapshot ``counters()``
-is identical before and after (pytest-pinned). Like the other streaming
-targets here (``ChangelogSnapshotTarget``, ``IncrementalLshIndex``) the
-store is a plain-parquet hermetic stand-in for a transactional table
-format's MERGE.
+Persistence is ``partial_store.BatchPartialStore`` (shared with the HLL
+and rollup stores): per-batch partials partitioned by ``batch_id`` with
+dynamic partition overwrite (a replayed micro-batch overwrites its own
+partition — the idempotent-sink contract), compaction folds history into
+a pointer-committed base generation, and a replay of an ALREADY-COMPACTED
+batch is refused by the store's ``max_compacted`` watermark — without it
+the replay would double-count every counter (the r6-advice gap). The
+merged snapshot ``counters()`` is identical before and after compaction
+(pytest-pinned, including compact→replay and crash-mid-compact).
 
 Reference parity note: the reference (cmd/main.go) has no sketch surface;
 this extends SURVEY.md §2B's CMS row (q113) to the streaming column.
@@ -33,11 +30,7 @@ from pyspark.sql import functions as F
 
 from stream_cdc_gps_spark.functions.text import tokens
 from stream_cdc_gps_spark.operators.corpus import _CMS_DEPTH, _cms_bucket
-from stream_cdc_gps_spark.streaming.pipeline import _read_parquet_or_none
-
-# compact() folds history into this reserved partition; real batch ids are
-# nonnegative, so the base can never collide with a replayed batch.
-_BASE_BATCH_ID = -1
+from stream_cdc_gps_spark.streaming.partial_store import BatchPartialStore
 
 
 def batch_partial(batch_df: DataFrame) -> DataFrame:
@@ -72,49 +65,31 @@ class IncrementalCmsSketch:
 
     def __init__(self, spark: SparkSession, base: str):
         self.spark = spark
-        self.path = f"{base}/partials"
+        self.store = BatchPartialStore(spark, base)
+        self.path = self.store.partials_path  # live-partials dir (crash tests)
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
-        part = batch_partial(batch_df).withColumn("batch_id", F.lit(int(batch_id)))
-        (
-            part.write.format("parquet")
-            .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .save(self.path)
-        )
+        self.store.land(batch_partial(batch_df), batch_id)
 
     def counters(self) -> DataFrame:
-        """Merged sketch: elementwise sum of every landed partial — the
-        linearity of CMS is the whole trick."""
-        parts = _read_parquet_or_none(self.spark, self.path)
-        if parts is None:
+        """Merged sketch: elementwise sum of the compacted base and every
+        live partial — the linearity of CMS is the whole trick."""
+        rows = self.store.rows()
+        if rows is None:
             return self.spark.createDataFrame([], "i int, bucket bigint, cnt bigint")
-        return parts.groupBy("i", "bucket").agg(
+        return rows.groupBy("i", "bucket").agg(
             F.sum("cnt").cast("bigint").alias("cnt")
         )
 
     def n_partials(self) -> int:
-        parts = _read_parquet_or_none(self.spark, self.path)
-        if parts is None:
-            return 0
-        return parts.select("batch_id").distinct().count()
+        return self.store.n_partials()
 
     def compact(self) -> None:
-        """Fold all partials into the reserved base partition. The merged
+        """Fold all live partials into the next base generation. The merged
         counters are invariant under compaction (sum is associative); the
-        rewrite is the same overwrite-the-store move as the other hermetic
-        targets — a transactional table format would make it atomic."""
-        merged = self.counters().withColumn("batch_id", F.lit(_BASE_BATCH_ID))
-        # materialize BEFORE overwriting the directory being read
-        rows = merged.collect()  # O(depth × width) — bounded by sketch size
-        (
-            self.spark.createDataFrame(rows, merged.schema)
-            .write.format("parquet")
-            .mode("overwrite")
-            .partitionBy("batch_id")
-            .save(self.path)
-        )
+        commit is the store's atomic meta-pointer swap, and replays of
+        folded batches are refused thereafter."""
+        self.store.compact(self.counters())
 
     def estimate(self, toks: list[str]) -> dict[str, int]:
         """Point estimates for the given tokens: min over the depth rows —

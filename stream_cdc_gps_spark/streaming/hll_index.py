@@ -10,12 +10,13 @@ idempotence of max (belt) on top of the batch-id partition overwrite
 to time: the sketches that merged across month shards there merge across
 micro-batches here, unchanged algebra.
 
-Store layout mirrors ``IncrementalCmsSketch``: per-batch partials
-partitioned by ``batch_id`` with dynamic partition overwrite (replayed
-batches overwrite their own partition), ``compact()`` folds history into
-a reserved base partition, and the snapshot is invariant under both
-replay and compaction (pytest-pinned). Plain parquet as the hermetic
-stand-in for a transactional MERGE, as everywhere in streaming/.
+Persistence is ``partial_store.BatchPartialStore`` (shared with the CMS
+and rollup stores): batch-id-partitioned partials, pointer-committed
+compaction, and a ``max_compacted`` watermark refusing replays of folded
+batches — the register max would absorb a double-landed sketch, but the
+exact ``n_rows`` companion is a SUM and would not (the r6-advice gap).
+An EMPTY micro-batch is skipped outright (r6 advice): ``hll_sketch_agg``
+over zero rows yields a NULL sketch that would poison the union.
 
 Reference parity note: the reference (cmd/main.go) has no sketch surface;
 this extends SURVEY.md §2B's HLL row (q131) to the streaming column.
@@ -26,9 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stream_cdc_gps_spark.streaming.pipeline import _read_parquet_or_none
-
-_BASE_BATCH_ID = -1
+from stream_cdc_gps_spark.streaming.partial_store import BatchPartialStore
 
 
 class IncrementalHllCounter:
@@ -39,55 +38,49 @@ class IncrementalHllCounter:
     def __init__(self, spark: SparkSession, base: str, key: str):
         self.spark = spark
         self.key = key
-        self.path = f"{base}/partials"
+        self.store = BatchPartialStore(spark, base)
+        self.path = self.store.partials_path  # live-partials dir (crash tests)
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # hll_sketch_agg over zero rows is NULL; landing it would make
+            # the union NULL and estimate() crash (r6 advice). An empty
+            # batch changes neither the distinct count nor n_rows.
+            return
         part = batch_df.agg(
             F.hll_sketch_agg(self.key).alias("sk"),
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        ).withColumn("batch_id", F.lit(int(batch_id)))
-        (
-            part.write.format("parquet")
-            .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .save(self.path)
         )
-
-    def _parts(self) -> DataFrame | None:
-        return _read_parquet_or_none(self.spark, self.path)
+        self.store.land(part, batch_id)
 
     def n_partials(self) -> int:
-        parts = self._parts()
-        return 0 if parts is None else parts.select("batch_id").distinct().count()
+        return self.store.n_partials()
 
     def merged_sketch(self) -> DataFrame:
         """1-row (sk, n_rows): union-merged register state + total rows —
-        the O(n_batches × sketch_bytes) read is independent of data size."""
-        parts = self._parts()
-        if parts is None:
+        the O(n_pieces × sketch_bytes) read is independent of data size."""
+        rows = self.store.rows()
+        if rows is None:
             raise ValueError("no batches have landed yet")
-        return parts.agg(
+        return rows.agg(
             F.hll_union_agg("sk").alias("sk"),
             F.sum("n_rows").cast("bigint").alias("n_rows"),
         )
 
     def estimate(self) -> tuple[int, int]:
-        """(distinct estimate, exact rows-seen) after all landed batches."""
+        """(distinct estimate, exact rows-seen) after all landed batches.
+        (0, 0) when nothing has landed — an all-empty stream is a valid
+        stream with zero distinct keys, not an error."""
+        if self.store.rows() is None:
+            return 0, 0
         row = self.merged_sketch().select(
-            F.hll_sketch_estimate("sk").alias("est"), "n_rows"
+            F.coalesce(F.hll_sketch_estimate("sk"), F.lit(0)).alias("est"),
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
         ).collect()[0]
         return int(row["est"]), int(row["n_rows"])
 
     def compact(self) -> None:
-        """Fold all partials into the reserved base partition; the merged
-        estimate is invariant (register max is associative/idempotent)."""
-        merged = self.merged_sketch().withColumn("batch_id", F.lit(_BASE_BATCH_ID))
-        rows = merged.collect()  # one sketch row — bounded
-        (
-            self.spark.createDataFrame(rows, merged.schema)
-            .write.format("parquet")
-            .mode("overwrite")
-            .partitionBy("batch_id")
-            .save(self.path)
-        )
+        """Fold all live partials into the next base generation; the merged
+        estimate is invariant (register max is associative/idempotent,
+        n_rows sum is associative); pointer-swap commit via the store."""
+        self.store.compact(self.merged_sketch())

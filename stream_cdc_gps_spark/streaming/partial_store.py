@@ -1,0 +1,196 @@
+"""Crash-safe batch-partial store shared by the mergeable streaming indexes.
+
+The three mergeable-state families (``cms_index`` sum-merge, ``hll_index``
+max-merge, ``rollup_index`` algebraic partials) share one persistence
+contract: per-micro-batch partial rows land partitioned by ``batch_id``
+with dynamic partition overwrite (a replayed batch overwrites its own
+partition — idempotent without dedup bookkeeping), and ``compact()``
+periodically folds history into a single base so the snapshot read stays
+O(keys), not O(batches). This module is that contract, extracted so the
+two r6-advice gaps are fixed ONCE:
+
+1. **Replay of a compacted batch** (advice, medium): compaction folds
+   every landed partial into the base — if Structured Streaming then
+   re-delivers a compacted batch (crash before its checkpoint commit),
+   the old layout landed partition ``batch_id=N`` NEXT TO a base that
+   already contained N, double-counting in the sum-merge stores. The
+   store now records ``max_compacted`` in its meta pointer and ``land``
+   REFUSES any batch_id ≤ it: the replayed batch's contribution is
+   already in the base, so the replay is the no-op exactly-once demands.
+
+2. **Non-atomic compaction** (advice, low): the old compact deleted the
+   whole store directory before rewriting it — a crash mid-compact lost
+   all accumulated state. Compaction now writes the folded base to a NEW
+   generation directory (``base/v{G+1}``), then commits by atomically
+   renaming a meta pointer file (``meta.json``: base generation +
+   max_compacted) over the old one — the Iceberg/Delta
+   metadata-pointer move in miniature. A crash anywhere before the
+   rename leaves the old meta pointing at the old base + live partials
+   (state unchanged, retry clobbers the half-written generation); a
+   crash after it leaves fully consistent state with garbage that the
+   next compact sweeps. The rename is atomic on POSIX and HDFS; on
+   object stores without atomic rename this module — like every plain-
+   parquet store in streaming/ — stands in for a transactional table
+   format's commit.
+
+Layout under ``base_dir``:
+
+- ``partials/batch_id=N/`` — one partition per live (uncompacted) batch
+- ``base/v{G}/``          — compacted-base generations (current = meta)
+- ``meta.json``           — {"base_gen": G|null, "max_compacted": M|null}
+
+The store is schema-agnostic: callers land any mergeable partial frame
+and fold with their own aggregation (sketch linearity / register max /
+algebraic partials); ``rows()`` returns base ∪ live partials for the
+caller's merge aggregate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+from stream_cdc_gps_spark.streaming.pipeline import _read_parquet_or_none
+
+
+class BatchPartialStore:
+    """Batch-id-partitioned partial store with pointer-committed compaction."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.partials_path = f"{base_dir}/partials"
+        self.meta_path = f"{base_dir}/meta.json"
+
+    # -- meta pointer ------------------------------------------------------
+    def _meta(self) -> dict:
+        try:
+            with open(self.meta_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"base_gen": None, "max_compacted": None}
+
+    def _commit_meta(self, meta: dict) -> None:
+        """Atomic pointer swap: temp file + rename IS the commit."""
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = f"{self.meta_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.meta_path)
+
+    def _base_path(self, gen: int) -> str:
+        return f"{self.base_dir}/base/v{gen}"
+
+    # -- landing partials --------------------------------------------------
+    def land(self, partial_df: DataFrame, batch_id: int) -> bool:
+        """Land one micro-batch's partial rows. Returns False (no write)
+        when the batch is already folded into the compacted base — the
+        replay-of-a-compacted-batch no-op; landing it again would
+        double-count every sum-merged value."""
+        mc = self._meta()["max_compacted"]
+        if mc is not None and int(batch_id) <= mc:
+            return False
+        (
+            partial_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.format("parquet")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .save(self.partials_path)
+        )
+        return True
+
+    # -- reading -----------------------------------------------------------
+    def _live_partials(self) -> DataFrame | None:
+        """Partials newer than the compacted watermark (batch_id kept)."""
+        try:
+            parts = self.spark.read.parquet(self.partials_path)
+        except AnalysisException as e:
+            cond = getattr(e, "getCondition", e.getErrorClass)()
+            # PATH_NOT_FOUND: nothing ever landed. UNABLE_TO_INFER_SCHEMA:
+            # the sweep removed every folded batch partition and left only
+            # the writer's marker files — same meaning, zero live partials.
+            if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                return None
+            raise
+        mc = self._meta()["max_compacted"]
+        if mc is not None:
+            parts = parts.filter(F.col("batch_id") > mc)
+        return parts
+
+    def rows(self) -> DataFrame | None:
+        """Every mergeable row: compacted base ∪ live partials (without
+        batch_id — base rows have none). None when nothing has landed."""
+        meta = self._meta()
+        base = (
+            _read_parquet_or_none(self.spark, self._base_path(meta["base_gen"]))
+            if meta["base_gen"] is not None
+            else None
+        )
+        live = self._live_partials()
+        if live is not None:
+            live = live.drop("batch_id")
+        if base is None:
+            return live
+        if live is None:
+            return base
+        return base.unionByName(live)
+
+    def n_partials(self) -> int:
+        """Live partial partitions + the compacted base (if any) — the
+        number of pieces a snapshot read merges."""
+        live = self._live_partials()
+        n = 0 if live is None else live.select("batch_id").distinct().count()
+        return n + (1 if self._meta()["base_gen"] is not None else 0)
+
+    # -- compaction --------------------------------------------------------
+    def compact(self, merged_df: DataFrame) -> None:
+        """Fold history into the next base generation and commit via the
+        meta pointer. ``merged_df`` must be the caller's merge aggregate
+        over ``rows()`` — the snapshot is invariant by the merge algebra.
+        No-op when there are no live partials to fold."""
+        live = self._live_partials()
+        if live is None:
+            return
+        bids = [r["batch_id"] for r in live.select("batch_id").distinct().collect()]
+        if not bids:
+            return
+        meta = self._meta()
+        new_gen = (meta["base_gen"] or 0) + 1
+        new_max = max(
+            int(max(bids)),
+            meta["max_compacted"] if meta["max_compacted"] is not None else -1,
+        )
+        # Write the folded base to the NEW generation first (overwrite
+        # clobbers a half-written generation left by a crashed attempt)...
+        merged_df.write.mode("overwrite").parquet(self._base_path(new_gen))
+        # ...then the atomic pointer swap makes it the store's state.
+        self._commit_meta({"base_gen": new_gen, "max_compacted": new_max})
+        self._sweep_garbage(current_gen=new_gen, max_compacted=new_max)
+
+    def _sweep_garbage(self, current_gen: int, max_compacted: int) -> None:
+        """Best-effort removal of superseded generations and folded
+        partials. Purely cosmetic for correctness: the read path ignores
+        anything the meta pointer doesn't reference, so a crash mid-sweep
+        just leaves garbage for the next compact."""
+        base_root = f"{self.base_dir}/base"
+        if os.path.isdir(base_root):
+            for d in os.listdir(base_root):
+                if d.startswith("v") and d != f"v{current_gen}":
+                    shutil.rmtree(os.path.join(base_root, d), ignore_errors=True)
+        if os.path.isdir(self.partials_path):
+            for d in os.listdir(self.partials_path):
+                if d.startswith("batch_id="):
+                    try:
+                        bid = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if bid <= max_compacted:
+                        shutil.rmtree(
+                            os.path.join(self.partials_path, d), ignore_errors=True
+                        )

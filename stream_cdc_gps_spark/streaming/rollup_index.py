@@ -6,16 +6,18 @@ Third of the three mergeable-state families in streaming/: after CMS
 (count, sum, min, max) partials, from which count/sum/avg/min/max all
 re-derive exactly. Partial aggregation is Spark's own map-side-combine
 algebra lifted to the stream: each micro-batch lands its per-key partial,
-the snapshot is one O(keys × batches) re-combine, and history is never
+the snapshot is one O(keys × pieces) re-combine, and history is never
 rescanned. avg is DERIVED (sum/count) — storing it directly would make
 the state non-mergeable, the classic incremental-view mistake.
 
-Same store contract as the siblings: partials partitioned by ``batch_id``
-with dynamic partition overwrite (replayed batches overwrite their own
-partition — idempotent without dedup bookkeeping), ``compact()`` folds
-history into one base partition, snapshot invariant under both
-(pytest-pinned). Sums run through DECIMAL so merge order cannot move
-them (the q174 idiom). Plain parquet as the hermetic MERGE stand-in.
+Persistence is ``partial_store.BatchPartialStore`` (shared with the CMS
+and HLL stores): batch-id-partitioned partials with dynamic partition
+overwrite (replay-idempotent), pointer-committed compaction, and the
+``max_compacted`` watermark that refuses replays of already-folded
+batches — n and s are sums, so such a replay would double-count (the
+r6-advice gap). Sums run through DECIMAL so merge order cannot move
+them (the q174 idiom). Snapshot invariance under replay, compaction,
+compact-then-replay, and crash-mid-compact is pytest-pinned.
 
 Reference parity note: the reference (cmd/main.go) streams rows with no
 aggregate surface; this extends SURVEY.md §2B's incremental-aggregation
@@ -27,9 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stream_cdc_gps_spark.streaming.pipeline import _read_parquet_or_none
-
-_BASE_BATCH_ID = -1
+from stream_cdc_gps_spark.streaming.partial_store import BatchPartialStore
 
 
 def keyed_partial(batch_df: DataFrame, key: str, value: str) -> DataFrame:
@@ -54,25 +54,17 @@ class IncrementalRollup:
         self.spark = spark
         self.key = key
         self.value = value
-        self.path = f"{base}/partials"
+        self.store = BatchPartialStore(spark, base)
+        self.path = self.store.partials_path  # live-partials dir (crash tests)
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
-        part = keyed_partial(batch_df, self.key, self.value).withColumn(
-            "batch_id", F.lit(int(batch_id))
-        )
-        (
-            part.write.format("parquet")
-            .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .save(self.path)
-        )
+        self.store.land(keyed_partial(batch_df, self.key, self.value), batch_id)
 
     def _merged(self) -> DataFrame:
-        parts = _read_parquet_or_none(self.spark, self.path)
-        if parts is None:
+        rows = self.store.rows()
+        if rows is None:
             raise ValueError("no batches have landed yet")
-        return parts.groupBy("k").agg(
+        return rows.groupBy("k").agg(
             F.sum("n").cast("bigint").alias("n"),
             F.sum("s").cast("decimal(28,6)").alias("s"),
             F.min("lo").alias("lo"),
@@ -80,8 +72,7 @@ class IncrementalRollup:
         )
 
     def n_partials(self) -> int:
-        parts = _read_parquet_or_none(self.spark, self.path)
-        return 0 if parts is None else parts.select("batch_id").distinct().count()
+        return self.store.n_partials()
 
     def snapshot(self) -> DataFrame:
         """The rollup a batch engine would compute over everything seen:
@@ -97,14 +88,7 @@ class IncrementalRollup:
         )
 
     def compact(self) -> None:
-        """Fold all partials into the reserved base partition; the merged
-        snapshot is invariant (count/sum/min/max merges are associative)."""
-        merged = self._merged().withColumn("batch_id", F.lit(_BASE_BATCH_ID))
-        rows = merged.collect()  # O(keys) — the rollup is domain-bounded
-        (
-            self.spark.createDataFrame(rows, merged.schema)
-            .write.format("parquet")
-            .mode("overwrite")
-            .partitionBy("batch_id")
-            .save(self.path)
-        )
+        """Fold all live partials into the next base generation; the merged
+        snapshot is invariant (count/sum/min/max merges are associative);
+        pointer-swap commit via the store."""
+        self.store.compact(self._merged())

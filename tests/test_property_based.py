@@ -382,3 +382,34 @@ def test_incremental_lsh_retraction_matches_batch_on_generated(spark, ex):
     finally:
         shutil.rmtree(base, ignore_errors=True)
     assert got == golden
+
+
+def test_chi2_survives_terms_past_int64_nano_units(spark):
+    """r6 ADVICE: the old single-floor nano-unit quantization saturated
+    int64 once one (O−E)²/E term passed ~9.2e9 — exactly the magnitude a
+    100 TB corpus produces. A 2×2 table with billions-scale skew drives a
+    term to ~2e10; the split-floor DECIMAL(38,0) path must stay within
+    1e-4 relative of the pure-Python statistic instead of clamping."""
+    from stream_cdc_gps_spark.operators.analytics import chi2_from_observed
+
+    cells = [
+        ("a", "x", 10_000_000_000),
+        ("a", "y", 1_000),
+        ("b", "x", 1_000),
+        ("b", "y", 10_000_000_000),
+    ]
+    obs = spark.createDataFrame(cells, "src string, dst string, o long")
+    got = chi2_from_observed(obs, "src", "dst").collect()[0]
+
+    counts = dict((((r, c), n) for r, c, n in cells))
+    n = sum(counts.values())
+    chi2 = 0.0
+    for r in ("a", "b"):
+        rt = sum(v for (rr, _), v in counts.items() if rr == r)
+        for c in ("x", "y"):
+            ct = sum(v for (_, cc), v in counts.items() if cc == c)
+            e = rt * ct / n
+            o = counts[(r, c)]
+            chi2 += (o - e) ** 2 / e
+    assert chi2 > 9.2e9  # the statistic itself is past the old int64 cliff
+    assert abs(got["chi2"] - chi2) / chi2 < 1e-4

@@ -1296,6 +1296,103 @@ def test_incremental_cms_and_hll_crash_replay_self_heal(spark, tmp_path):
     assert hll.estimate() == healthy_est
 
 
+def test_compacted_batch_replay_is_refused_not_double_counted(spark, tmp_path):
+    """r6 ADVICE (medium): compaction folds every landed partial into the
+    base, so if Structured Streaming re-delivers a compacted batch (crash
+    before its checkpoint commit), landing it AGAIN would double-count in
+    the sum-merge stores. The store's max_compacted watermark must refuse
+    the replay; genuinely new batches still land."""
+    from stream_cdc_gps_spark.streaming.cms_index import IncrementalCmsSketch
+    from stream_cdc_gps_spark.streaming.hll_index import IncrementalHllCounter
+    from stream_cdc_gps_spark.streaming.rollup_index import IncrementalRollup
+
+    dschema = "doc_id long, text string"
+    sk = IncrementalCmsSketch(spark, str(tmp_path / "cms"))
+    sk.merge(spark.createDataFrame([(1, "a b a")], dschema), 0)
+    sk.merge(spark.createDataFrame([(2, "b c")], dschema), 1)
+    sk.compact()
+    healthy = sorted((r.i, r.bucket, r.cnt) for r in sk.counters().collect())
+    # the crash-replay of an already-compacted batch: must be a no-op
+    sk.merge(spark.createDataFrame([(2, "b c")], dschema), 1)
+    assert sorted((r.i, r.bucket, r.cnt) for r in sk.counters().collect()) == healthy
+    # a NEW batch still lands on top of the compacted base
+    sk.merge(spark.createDataFrame([(3, "c d")], dschema), 2)
+    assert sk.estimate(["c"])["c"] == 2
+
+    eschema = "event_id long, event_type string, value double"
+    ru = IncrementalRollup(spark, str(tmp_path / "ru"), "event_type", "value")
+    ru.merge(spark.createDataFrame([(1, "view", 5.0), (2, "click", 1.0)], eschema), 0)
+    ru.merge(spark.createDataFrame([(3, "view", 7.0)], eschema), 1)
+    ru.compact()
+    healthy_snap = sorted(map(tuple, ru.snapshot().collect()))
+    ru.merge(spark.createDataFrame([(3, "view", 7.0)], eschema), 1)
+    assert sorted(map(tuple, ru.snapshot().collect())) == healthy_snap
+
+    hschema = "event_id long, user_id long"
+    hll = IncrementalHllCounter(spark, str(tmp_path / "hll"), "user_id")
+    hll.merge(spark.createDataFrame([(1, 10), (2, 11)], hschema), 0)
+    hll.compact()
+    est, n_rows = hll.estimate()
+    # register max would absorb the replayed sketch, but n_rows is a SUM
+    hll.merge(spark.createDataFrame([(1, 10), (2, 11)], hschema), 0)
+    assert hll.estimate() == (est, n_rows)
+
+
+def test_compact_crash_before_pointer_swap_loses_nothing(spark, tmp_path):
+    """r6 ADVICE (low): the old compact deleted the whole store before
+    rewriting it — a crash mid-compact lost all state. Now the folded base
+    lands in a NEW generation dir and only the atomic meta-pointer rename
+    commits it: a half-written next generation (crash before the swap) is
+    invisible to reads, and a retried compact clobbers it and converges."""
+    import os
+
+    from stream_cdc_gps_spark.streaming.rollup_index import IncrementalRollup
+
+    schema = "event_id long, event_type string, value double"
+    ru = IncrementalRollup(spark, str(tmp_path / "ru"), "event_type", "value")
+    ru.merge(spark.createDataFrame([(1, "view", 5.0), (2, "click", 1.0)], schema), 0)
+    ru.merge(spark.createDataFrame([(3, "view", 7.0)], schema), 1)
+    healthy = sorted(map(tuple, ru.snapshot().collect()))
+
+    # crash state: a garbage half-written NEXT generation exists, but the
+    # meta pointer was never swapped
+    garbage = os.path.join(str(tmp_path / "ru"), "base", "v1")
+    os.makedirs(garbage, exist_ok=True)
+    with open(os.path.join(garbage, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    assert sorted(map(tuple, ru.snapshot().collect())) == healthy
+
+    # the retried compact overwrites the garbage generation and commits
+    ru.compact()
+    assert ru.n_partials() == 1
+    assert sorted(map(tuple, ru.snapshot().collect())) == healthy
+    # and accumulation continues on the compacted base
+    ru.merge(spark.createDataFrame([(4, "click", 3.0)], schema), 2)
+    got = {r["event_type"]: r["n_rows"] for r in ru.snapshot().collect()}
+    assert got == {"view": 2, "click": 2}
+
+
+def test_incremental_hll_skips_empty_batches(spark, tmp_path):
+    """r6 ADVICE (low): an empty micro-batch used to land a NULL sketch
+    (hll_sketch_agg over zero rows) that poisoned the union and crashed
+    estimate(). Empty batches are now skipped; an all-empty stream reads
+    as (0, 0) rather than raising."""
+    from stream_cdc_gps_spark.streaming.hll_index import IncrementalHllCounter
+
+    schema = "event_id long, user_id long"
+    empty = spark.createDataFrame([], schema)
+
+    hll = IncrementalHllCounter(spark, str(tmp_path / "hll"), "user_id")
+    hll.merge(empty, 0)
+    assert hll.estimate() == (0, 0)  # all-empty stream: zero, not a crash
+    assert hll.n_partials() == 0
+
+    hll.merge(spark.createDataFrame([(1, 10), (2, 11)], schema), 1)
+    hll.merge(empty, 2)  # interior empty batch is also a no-op
+    est, n_rows = hll.estimate()
+    assert (est, n_rows) == (2, 2)
+
+
 def test_corpus_ingest_composition_matches_batch(spark, tmp_path):
     """The composed ingest handler: ONE two-batch document stream drives
     the quality gate plus all four incremental indexes, and every store
