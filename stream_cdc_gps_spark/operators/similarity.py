@@ -1770,3 +1770,333 @@ def q186_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "candidate_id", F.round(F.sqrt("s"), 6).alias("adc_l2"))
     )
+
+
+def _l2_ranked_cells(emb: F.Column, cents: list[tuple[int, list[float]]]) -> F.Column:
+    """Ascending (err, code)-sorted cell candidates against a literal
+    codebook — the ranked sibling of ``_nearest_code_packed`` (same packed
+    SQL-literal codebook, same sequential zip_with L2 fold, same
+    ties-to-lowest-code struct comparison), for nprobe > 1 probing."""
+    cb = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('cent', array("
+            + ",".join(repr(float(x)) + "D" for x in cent)
+            + f"), 'code', {int(cid)})"
+            for cid, cent in cents
+        )
+        + ")"
+    )
+    return F.array_sort(
+        F.transform(
+            cb,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(emb, c["cent"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("err"),
+                c["code"].alias("code"),
+            ),
+        )
+    )
+
+
+def _adc_lut_map(emb: F.Column, m: int, cb_m: list[tuple[int, list[float]]]) -> F.Column:
+    """Per-subspace ADC lookup table as a literal-keyed MAP column:
+    code -> squared L2 between the query's m-th subvector and that code's
+    centroid. A map (not a positional array) because a TRAINED codebook's
+    code set need not be contiguous — Lloyd drops cells that lose all
+    members, and element_at-by-position would silently misalign."""
+    sv = F.slice(emb, m * _PQ_D + 1, _PQ_D)
+    keys, vals = [], []
+    for code, cent in cb_m:
+        keys.append(F.lit(int(code)))
+        vals.append(
+            F.aggregate(
+                F.zip_with(
+                    sv,
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.map_from_arrays(F.array(*keys), F.array(*vals))
+
+
+def _ivfadc_search(
+    e: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    cbs: dict[int, list[tuple[int, list[float]]]],
+    nprobe: int = _IVFPQ_NPROBE,
+) -> DataFrame:
+    """The IVFADC pipeline over ANY (centroids, PQ codebooks) pair — the
+    q186 search shape parameterized so seed and Lloyd-TRAINED codebooks run
+    the identical plan. Assignment metric is L2 argmin (ties to lowest
+    code) on BOTH the base cells and the query probes — the metric Lloyd
+    training optimizes, so trained cells are genuine k-means cells.
+
+    Plan (unchanged from q186's audit): cell assignment + PQ encoding are
+    ONE map-only projection over literal codebooks; the query side (probe
+    cells + LUT maps) is |queries|·nprobe rows broadcast; the candidate
+    meet is an EQUI join on cell id; per-pair ADC cost is {_PQ_M} map
+    lookups + 3 adds; ONE query-keyed top-k window after."""
+    base = e.select(
+        "vec_id",
+        _nearest_code_packed(F.col("emb"), cents)["code"].alias("cell"),
+        *[
+            _nearest_code_packed(F.slice("emb", m * _PQ_D + 1, _PQ_D), cbs[m])[
+                "code"
+            ].cast("int").alias(f"code{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    qv = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    probes = qv.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(_l2_ranked_cells(F.col("emb"), cents), 1, nprobe),
+                lambda s: s["code"],
+            )
+        ).alias("probe_cell"),
+        *[_adc_lut_map(F.col("emb"), m, cbs[m]).alias(f"lut{m}") for m in range(_PQ_M)],
+    )
+    scored = base.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    adc = scored.select(
+        "query_id",
+        F.col("vec_id").alias("candidate_id"),
+        sum(
+            [
+                F.element_at(F.col(f"lut{m}"), F.col(f"code{m}"))
+                for m in range(_PQ_M)
+            ],
+            F.lit(0.0),
+        ).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round(F.sqrt("s"), 6), "candidate_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "candidate_id", F.round(F.sqrt("s"), 6).alias("adc_l2"))
+    )
+
+
+def _ivfadc_sql(p: str, cents: str, cb: str) -> str:
+    """IVFADC as CTE text over codebook CTEs ``cents``/``cb`` (needs ``e``,
+    ``q``, ``sub`` in scope): L2 cell assignment, per-subspace code argmin,
+    top-nprobe query probes, code-keyed LUT join, fixed-order ADC fold,
+    per-query top-3 — every stage name prefixed with ``p`` so seed and
+    trained variants coexist in one oracle."""
+    l2c = _SQL_L2_EC.format(a="e.emb", b="c.cent", d=_DIM)
+    subl2 = _SQL_SUB_L2.format(a="s.sv", b="c.cent", d=_PQ_D)
+    sub_d = _SQL_SUB_L2.format(
+        a="((q.emb)[c.m * " + str(_PQ_D) + " + 1 : (c.m + 1) * " + str(_PQ_D) + "])",
+        b="c.cent",
+        d=_PQ_D,
+    )
+    return f"""
+{p}assigned AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {l2c}, c.cent_id) AS rn
+        FROM e CROSS JOIN {cents} c
+    ) WHERE rn = 1
+),
+{p}best AS (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {subl2}, c.code) AS rn
+        FROM sub s JOIN {cb} c ON c.m = s.m
+    ) WHERE rn = 1
+),
+{p}qp AS (
+    SELECT vec_id AS query_id, cell AS probe_cell FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {l2c}, c.cent_id) AS rn
+        FROM e CROSS JOIN {cents} c
+        WHERE e.vec_id >= 100 AND e.vec_id < 120
+    ) WHERE rn <= {_IVFPQ_NPROBE}
+),
+{p}lut AS (
+    SELECT q.query_id, c.m, c.code, {sub_d} AS d
+    FROM q CROSS JOIN {cb} c
+),
+{p}adc AS (
+    SELECT c.query_id, c.candidate_id,
+           ((max(CASE WHEN l.m = 0 THEN l.d END)
+             + max(CASE WHEN l.m = 1 THEN l.d END))
+            + max(CASE WHEN l.m = 2 THEN l.d END))
+           + max(CASE WHEN l.m = 3 THEN l.d END) AS s
+    FROM (
+        SELECT qp.query_id, a.vec_id AS candidate_id
+        FROM {p}qp qp JOIN {p}assigned a ON a.cell = qp.probe_cell
+        WHERE a.vec_id != qp.query_id
+    ) c
+    JOIN {p}best b ON b.vec_id = c.candidate_id
+    JOIN {p}lut l ON l.query_id = c.query_id AND l.m = b.m AND l.code = b.code
+    GROUP BY c.query_id, c.candidate_id
+),
+{p}top AS (
+    SELECT query_id, candidate_id, adc_l2 FROM (
+        SELECT query_id, candidate_id, round(sqrt(s), 6) AS adc_l2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(sqrt(s), 6), candidate_id) AS rn
+        FROM {p}adc
+    ) WHERE rn <= 3
+)"""
+
+
+_IVFADC_SHARED_CTES = f"""
+q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id >= 100 AND vec_id < 120),
+sub AS (
+    SELECT v.vec_id, m.m AS m,
+           (v.emb)[m.m * {_PQ_D} + 1 : (m.m + 1) * {_PQ_D}] AS sv
+    FROM e v, (SELECT unnest(range(0, {_PQ_M})) AS m) m
+),
+c0 AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < {N_CENTROIDS}),
+{_ivf_iter_sql("c0", "ta1", "tc1")},
+{_ivf_iter_sql("tc1", "ta2", "tc2")},
+cb0 AS (
+    SELECT m.m AS m, c.vec_id AS code,
+           (c.emb)[m.m * {_PQ_D} + 1 : (m.m + 1) * {_PQ_D}] AS cent
+    FROM (SELECT unnest(range(0, {_PQ_M})) AS m) m
+    CROSS JOIN (SELECT * FROM e WHERE vec_id < {_PQ_K}) c
+),
+{_pq_iter_sql("cb0", "pa1", "pcb1")},
+{_pq_iter_sql("pcb1", "pa2", "pcb2")}"""
+
+
+@query(
+    "q187_ivfpq_trained_search",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+{_IVFADC_SHARED_CTES},
+{_ivfadc_sql("tr_", "tc2", "pcb2")}
+SELECT query_id, candidate_id, adc_l2 FROM tr_top
+""",
+)
+def q187_ivfpq_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC over FULLY TRAINED codebooks — q186's inverted-file + ADC
+    search composed with q161's Lloyd-trained coarse cells AND q162's
+    Lloyd-trained per-subspace PQ codebooks: the configuration FAISS
+    actually ships (train coarse quantizer, train PQ, then IVFADC). Closes
+    q186's "seed codebooks" caveat the way q161/q162 closed q63/q159's.
+
+    Plan: training is the pinned {_LLOYD_ITERS}-round Lloyd loops (each
+    round one map-only assignment + one k-key aggregate + a bounded
+    codebook collect); the SEARCH plan is byte-for-byte q186's — one
+    map-only assign+encode projection, broadcast probes, candidate meet as
+    an EQUI join on cell id, one query-keyed top-k window. Assignment is
+    L2 argmin on both base and probes (the metric the training optimizes).
+    The oracle unrolls both trainings relationally (the q161/q162 CTEs)
+    and re-derives the search with joins — seed-vs-trained parity of the
+    search stage itself is quantified by q188."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    return _ivfadc_search(e, _lloyd_train_ivf(e), _lloyd_train_pq(e))
+
+
+@query(
+    "q188_ivfpq_trained_recall",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+{_IVFADC_SHARED_CTES},
+{_ivfadc_sql("sd_", "c0", "cb0")},
+{_ivfadc_sql("tr_", "tc2", "pcb2")},
+exact AS (
+    SELECT query_id, candidate_id FROM (
+        SELECT q.query_id, c.vec_id AS candidate_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY round(sqrt({_SQL_SUB_L2.format(a="q.emb", b="c.emb", d=64)}), 6),
+                                           c.vec_id) AS rn
+        FROM q JOIN e c ON c.vec_id != q.query_id
+    ) WHERE rn <= 3
+)
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(s.candidate_id) AS BIGINT) AS hit_seed,
+       CAST(count(t.candidate_id) AS BIGINT) AS hit_trained,
+       round(count(s.candidate_id) * 1.0 / count(*), 4) AS recall_seed,
+       round(count(t.candidate_id) * 1.0 / count(*), 4) AS recall_trained
+FROM exact x
+LEFT JOIN sd_top s ON s.query_id = x.query_id AND s.candidate_id = x.candidate_id
+LEFT JOIN tr_top t ON t.query_id = x.query_id AND t.candidate_id = x.candidate_id
+GROUP BY x.query_id
+""",
+)
+def q188_ivfpq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC TRAINING SHIP-GATE: recall@3 of the full IVFADC search under
+    SEED codebooks vs Lloyd-TRAINED codebooks (q187's), both against the
+    exact L2 top-3 — the q165 eval pattern applied to the compressed
+    search path, so "training the quantizers helps the END-TO-END search"
+    is a measured number, not an assertion. Both variants run the
+    IDENTICAL plan and L2 assignment metric via _ivfadc_search; only the
+    codebook literals differ, isolating the training effect.
+
+    Plan: the exact baseline is a broadcast-bounded 20-query cross join
+    scored by the same sequential L2 fold both engines pin; each variant
+    is the audited q186 shape; hit accounting is two broadcast left joins
+    on (query, candidate). At 100 TB this eval runs on a sample exactly
+    as written — the ship-gate pattern, not the serving path."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    seed_cents = _seed_centroids(e)
+    seed_cbs = _lloyd_train_pq(e, iters=0)  # the init IS the seed codebook
+    tr_cents = _lloyd_train_ivf(e)
+    tr_cbs = _lloyd_train_pq(e)
+
+    qx = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    l2 = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("l2_r", "candidate_id")
+    exact = (
+        e.crossJoin(F.broadcast(qx))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            F.round(F.sqrt(l2), 6).alias("l2_r"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "candidate_id")
+    )
+    h0 = (
+        _ivfadc_search(e, seed_cents, seed_cbs)
+        .select("query_id", "candidate_id")
+        .withColumn("h0", F.lit(1))
+    )
+    h2 = (
+        _ivfadc_search(e, tr_cents, tr_cbs)
+        .select("query_id", "candidate_id")
+        .withColumn("h2", F.lit(1))
+    )
+    return (
+        exact.join(h0, ["query_id", "candidate_id"], "left")
+        .join(h2, ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("h0").cast("bigint").alias("hit_seed"),
+            F.count("h2").cast("bigint").alias("hit_trained"),
+            F.round(F.count("h0") / F.count(F.lit(1)), 4).alias("recall_seed"),
+            F.round(F.count("h2") / F.count(F.lit(1)), 4).alias("recall_trained"),
+        )
+    )
