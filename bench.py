@@ -88,25 +88,15 @@ PERMANENT = SHARED21 + [
 
 # Rotates each round (BASELINE.md records the per-round pick): queries
 # added or materially changed this round get a tracked number here.
-# r6: the five queries whose algebra changed under the r5 advice fixes
-# (deterministic Lloyd averaging -> q161/q162/q167; complete JSD pair set
-# -> q173; wider TWAP decimal -> q174) plus the r6 additions.
+# r7: the partition-local LSH store (q177), the DECIMAL chi-square fix
+# (q180), and the trained-IVFADC composition (q187 search, q188 recall
+# gate). q189 (composed-ingest parity) runs ~15 s/rep — off-headline,
+# isolated number in BASELINE.md like q168/q172.
 SPOTLIGHT = [
-    "q161_ivf_trained_topk",
-    "q162_pq_trained_codes",
-    "q167_semdedup",
-    "q173_source_divergence",
-    "q174_twap",
-    # r6 session-2 additions
-    "q178_score_auc",
-    "q179_k_anonymity",
+    "q177_lsh_incremental_parity",
     "q180_chi2_independence",
-    "q181_feature_corr_matrix",
-    "q182_minhash_containment",
-    "q183_pq_adc_topk",
-    "q184_group_ols_trend",
-    "q185_touch_attribution",
-    "q186_ivfpq_search",
+    "q187_ivfpq_trained_search",
+    "q188_ivfpq_trained_recall",
 ]
 
 HEADLINE = PERMANENT + SPOTLIGHT

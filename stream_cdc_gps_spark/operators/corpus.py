@@ -471,3 +471,219 @@ def q113_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est >= F.col("exact_n")).alias("admissible"),
         )
     )
+
+
+# --- q189: the composed streaming-ingest pipeline, driver-checked --------
+# The gated corpus as both engines see it: the ingest pipeline's admission
+# predicate (streaming/corpus_ingest.quality_gate — token-count bounds)
+# restated over the documents table.
+_GATED_SQL = (
+    "SELECT doc_id, text, source, n_chars FROM documents "
+    "WHERE len(string_split(text, ' ')) BETWEEN 5 AND 2000"
+)
+
+
+def _q189_oracle() -> str:
+    """All-at-once batch SQL for every store the composed ingest maintains,
+    over the gated corpus: the per-source rollup, the LSH candidate pairs
+    (q53's own SQL re-rooted at the gated CTE), and the CMS estimates of
+    the gated corpus's exact top-5 tokens (q113's md5 bucket SQL). The HLL
+    rows land as the exact gated count (n_rows is a sum, exactly
+    recomputable) plus a literal-true admissibility row the Spark side
+    must EARN (estimate within 5% of the exact distinct count)."""
+    from stream_cdc_gps_spark.operators.dedup import (
+        MAX_POSTING,
+        MINHASH_SQL,
+        _BAND_SELECTS,
+    )
+
+    g_minhash = MINHASH_SQL.replace("FROM documents", "FROM gated")
+    return f"""
+WITH gated AS ({_GATED_SQL}),
+mh AS ({g_minhash}),
+bands AS ({_BAND_SELECTS}),
+ok AS (SELECT band, band_key FROM bands
+       GROUP BY band, band_key HAVING count(*) <= {MAX_POSTING}),
+lsh AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nsb
+    FROM bands a JOIN ok USING (band, band_key)
+    JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+roll AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS s,
+           min(n_chars) AS lo, max(n_chars) AS hi
+    FROM gated GROUP BY source
+),
+tok AS (
+    SELECT u.tok AS tok
+    FROM (SELECT string_split(text, ' ') AS toks FROM gated), UNNEST(toks) AS u(tok)
+),
+rb AS (
+    SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+               % {_CMS_WIDTH} AS bucket
+    FROM tok, UNNEST([0, 1, 2, 3]) AS u(i)
+),
+counters AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt FROM rb GROUP BY i, bucket),
+top5 AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok ORDER BY n DESC, tok LIMIT 5),
+cand AS (
+    SELECT tok, i, ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+               % {_CMS_WIDTH} AS bucket
+    FROM top5, UNNEST([0, 1, 2, 3]) AS u(i)
+),
+cms AS (
+    SELECT c.tok, min(ct.cnt) AS est
+    FROM cand c JOIN counters ct ON c.i = ct.i AND c.bucket = ct.bucket
+    GROUP BY c.tok
+)
+SELECT 'rollup_n' AS component, source AS k, CAST(n_rows AS DOUBLE) AS v FROM roll
+UNION ALL SELECT 'rollup_total', source, round(CAST(s AS DOUBLE), 4) FROM roll
+UNION ALL SELECT 'rollup_avg', source, round(CAST(s AS DOUBLE) / n_rows, 4) FROM roll
+UNION ALL SELECT 'rollup_min', source, CAST(lo AS DOUBLE) FROM roll
+UNION ALL SELECT 'rollup_max', source, CAST(hi AS DOUBLE) FROM roll
+UNION ALL SELECT 'lsh_pair',
+                 CAST(doc_a AS VARCHAR) || '|' || CAST(doc_b AS VARCHAR),
+                 CAST(nsb AS DOUBLE) FROM lsh
+UNION ALL SELECT 'cms_est', tok, CAST(est AS DOUBLE) FROM cms
+UNION ALL SELECT 'hll_rows', 'documents',
+                 CAST((SELECT count(*) FROM gated) AS DOUBLE)
+UNION ALL SELECT 'hll_admissible', 'doc_id', 1.0e0
+"""
+
+
+@query("q189_corpus_ingest_parity", oracle=_q189_oracle())
+def q189_corpus_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED-INGEST PARITY (the q177 pattern lifted to the whole
+    pipeline): replay streaming/corpus_ingest.CorpusIngestPipeline — ONE
+    quality-gated document stream feeding the incremental LSH, CMS, HLL,
+    and rollup stores — over a 2-slice interleaved split of the corpus,
+    then read back every store and compare against the all-at-once batch
+    SQL over the gated corpus. One long (component, k, v) frame:
+
+    - rollup_n/total/avg/min/max — the rollup snapshot, exact;
+    - lsh_pair — the incremental index's q53-parity candidate pairs;
+    - cms_est — the maintained sketch's estimates for the gated corpus's
+      exact top-5 tokens (deterministic md5 buckets: VALUE-exact, q113);
+    - hll_rows — exact rows-seen (a sum: exactly recomputable);
+    - hll_admissible — 1.0 iff the HLL distinct estimate lands within 5%
+      of the exact distinct count; the oracle emits literal 1.0, so the
+      Spark side must earn it (the documented weaker check for the one
+      sketch whose registers DuckDB cannot reproduce).
+
+    Scale: the merges are the member stores' audited per-batch shapes
+    (map-only signatures + partition-local LSH writes; O(depth×width) CMS
+    partials; one sketch row; per-key rollup partials); the snapshot
+    reads are the stores' O(state) merges. The streaming (foreachBatch +
+    checkpoint + crash-replay) form of the same composition is
+    pytest-verified in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.corpus_ingest import (
+        CorpusIngestPipeline,
+        quality_gate,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
+    base = tempfile.mkdtemp(prefix="ingest_parity_")
+    try:
+        pipe = CorpusIngestPipeline(spark, base)
+        pipe.merge(d.filter(F.col("doc_id") % 2 == 0), 0)
+        pipe.merge(d.filter(F.col("doc_id") % 2 == 1), 1)
+
+        roll = pipe.rollup.snapshot()
+        roll_long = roll.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("rollup_n").alias("component"),
+                        F.col("source").alias("k"),
+                        F.col("n_rows").cast("double").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("rollup_total").alias("component"),
+                        F.col("source").alias("k"),
+                        F.round(F.col("total"), 4).alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("rollup_avg").alias("component"),
+                        F.col("source").alias("k"),
+                        F.round(F.col("avg_value"), 4).alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("rollup_min").alias("component"),
+                        F.col("source").alias("k"),
+                        F.col("min_value").cast("double").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("rollup_max").alias("component"),
+                        F.col("source").alias("k"),
+                        F.col("max_value").cast("double").alias("v"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.component", "r.k", "r.v")
+
+        lsh_long = pipe.lsh.pairs().select(
+            F.lit("lsh_pair").alias("component"),
+            F.concat(
+                F.col("doc_a").cast("string"), F.lit("|"), F.col("doc_b").cast("string")
+            ).alias("k"),
+            F.col("n_shared_bands").cast("double").alias("v"),
+        )
+
+        gated = quality_gate(d)
+        tok = gated.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        top5 = (
+            tok.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "tok")
+            .limit(5)
+        )
+        cand = top5.select(
+            "tok",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            _cms_bucket(F.col("tok"), i).alias("bucket"),
+                        )
+                        for i in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("rb"),
+        ).select("tok", "rb.i", "rb.bucket")
+        cms_long = (
+            cand.join(F.broadcast(pipe.cms.counters()), ["i", "bucket"], "left")
+            .groupBy("tok")
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+            .select(
+                F.lit("cms_est").alias("component"),
+                F.col("tok").alias("k"),
+                F.col("est").cast("double").alias("v"),
+            )
+        )
+
+        est, n_rows = pipe.hll.estimate()
+        exact_distinct = gated.select("doc_id").distinct().count()
+        admissible = (
+            (est == 0 and exact_distinct == 0)
+            or (exact_distinct > 0 and abs(est - exact_distinct) <= 0.05 * exact_distinct)
+        )
+        hll_long = spark.createDataFrame(
+            [
+                ("hll_rows", "documents", float(n_rows)),
+                ("hll_admissible", "doc_id", 1.0 if admissible else 0.0),
+            ],
+            "component string, k string, v double",
+        )
+
+        out = roll_long.unionByName(lsh_long).unionByName(cms_long).unionByName(hll_long)
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

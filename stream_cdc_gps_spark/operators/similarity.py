@@ -1118,7 +1118,7 @@ def q162_pq_trained_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _seed_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
-    """The untrained codebook both Lloyd queries start from: the first
+    """The untrained codebook both Lloyd trainers start from: the first
     N_CENTROIDS vectors by vec_id, as (cent_id, coords) literals."""
     return [
         (int(r["vec_id"]), [float(x) for x in r["emb"]])
@@ -1497,12 +1497,12 @@ def q183_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: codes are the q159 map-only HOF encoding (literal codebook,
     zero joins); each query row precomputes its {_PQ_M}×{_PQ_K} lookup
     table ONCE as literal-codebook array math (map-only over the 20-row
-    query side); the scored frame is candidates ⋈ broadcast(queries),
+    query side); the scored frame is candidates ⋈ broadcast(query rows),
     where the ADC per pair is {_PQ_M} element_at lookups + 3 adds — no
     per-pair 64-d math anywhere in the scan. At 100 TB this is exactly
     the FAISS IVF-ADC inner loop: the base side streams codes only
     (16 bytes/vector instead of 256), and true-vector access happens
-    AFTER top-k, here as a re-rank join on the ≤3·|queries| survivors.
+    AFTER top-k, here as a re-rank join on the ≤3·|query set| survivors.
     The 4-term ADC sum folds left-to-right in one expression; the oracle
     pivots to the same fixed order, so the doubles agree bit-for-bit."""
     e = t(spark, sf_dir, "embeddings").select(
@@ -1840,7 +1840,7 @@ def _ivfadc_search(
 
     Plan (unchanged from q186's audit): cell assignment + PQ encoding are
     ONE map-only projection over literal codebooks; the query side (probe
-    cells + LUT maps) is |queries|·nprobe rows broadcast; the candidate
+    cells + LUT maps) is |query set|·nprobe rows broadcast; the candidate
     meet is an EQUI join on cell id; per-pair ADC cost is {_PQ_M} map
     lookups + 3 adds; ONE query-keyed top-k window after."""
     base = e.select(

@@ -68,79 +68,78 @@ DRIVER_WINDOW = 50
 # instead require a committed full driver-sim artifact
 # (artifacts/driver_sim_full.json certifying a 0-fail run from this round).
 #
-# Round 6 front-loads, in order (r5 judge mandate #2: rotate the r2-era
-# official rows in after the staleness-mandated changed queries):
-# (a) queries changed or ADDED in r6 — the staleness gate forces these:
-#     the r5-advice algebra fixes (deterministic decimal Lloyd averaging
-#     -> q161/q162 + their self-eval q165/q166 and SemDeDup q167; complete
-#     JSD pair frame -> q173; DECIMAL(18,6) TWAP -> q174), the triangle
-#     family refactor + DOULION additions (q168, q175, q176), and the
-#     dedup-family refactor for the incremental LSH index (q52-q59, q79,
-#     q146, q147, q150, q153, q154, q155, q160, q164, new q177);
-# (a2) ADDED in r6 session 2 (brand-new queries are stale by definition):
-#     q178 AUC, q179 k-anonymity, q180 chi-square, q181 correlation
-#     matrix, q182 containment, q183 PQ-ADC search, q184 OLS trend,
-#     q185 touch attribution, q186 IVF-PQ search;
-# (b) oldest r2-era official rows, judge order, up to the window minus
-#     the mandated 2-slot slack: 12 of the 30 fit this round (q72-q77/
-#     q84/q85/q87 joined q88/q89/q92-q96/q98/q99 in the rotate-first-in-r7
-#     set when the nine (a2) additions claimed their slots; if the real
-#     window is the full 50, registration order fills the slack with
-#     q110/q111 — fresh r5 greens, no harm; all 30 r2-era rows are also
-#     covered by this round's clean-tree full-sim certificate at both
-#     scale factors).
+# Round 7 front-loads, in order (r6 judge mandate #2: after the
+# staleness-forced changed queries, finish rotating the r2-era official
+# rows, then start on the oldest r3 rows):
+# (a) queries changed or ADDED in r7 — the staleness gate forces these:
+#     the partition-local IncrementalLshIndex rewrite (q177), the
+#     chi-square DECIMAL quantization fix (q180), the trained-IVFADC
+#     composition (new q187, q188), and the composed-ingest parity row
+#     (new q189, which also reaches the hardened partial-store siblings),
+#     plus q183/q165/q166 whose sources were reworded to break a false
+#     staleness edge (their docstrings' bare word "queries" reached
+#     registry.queries -> _PRIORITY, poisoning them every round the
+#     priority list moves — the reword is itself a symbol change, so they
+#     ride the window once more and the edge is gone for good);
+# (b) the 18 remaining r2-era official rows (judge list: q72-q77, q84,
+#     q85, q87-q89, q92-q96, q98, q99) — after this round no query's
+#     newest official row predates r3;
+# (c) the 22 oldest r3-era rows in registration order (the rest of the
+#     42-row r3 cohort rotates in r8). All rows outside the window remain
+#     covered by this round's clean-tree full-sim certificates at both
+#     scale factors.
 _PRIORITY: list[str] = [
-    # (a) changed or added in r6
-    "q161_ivf_trained_topk",
-    "q162_pq_trained_codes",
+    # (a) changed or added in r7
+    "q177_lsh_incremental_parity",
+    "q180_chi2_independence",
+    "q187_ivfpq_trained_search",
+    "q188_ivfpq_trained_recall",
+    "q189_corpus_ingest_parity",
+    "q183_pq_adc_topk",
     "q165_ivf_training_recall",
     "q166_lloyd_inertia",
-    "q167_semdedup",
-    "q173_source_divergence",
-    "q174_twap",
-    "q168_triangle_count",
-    "q175_triangle_estimate",
-    "q176_triangle_estimate_error",
-    "q52_minhash_signatures",
-    "q53_lsh_candidate_pairs",
-    "q177_lsh_incremental_parity",
-    "q54_ngram_jaccard",
-    "q56_embedding_near_dup",
-    "q57_neardup_components",
-    "q58_simhash_pairs",
-    "q59_dedup_keep_one",
-    "q146_minhash_jaccard_estimate",
-    "q147_neardup_cluster_stats",
-    "q150_split_leakage_check",
-    "q153_cluster_safe_split",
-    "q154_cross_source_dup_matrix",
-    "q155_dedup_threshold_sweep",
-    "q160_idf_weighted_jaccard",
-    "q79_lev_verify_pairs",
-    "q164_cap_telemetry",
-    # (a2) added in r6 session 2
-    "q178_score_auc",
-    "q179_k_anonymity",
-    "q180_chi2_independence",
-    "q181_feature_corr_matrix",
-    "q182_minhash_containment",
-    "q183_pq_adc_topk",
-    "q184_group_ols_trend",
-    "q185_touch_attribution",
-    "q186_ivfpq_search",
     # (b) r2-era official rows, judge order
-    "q30_topk_per_group",
-    "q31_rank_dense_ntile",
-    "q32_lag_lead",
-    "q33_window_frames",
-    "q60_cosine_topk",
-    "q61_ann_bucketed_topk",
-    "q62_embedding_stats",
-    "q63_ivf_topk",
-    "q64_ann_recall",
-    "q65_label_centroids",
-    "q70_lang_stats",
-    "q71_token_quality",
+    "q72_top_terms",
+    "q73_lang_id_heuristic",
+    "q74_source_lang_matrix",
+    "q75_bpe_token_estimate",
+    "q76_rolling_hash",
+    "q77_stopword_ratio",
+    "q84_json_scan",
+    "q85_csv_scan",
+    "q87_train_val_split",
+    "q88_orc_roundtrip",
+    "q89_cogroup_stats",
+    "q92_right_join",
+    "q93_posexplode",
+    "q94_skew_salted_join",
+    "q95_range_frame",
+    "q96_date_spine_coverage",
+    "q98_distribution_ranks",
+    "q99_value_windows",
+    # (c) oldest r3-era official rows, registration order
+    "q112_retention_cohorts",
+    "q114_scd2_history",
+    "q115_snapshot_diff",
+    "q116_dq_checks",
+    "q117_price_histogram",
+    "q118_rolling_dau",
+    "q119_ewma_smoothing",
+    "q120_ohlc_bars",
+    "q121_locf_gapfill",
+    "q122_transition_matrix",
+    "q123_value_outliers",
+    "q124_ab_ttest",
+    "q125_skew_diagnostics",
+    "q126_pagerank",
+    "q134_incremental_agg",
+    "q135_time_range_frame",
+    "q137_mutual_information",
+    "q138_ks_test",
+    "q136_asof_tolerance",
+    "q106_shared_passages",
+    "q107_zipf_fit",
+    "q108_mixture_weights",
 ]
 
 
