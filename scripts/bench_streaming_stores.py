@@ -1,0 +1,143 @@
+"""Off-headline benchmark: incremental-store merge/snapshot cost curves.
+
+Measures the numbers BASELINE.md records for the streaming column (r6
+judge task #6), isolated from the headline suite because the runs are
+multi-second stateful pipelines:
+
+1. IncrementalLshIndex per-merge wall across N equal document batches —
+   the cost curve whose SHAPE the r7 partition-local rewrite changed:
+   per-merge I/O now tracks touched-shard state, not whole-corpus state.
+2. The tail-merge probe: ONE extra document merged into the full
+   accumulated state, with n_state_buckets=64 (partition-local: touches
+   ≤ 3 of 64 shards) vs n_state_buckets=1 (every merge rewrites the
+   whole store — the pre-r7 layout's cost model, reproduced exactly by
+   collapsing the partitioning). Both WALL and REWRITTEN BYTES are
+   recorded: at toy state sizes the fixed per-partition overhead can win
+   on wall, but rewritten bytes is the quantity that scales with the
+   corpus — the bytes ratio IS the fix, as a number.
+3. CorpusIngestPipeline end-to-end: per-batch composed-merge wall and
+   the final all-stores snapshot read (the q189 read path).
+
+Usage: python scripts/bench_streaming_stores.py [sf_dir] [n_batches]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _snapshot_files(root: str) -> dict:
+    """relpath -> (size, mtime_ns) for every data file under root."""
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _rewritten_bytes(root: str, before: dict) -> int:
+    """Bytes of data files the merge created or replaced."""
+    after = _snapshot_files(root)
+    return sum(s for rel, (s, m) in after.items() if before.get(rel) != (s, m))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    from pyspark.sql import functions as F
+
+    from stream_cdc_gps_spark.operators.common import t
+    from stream_cdc_gps_spark.session import get_spark
+    from stream_cdc_gps_spark.streaming.corpus_ingest import CorpusIngestPipeline
+    from stream_cdc_gps_spark.streaming.dedup_index import IncrementalLshIndex
+
+    spark = get_spark(app_name="bench_streaming_stores")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    ).localCheckpoint()
+    n_docs = d.count()
+    out: dict = {"sf_dir": sf_dir, "n_docs": n_docs, "n_batches": n_batches}
+
+    # 1. LSH per-merge curve over N equal hash-sliced batches
+    base = tempfile.mkdtemp(prefix="lshb_")
+    try:
+        idx = IncrementalLshIndex(spark, base)
+        merges = []
+        for b in range(n_batches):
+            t0 = time.perf_counter()
+            idx.merge(d.filter(F.col("doc_id") % n_batches == b).select("doc_id", "text"), b)
+            merges.append(round(time.perf_counter() - t0, 2))
+        t0 = time.perf_counter()
+        n_pairs = idx.pairs().count()
+        out["lsh_merge_sec_per_batch"] = merges
+        out["lsh_pairs_snapshot_sec"] = round(time.perf_counter() - t0, 2)
+        out["lsh_pairs"] = n_pairs
+
+        # 2. tail merge: one extra doc vs the full state, both layouts
+        one = d.orderBy("doc_id").limit(1).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        ).localCheckpoint()
+        before = _snapshot_files(base)
+        t0 = time.perf_counter()
+        idx.merge(one, n_batches)
+        out["lsh_tail_merge_sec_n64"] = round(time.perf_counter() - t0, 2)
+        out["lsh_tail_rewritten_bytes_n64"] = _rewritten_bytes(base, before)
+        out["lsh_state_bytes"] = sum(s for s, _ in _snapshot_files(base).values())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    base = tempfile.mkdtemp(prefix="lsh1_")
+    try:
+        idx1 = IncrementalLshIndex(spark, base, n_state_buckets=1)
+        for b in range(n_batches):
+            idx1.merge(d.filter(F.col("doc_id") % n_batches == b).select("doc_id", "text"), b)
+        one = d.orderBy("doc_id").limit(1).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        ).localCheckpoint()
+        before = _snapshot_files(base)
+        t0 = time.perf_counter()
+        idx1.merge(one, n_batches)
+        out["lsh_tail_merge_sec_n1"] = round(time.perf_counter() - t0, 2)
+        out["lsh_tail_rewritten_bytes_n1"] = _rewritten_bytes(base, before)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    # 3. composed ingest: per-batch merge + full snapshot read
+    base = tempfile.mkdtemp(prefix="ingest_")
+    try:
+        pipe = CorpusIngestPipeline(spark, base)
+        merges = []
+        for b in range(n_batches):
+            t0 = time.perf_counter()
+            pipe.merge(d.filter(F.col("doc_id") % n_batches == b), b)
+            merges.append(round(time.perf_counter() - t0, 2))
+        out["ingest_merge_sec_per_batch"] = merges
+        t0 = time.perf_counter()
+        pipe.lsh.pairs().count()
+        pipe.cms.counters().count()
+        pipe.hll.estimate()
+        pipe.rollup.snapshot().count()
+        out["ingest_snapshot_all_stores_sec"] = round(time.perf_counter() - t0, 2)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
