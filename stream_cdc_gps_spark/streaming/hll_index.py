@@ -82,5 +82,8 @@ class IncrementalHllCounter:
     def compact(self) -> None:
         """Fold all live partials into the next base generation; the merged
         estimate is invariant (register max is associative/idempotent,
-        n_rows sum is associative); pointer-swap commit via the store."""
+        n_rows sum is associative); pointer-swap commit via the store.
+        No-op before any batch lands."""
+        if self.store.rows() is None:
+            return
         self.store.compact(self.merged_sketch())

@@ -90,5 +90,7 @@ class IncrementalRollup:
     def compact(self) -> None:
         """Fold all live partials into the next base generation; the merged
         snapshot is invariant (count/sum/min/max merges are associative);
-        pointer-swap commit via the store."""
+        pointer-swap commit via the store. No-op before any batch lands."""
+        if self.store.rows() is None:
+            return
         self.store.compact(self._merged())

@@ -413,3 +413,71 @@ def test_chi2_survives_terms_past_int64_nano_units(spark):
             chi2 += (o - e) ** 2 / e
     assert chi2 > 9.2e9  # the statistic itself is past the old int64 cliff
     assert abs(got["chi2"] - chi2) / chi2 < 1e-4
+
+
+# The hardened partial store (streaming/partial_store.py) under GENERATED
+# op sequences: batches, replays of the last delivered batch (the crash
+# re-delivery Structured Streaming actually performs), and compactions, in
+# every interleaving — including the r6-advice killer, replay of a batch
+# that compaction already folded. The snapshot must always equal the
+# aggregate of each batch counted exactly once.
+_store_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("batch"),
+            st.lists(st.integers(min_value=0, max_value=5), max_size=4),
+        ),
+        st.tuples(st.just("replay"), st.none()),
+        st.tuples(st.just("compact"), st.none()),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=_store_ops)
+@settings(max_examples=5, deadline=None)
+def test_rollup_store_exactly_once_under_generated_op_sequences(spark, ops):
+    """snapshot == batch-golden after any interleaving of merge / replay /
+    compact, empty batches included."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.rollup_index import IncrementalRollup
+
+    base = tempfile.mkdtemp(prefix="rollup_prop_")
+    schema = "k string, v double"
+    try:
+        ru = IncrementalRollup(spark, base, "k", "v")
+        landed: list[tuple[str, float]] = []
+        last: tuple[int, list[tuple[str, float]]] | None = None
+        bid = 0
+        for op, payload in ops:
+            if op == "batch":
+                rows = [("a" if x % 2 == 0 else "b", float(x)) for x in payload]
+                ru.merge(spark.createDataFrame(rows, schema), bid)
+                landed += rows
+                last = (bid, rows)
+                bid += 1
+            elif op == "replay" and last is not None:
+                b, rows = last
+                ru.merge(spark.createDataFrame(rows, schema), b)
+            elif op == "compact":
+                ru.compact()
+        if not landed:
+            return
+        got = {
+            (r["k"], r["n_rows"], r["total"], r["min_value"], r["max_value"])
+            for r in ru.snapshot().collect()
+        }
+        exp: dict[str, list] = {}
+        for k, v in landed:
+            e = exp.setdefault(k, [0, 0.0, None, None])
+            e[0] += 1
+            e[1] += v
+            e[2] = v if e[2] is None else min(e[2], v)
+            e[3] = v if e[3] is None else max(e[3], v)
+        expect = {(k, e[0], e[1], e[2], e[3]) for k, e in exp.items()}
+        assert got == expect
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
