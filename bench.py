@@ -97,6 +97,7 @@ SPOTLIGHT = [
     "q180_chi2_independence",
     "q187_ivfpq_trained_search",
     "q188_ivfpq_trained_recall",
+    "q190_ivfpq_incremental_index",
 ]
 
 HEADLINE = PERMANENT + SPOTLIGHT

@@ -1843,7 +1843,22 @@ def _ivfadc_search(
     cells + LUT maps) is |query set|·nprobe rows broadcast; the candidate
     meet is an EQUI join on cell id; per-pair ADC cost is {_PQ_M} map
     lookups + 3 adds; ONE query-keyed top-k window after."""
-    base = e.select(
+    base = _ivfadc_encode(e, cents, cbs)
+    qv = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    return _ivfadc_query(base, qv, cents, cbs, nprobe)
+
+
+def _ivfadc_encode(
+    e: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    cbs: dict[int, list[tuple[int, list[float]]]],
+) -> DataFrame:
+    """The IVFADC base-side encode: (vec_id, cell, code0..M-1) in ONE
+    map-only projection over literal codebooks (q63's cell argmin + q159's
+    per-subspace code argmin). STATELESS per vector — the property that
+    lets the serving index ingest new vectors incrementally with frozen
+    codebooks (streaming/vector_index.py), exactly FAISS add()."""
+    return e.select(
         "vec_id",
         _nearest_code_packed(F.col("emb"), cents)["code"].alias("cell"),
         *[
@@ -1853,7 +1868,19 @@ def _ivfadc_search(
             for m in range(_PQ_M)
         ],
     )
-    qv = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+
+
+def _ivfadc_query(
+    base: DataFrame,
+    qv: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    cbs: dict[int, list[tuple[int, list[float]]]],
+    nprobe: int = _IVFPQ_NPROBE,
+) -> DataFrame:
+    """The IVFADC query side over ANY encoded base frame — from a live
+    encode projection (q187) or read back from the incremental index's
+    store (q190): broadcast top-nprobe probes + LUT maps, equi join on
+    cell id, fixed-order ADC fold, per-query top-3."""
     probes = qv.select(
         F.col("vec_id").alias("query_id"),
         F.explode(
@@ -1976,15 +2003,18 @@ cb0 AS (
 {_pq_iter_sql("pcb1", "pa2", "pcb2")}"""
 
 
-@query(
-    "q187_ivfpq_trained_search",
-    oracle=f"""
+# Shared by q187 (live encode) and q190 (encode read back from the
+# incremental index's store): the search semantics are identical because
+# the encode is stateless per vector — that parity IS q190's claim.
+_TRAINED_IVFADC_ORACLE = f"""
 WITH e AS ({EMB_D}),
 {_IVFADC_SHARED_CTES},
 {_ivfadc_sql("tr_", "tc2", "pcb2")}
 SELECT query_id, candidate_id, adc_l2 FROM tr_top
-""",
-)
+"""
+
+
+@query("q187_ivfpq_trained_search", oracle=_TRAINED_IVFADC_ORACLE)
 def q187_ivfpq_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC over FULLY TRAINED codebooks — q186's inverted-file + ADC
     search composed with q161's Lloyd-trained coarse cells AND q162's
@@ -2100,3 +2130,43 @@ def q188_ivfpq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("h2") / F.count(F.lit(1)), 4).alias("recall_trained"),
         )
     )
+
+
+@query("q190_ivfpq_incremental_index", oracle=_TRAINED_IVFADC_ORACLE)
+def q190_ivfpq_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VECTOR-INDEX PARITY (the q177 pattern for the ANN
+    column): build the trained-IVFADC base table by replaying the
+    embedding corpus through streaming/vector_index.IncrementalVectorIndex
+    in a 2-slice interleaved split — codebooks trained once then FROZEN,
+    each merge a stateless map-only encode appended as its batch's
+    partition (FAISS add()) — then run the IDENTICAL search (_ivfadc_query)
+    against the STORE instead of a live encode. The oracle is q187's OWN
+    SQL: "incrementally ingested index == all-at-once encode" is itself
+    the driver-checked claim.
+
+    Scale: per-batch work is ONE map-only projection and ONE partition
+    write — no state read, no shuffle; the search reads the store exactly
+    as q187's plan reads its encode projection (equi join on cell id).
+    The streaming-store mechanics (replay idempotency, pointer-committed
+    compaction) are the pytest-proven partial_store contract."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.vector_index import IncrementalVectorIndex
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cents = _lloyd_train_ivf(e)
+    cbs = _lloyd_train_pq(e)
+    base = tempfile.mkdtemp(prefix="vec_idx_")
+    try:
+        idx = IncrementalVectorIndex(spark, base, cents, cbs)
+        idx.merge(e.filter(F.col("vec_id") % 2 == 0), 0)
+        idx.merge(e.filter(F.col("vec_id") % 2 == 1), 1)
+        qv = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+        out = _ivfadc_query(idx.base_table(), qv, cents, cbs)
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1393,6 +1393,49 @@ def test_incremental_hll_skips_empty_batches(spark, tmp_path):
     assert (est, n_rows) == (2, 2)
 
 
+def test_incremental_vector_index_matches_batch_encode(spark, tmp_path):
+    """FAISS-add semantics: vectors ingested in batches with FROZEN
+    codebooks land exactly the all-at-once batch encode (the encode is
+    stateless per vector); replay is a no-op and compaction preserves the
+    base table while folding the batch partitions."""
+    from stream_cdc_gps_spark.operators.similarity import _ivfadc_encode
+    from stream_cdc_gps_spark.streaming.vector_index import IncrementalVectorIndex
+
+    dim, sub = 64, 16
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(dim)]) for i in range(12)
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, emb array<double>")
+    cents = [(cid, v) for cid, v in vecs[:2]]
+    cbs = {
+        m: [(cid, v[m * sub : (m + 1) * sub]) for cid, v in vecs[:3]]
+        for m in range(4)
+    }
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    golden = rows(_ivfadc_encode(e, cents, cbs))
+
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "vix"), cents, cbs)
+    idx.merge(e.filter(F.col("vec_id") % 2 == 0), 0)
+    idx.merge(e.filter(F.col("vec_id") % 2 == 1), 1)
+    assert rows(idx.base_table().select("vec_id", "cell", "code0", "code1", "code2", "code3")) == golden
+    assert idx.n_partials() == 2
+
+    # replay of a delivered batch is absorbed by the partition overwrite
+    idx.merge(e.filter(F.col("vec_id") % 2 == 1), 1)
+    assert rows(idx.base_table().select("vec_id", "cell", "code0", "code1", "code2", "code3")) == golden
+
+    # compaction folds partitions, base table invariant; replay of a
+    # folded batch is refused by the watermark instead of double-landing
+    idx.compact()
+    assert idx.n_partials() == 1
+    assert rows(idx.base_table().select("vec_id", "cell", "code0", "code1", "code2", "code3")) == golden
+    idx.merge(e.filter(F.col("vec_id") % 2 == 1), 1)
+    assert rows(idx.base_table().select("vec_id", "cell", "code0", "code1", "code2", "code3")) == golden
+
+
 def test_corpus_ingest_composition_matches_batch(spark, tmp_path):
     """The composed ingest handler: ONE two-batch document stream drives
     the quality gate plus all four incremental indexes, and every store
