@@ -98,6 +98,8 @@ SPOTLIGHT = [
     "q187_ivfpq_trained_search",
     "q188_ivfpq_trained_recall",
     "q190_ivfpq_incremental_index",
+    "q191_truncated_dim_recall",
+    "q192_mixture_materialize",
 ]
 
 HEADLINE = PERMANENT + SPOTLIGHT

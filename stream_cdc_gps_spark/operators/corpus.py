@@ -687,3 +687,99 @@ def q189_corpus_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q192_mixture_materialize",
+    oracle="""
+WITH src AS (
+    SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT sum(sqrt(CAST(tokens AS DOUBLE))) AS twt,
+           CAST(floor(sum(tokens) / 2.0e0) AS BIGINT) AS budget
+    FROM src
+),
+rates AS (
+    SELECT source, tokens,
+           CAST(least(10000, floor(sqrt(CAST(tokens AS DOUBLE)) / t.twt
+                                   * t.budget / tokens * 10000 + 0.5e0))
+                AS BIGINT) AS rate_bp
+    FROM src CROSS JOIN tot t
+),
+kept AS (
+    SELECT d.source, CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS kept_tokens
+    FROM documents d JOIN rates r ON r.source = d.source
+    WHERE ('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+              % 10000 < r.rate_bp
+    GROUP BY d.source
+)
+SELECT r.source, r.tokens, r.rate_bp,
+       CAST(coalesce(k.kept_docs, 0) AS BIGINT)   AS kept_docs,
+       CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON k.source = r.source
+""",
+)
+def q192_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE MATERIALIZATION: q108's temperature weights (alpha = 0.5)
+    turned into an actual sampled corpus against a 50%-of-corpus token
+    budget — each source's per-10000 keep rate is its weighted share of
+    the budget over its own token mass (clamped at 10000: a low-resource
+    source whose budget exceeds its size is kept whole, the up-sampling
+    clamp reported as data), and membership is the deterministic
+    hash-threshold predicate (md5('mix|'||doc_id) mod 10000 < rate — the
+    q67 idiom, namespaced so sampling stays independent of splits and
+    strata). Reports per source: token mass, assigned rate, kept docs and
+    kept tokens — the manifest a pretraining run materializes from.
+
+    Plan: rates come from ONE O(sources) aggregate (+ a 1-row total
+    broadcast); the corpus pass is map-only membership against the
+    BROADCAST rate table, then one source-keyed partial-agg count. Rates
+    quantize to integer basis points BEFORE the predicate, so membership
+    is integer-exact cross-engine at any scale."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    src = d.groupBy("source").agg(F.sum(n_tok).cast("bigint").alias("tokens"))
+    w_all = Window.partitionBy()
+    wt = F.sqrt(F.col("tokens").cast("double"))
+    total_wt = F.sum(wt).over(w_all)
+    budget = F.floor(F.sum("tokens").over(w_all) / F.lit(2.0e0))
+    rates = src.select(
+        "source",
+        "tokens",
+        F.least(
+            F.lit(10000),
+            F.floor(
+                wt / total_wt * budget / F.col("tokens") * 10000 + F.lit(0.5e0)
+            ),
+        ).cast("bigint").alias("rate_bp"),
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    kept = (
+        d.select("source", "doc_id", n_tok.alias("n_tok"), b.alias("b"))
+        .join(F.broadcast(rates.select("source", "rate_bp")), "source")
+        .filter(F.col("b") < F.col("rate_bp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+            F.sum("n_tok").cast("bigint").alias("kept_tokens"),
+        )
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "tokens",
+        "rate_bp",
+        F.coalesce("kept_docs", F.lit(0)).cast("bigint").alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+    )

@@ -2170,3 +2170,97 @@ def q190_ivfpq_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_TRUNC_DIMS = (16, 32)
+
+
+def _trunc_top_sql(name: str, d: int | None) -> str:
+    """Per-query cosine top-3 CTE over the first ``d`` dims (full vector
+    when None) — the same sequential fold + (rounded desc, id) tie order
+    as every ANN oracle here."""
+    cos = _sql_cosine(f"(q.emb[1:{d}])", f"(c.emb[1:{d}])") if d else _COS
+    return f"""{name} AS (
+    SELECT query_id, candidate_id FROM (
+        SELECT q.query_id, c.vec_id AS candidate_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY round({cos}, 6) DESC, c.vec_id) AS rn
+        FROM q JOIN e c ON c.vec_id != q.query_id
+    ) WHERE rn <= 3
+)"""
+
+
+@query(
+    "q191_truncated_dim_recall",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id >= 100 AND vec_id < 120),
+{_trunc_top_sql("exact", None)},
+{_trunc_top_sql("t16", 16)},
+{_trunc_top_sql("t32", 32)}
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.candidate_id) AS BIGINT) AS hit_d16,
+       CAST(count(b.candidate_id) AS BIGINT) AS hit_d32,
+       round(count(a.candidate_id) * 1.0 / count(*), 4) AS recall_d16,
+       round(count(b.candidate_id) * 1.0 / count(*), 4) AS recall_d32
+FROM exact x
+LEFT JOIN t16 a ON a.query_id = x.query_id AND a.candidate_id = x.candidate_id
+LEFT JOIN t32 b ON b.query_id = x.query_id AND b.candidate_id = x.candidate_id
+GROUP BY x.query_id
+""",
+)
+def q191_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-DIMENSION ABLATION (the Matryoshka/MRL serving eval):
+    recall@3 of cosine search over the FIRST {_TRUNC_DIMS} dims against
+    the full-64-dim exact top-3 — the number that decides whether a
+    pipeline can store/serve truncated embeddings (4×/2× cheaper vectors)
+    without losing retrieval quality, evaluated per query like q165/q188.
+
+    Plan: all three searches are the audited q60 shape — the 20-row query
+    set broadcast against the candidate side, scored by per-row array
+    folds over SLICES of the same column (zero extra scans: one pass
+    computes each truncation), one query-keyed top-k window each; hit
+    accounting is two broadcast left joins. At 100 TB this eval runs on
+    a sample exactly as written; the slice-to-truncate move is what a
+    matryoshka-served index does at write time."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    qx = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored_base = e.crossJoin(F.broadcast(qx)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "candidate_id")
+
+    def topd(d: int | None) -> DataFrame:
+        a = F.slice("q_emb", 1, d) if d else F.col("q_emb")
+        b = F.slice("emb", 1, d) if d else F.col("emb")
+        return (
+            scored_base.select(
+                "query_id",
+                F.col("vec_id").alias("candidate_id"),
+                F.round(cosine(a, b), 6).alias("cos_sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "candidate_id")
+        )
+
+    exact = topd(None)
+    h16 = topd(_TRUNC_DIMS[0]).withColumn("h16", F.lit(1))
+    h32 = topd(_TRUNC_DIMS[1]).withColumn("h32", F.lit(1))
+    return (
+        exact.join(h16, ["query_id", "candidate_id"], "left")
+        .join(h32, ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("h16").cast("bigint").alias("hit_d16"),
+            F.count("h32").cast("bigint").alias("hit_d32"),
+            F.round(F.count("h16") / F.count(F.lit(1)), 4).alias("recall_d16"),
+            F.round(F.count("h32") / F.count(F.lit(1)), 4).alias("recall_d32"),
+        )
+    )

@@ -80,12 +80,13 @@ DRIVER_WINDOW = 50
 #     staleness edge (their docstrings' bare word "queries" reached
 #     registry.queries -> _PRIORITY, poisoning them every round the
 #     priority list moves — the reword is itself a symbol change, so they
-#     ride the window once more and the edge is gone for good), and q190
-#     (incremental vector index, FAISS-add parity vs q187's own oracle);
+#     ride the window once more and the edge is gone for good), q190
+#     (incremental vector index, FAISS-add parity vs q187's own oracle),
+#     q191 (truncated-dim recall) and q192 (mixture materialization);
 # (b) the 18 remaining r2-era official rows (judge list: q72-q77, q84,
 #     q85, q87-q89, q92-q96, q98, q99) — after this round no query's
 #     newest official row predates r3;
-# (c) the 21 oldest r3-era rows in registration order (the rest of the
+# (c) the 19 oldest r3-era rows in registration order (the rest of the
 #     42-row r3 cohort rotates in r8). All rows outside the window remain
 #     covered by this round's clean-tree full-sim certificates at both
 #     scale factors.
@@ -97,6 +98,8 @@ _PRIORITY: list[str] = [
     "q188_ivfpq_trained_recall",
     "q189_corpus_ingest_parity",
     "q190_ivfpq_incremental_index",
+    "q191_truncated_dim_recall",
+    "q192_mixture_materialize",
     "q183_pq_adc_topk",
     "q165_ivf_training_recall",
     "q166_lloyd_inertia",
@@ -139,8 +142,6 @@ _PRIORITY: list[str] = [
     "q137_mutual_information",
     "q138_ks_test",
     "q136_asof_tolerance",
-    "q106_shared_passages",
-    "q107_zipf_fit",
 ]
 
 

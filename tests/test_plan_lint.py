@@ -66,6 +66,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q180_chi2_independence",  # broadcast 1-row N/dof into the tiny grid
         "q183_pq_adc_topk",      # broadcast 20-query LUT side (q60's move)
         "q188_ivfpq_trained_recall",  # broadcast 20-query exact-L2 baseline
+        "q191_truncated_dim_recall",  # broadcast 20-query sample, 3 slices
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
