@@ -1436,6 +1436,64 @@ def test_incremental_vector_index_matches_batch_encode(spark, tmp_path):
     assert rows(idx.base_table().select("vec_id", "cell", "code0", "code1", "code2", "code3")) == golden
 
 
+def test_incremental_vector_index_streaming_end_to_end(spark, tmp_path):
+    """Streaming form of q190: embedding vectors fed as two real
+    micro-batches through foreachBatch(IncrementalVectorIndex.merge)
+    under availableNow land exactly the all-at-once batch encode, and a
+    full replay from a fresh checkpoint is a no-op (batch-id partition
+    overwrite)."""
+    from stream_cdc_gps_spark.operators.similarity import _ivfadc_encode
+    from stream_cdc_gps_spark.streaming.vector_index import IncrementalVectorIndex
+
+    dim, sub = 64, 16
+    vecs = [
+        (i, [float((i * 5 + j * 7) % 13) for j in range(dim)]) for i in range(10)
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    for b in range(2):
+        (src / f"b{b}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "emb": v}) for i, v in vecs if i % 2 == b
+            )
+        )
+    cents = [(cid, v) for cid, v in vecs[:2]]
+    cbs = {
+        m: [(cid, v[m * sub : (m + 1) * sub]) for cid, v in vecs[:3]]
+        for m in range(4)
+    }
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "vix"), cents, cbs)
+    schema = "vec_id long, emb array<double>"
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", "1")  # two real micro-batches
+            .format("text")
+            .load(str(src))
+            .select(F.from_json("value", schema).alias("m"))
+            .select("m.*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(idx.merge)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    golden = sorted(
+        map(tuple, _ivfadc_encode(spark.createDataFrame(vecs, schema), cents, cbs).collect())
+    )
+    cols = ["vec_id", "cell", "code0", "code1", "code2", "code3"]
+    assert sorted(map(tuple, idx.base_table().select(*cols).collect())) == golden
+
+    # worst-case restart: fresh checkpoint replays every micro-batch
+    run("ck2")
+    assert sorted(map(tuple, idx.base_table().select(*cols).collect())) == golden
+
+
 def test_corpus_ingest_composition_matches_batch(spark, tmp_path):
     """The composed ingest handler: ONE two-batch document stream drives
     the quality gate plus all four incremental indexes, and every store
