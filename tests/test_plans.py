@@ -519,3 +519,56 @@ def test_q186_ivfpq_cell_join_is_broadcast_hash(spark):
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q187_trained_ivfadc_cell_join_is_broadcast_hash(spark):
+    """q186's contract must survive the trained-codebook composition: the
+    candidate meet stays an EQUI join on cell id with the broadcast probe
+    side — training changes the literals, never the plan."""
+    df = Q["q187_ivfpq_trained_search"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q190_store_search_plan_matches_live_encode(spark, tmp_path):
+    """Searching the incremental index's STORE keeps the same contract as
+    searching a live encode: equi cell join, broadcast probes, and the
+    base side arriving from a parquet scan (the store), not a recompute.
+    Asserted on the search frame itself — the registered query returns a
+    localCheckpoint (its state dir is temporary), which hides the plan."""
+    from pyspark.sql import functions as F
+
+    from stream_cdc_gps_spark.operators.similarity import _ivfadc_query
+    from stream_cdc_gps_spark.streaming.vector_index import IncrementalVectorIndex
+
+    dim, sub = 64, 16
+    vecs = [
+        (i, [float((i * 3 + j) % 9) for j in range(dim)]) for i in range(8)
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, emb array<double>")
+    cents = [(cid, v) for cid, v in vecs[:2]]
+    cbs = {
+        m: [(cid, v[m * sub : (m + 1) * sub]) for cid, v in vecs[:3]]
+        for m in range(4)
+    }
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "vix"), cents, cbs)
+    idx.merge(e, 0)
+    qv = e.filter(F.col("vec_id") < 2)
+    p = plan_string(_ivfadc_query(idx.base_table(), qv, cents, cbs))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Scan parquet" in p  # the base side IS the store, not a recompute
+
+
+def test_q192_mixture_rates_broadcast_corpus_map_only(spark):
+    """The rate table must broadcast onto the corpus pass (equi join on
+    source, no corpus-side shuffle before membership) and the whole query
+    carries exactly three exchanges: the O(sources) token aggregate, the
+    kept-side partial agg, and the final rates⋈kept combine."""
+    df = Q["q192_mixture_materialize"](spark, SF_SMOKE)
+    p = plan_string(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
