@@ -100,6 +100,7 @@ SPOTLIGHT = [
     "q190_ivfpq_incremental_index",
     "q191_truncated_dim_recall",
     "q192_mixture_materialize",
+    "q193_incremental_join_view",
 ]
 
 HEADLINE = PERMANENT + SPOTLIGHT

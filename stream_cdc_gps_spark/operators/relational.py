@@ -1489,3 +1489,65 @@ def q131_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_customers")
         ).alias("merged_within_5pct"),
     )
+
+
+@query(
+    "q193_incremental_join_view",
+    oracle="""
+SELECT o.o_orderkey AS order_key,
+       o.o_custkey  AS cust_key,
+       c.c_name     AS cust_name,
+       o.o_totalprice AS total_price
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def q193_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL JOIN-VIEW PARITY (the q177/q190 pattern for the join
+    family): maintain the materialized view orders ⋈ customer through
+    streaming/join_view.IncrementalJoinView — per batch only the DELTA
+    joins run (ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, every term an equi join on
+    the key) — over a 2-slice interleaved split of BOTH inputs, then the
+    view snapshot. The oracle is the plain all-at-once batch join:
+    "delta-maintained view == recompute" is itself the driver-checked
+    claim, covering the cross-batch terms (even-batch orders matching
+    odd-batch customers and vice versa).
+
+    Scale: per-trigger work is O(|Δ| × matched state) via key-equi joins
+    against batch-partitioned stores — never history×history; at 100 TB
+    the alternative (recomputing the join each trigger) is O(|A|×|B|).
+    Replay healing of torn three-store writes is pytest-pinned in
+    tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import IncrementalJoinView
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("cust_name"),
+    )
+    base = tempfile.mkdtemp(prefix="join_view_")
+    try:
+        view = IncrementalJoinView(spark, base, "cust_key")
+        view.merge(
+            o.filter(F.col("order_key") % 2 == 0),
+            c.filter(F.col("cust_key") % 2 == 0),
+            0,
+        )
+        view.merge(
+            o.filter(F.col("order_key") % 2 == 1),
+            c.filter(F.col("cust_key") % 2 == 1),
+            1,
+        )
+        out = view.snapshot().select(
+            "order_key", "cust_key", "cust_name", "total_price"
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

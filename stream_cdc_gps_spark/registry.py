@@ -82,11 +82,12 @@ DRIVER_WINDOW = 50
 #     priority list moves — the reword is itself a symbol change, so they
 #     ride the window once more and the edge is gone for good), q190
 #     (incremental vector index, FAISS-add parity vs q187's own oracle),
-#     q191 (truncated-dim recall) and q192 (mixture materialization);
+#     q191 (truncated-dim recall), q192 (mixture materialization) and
+#     q193 (incremental join view, delta-join parity vs the plain join);
 # (b) the 18 remaining r2-era official rows (judge list: q72-q77, q84,
 #     q85, q87-q89, q92-q96, q98, q99) — after this round no query's
 #     newest official row predates r3;
-# (c) the 19 oldest r3-era rows in registration order (the rest of the
+# (c) the 18 oldest r3-era rows in registration order (the rest of the
 #     42-row r3 cohort rotates in r8). All rows outside the window remain
 #     covered by this round's clean-tree full-sim certificates at both
 #     scale factors.
@@ -100,6 +101,7 @@ _PRIORITY: list[str] = [
     "q190_ivfpq_incremental_index",
     "q191_truncated_dim_recall",
     "q192_mixture_materialize",
+    "q193_incremental_join_view",
     "q183_pq_adc_topk",
     "q165_ivf_training_recall",
     "q166_lloyd_inertia",
@@ -141,7 +143,6 @@ _PRIORITY: list[str] = [
     "q135_time_range_frame",
     "q137_mutual_information",
     "q138_ks_test",
-    "q136_asof_tolerance",
 ]
 
 

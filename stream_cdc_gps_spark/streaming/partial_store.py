@@ -141,6 +141,31 @@ class BatchPartialStore:
             return base
         return base.unionByName(live)
 
+    def rows_before(self, batch_id: int) -> DataFrame | None:
+        """State strictly OLDER than ``batch_id``: the compacted base
+        (every folded batch is older — ``land`` refuses ids at or below
+        the watermark, so a live ``batch_id`` always exceeds it) plus
+        live partials with a smaller id. This is the read an incremental
+        JOIN VIEW's delta computation needs: a REPLAYED batch recomputes
+        its delta against exactly the state that preceded it — its own
+        previous (possibly partial) landing is excluded by construction,
+        which is what makes the three-store delta-join merge
+        replay-idempotent without cross-store transactions."""
+        meta = self._meta()
+        base = (
+            _read_parquet_or_none(self.spark, self._base_path(meta["base_gen"]))
+            if meta["base_gen"] is not None
+            else None
+        )
+        live = self._live_partials()
+        if live is not None:
+            live = live.filter(F.col("batch_id") < int(batch_id)).drop("batch_id")
+        if base is None:
+            return live
+        if live is None:
+            return base
+        return base.unionByName(live)
+
     def n_partials(self) -> int:
         """Live partial partitions + the compacted base (if any) — the
         number of pieces a snapshot read merges."""

@@ -1494,6 +1494,68 @@ def test_incremental_vector_index_streaming_end_to_end(spark, tmp_path):
     assert sorted(map(tuple, idx.base_table().select(*cols).collect())) == golden
 
 
+def test_incremental_join_view_matches_batch_and_heals_torn_writes(spark, tmp_path):
+    """Delta-join view maintenance: lock-step insert-only batches on both
+    sides land exactly the all-at-once batch join (cross-batch match terms
+    included); a torn three-store write (delta partition lost after the
+    inputs landed — the worst crash, state ahead of the view) is healed by
+    replaying the batch; compaction preserves the snapshot and folded
+    batches are refused on replay."""
+    import os
+    import shutil
+
+    from stream_cdc_gps_spark.streaming.join_view import IncrementalJoinView
+
+    a_schema = "k long, a_val string"
+    b_schema = "k long, b_name string"
+    # keys 1..4; batch split so key 2's A-row (batch 0) must meet key 2's
+    # B-row (batch 1) and vice versa for key 3 — the cross-batch terms
+    a0 = [(1, "a1"), (2, "a2")]
+    a1 = [(3, "a3"), (1, "a1x")]
+    b0 = [(1, "Alice"), (3, "Carol")]
+    b1 = [(2, "Bob"), (4, "Dave")]
+
+    A = spark.createDataFrame(a0 + a1, a_schema)
+    B = spark.createDataFrame(b0 + b1, b_schema)
+    golden = sorted(map(tuple, A.join(B, "k").collect()))
+    assert len(golden) == 4  # 1 matches twice, 2 and 3 once each, 4 never
+
+    view = IncrementalJoinView(spark, str(tmp_path / "jv"), "k")
+    view.merge(
+        spark.createDataFrame(a0, a_schema), spark.createDataFrame(b0, b_schema), 0
+    )
+    view.merge(
+        spark.createDataFrame(a1, a_schema), spark.createDataFrame(b1, b_schema), 1
+    )
+    assert sorted(map(tuple, view.snapshot().collect())) == golden
+
+    # torn write: batch 1's DELTA vanishes while its inputs survived —
+    # the replayed merge must recompute the delta against pre-1 state
+    shutil.rmtree(os.path.join(view.m_store.partials_path, "batch_id=1"))
+    assert sorted(map(tuple, view.snapshot().collect())) != golden
+    view.merge(
+        spark.createDataFrame(a1, a_schema), spark.createDataFrame(b1, b_schema), 1
+    )
+    assert sorted(map(tuple, view.snapshot().collect())) == golden
+
+    # compaction folds, snapshot invariant; folded-batch replay is refused
+    view.compact()
+    assert view.n_partials() == 1
+    assert sorted(map(tuple, view.snapshot().collect())) == golden
+    view.merge(
+        spark.createDataFrame(a1, a_schema), spark.createDataFrame(b1, b_schema), 1
+    )
+    assert sorted(map(tuple, view.snapshot().collect())) == golden
+
+    # and growth continues on the compacted base, with cross-term matches
+    view.merge(
+        spark.createDataFrame([(4, "a4")], a_schema),
+        spark.createDataFrame([], b_schema),
+        2,
+    )
+    assert len(view.snapshot().collect()) == len(golden) + 1  # 4 meets Dave
+
+
 def test_corpus_ingest_composition_matches_batch(spark, tmp_path):
     """The composed ingest handler: ONE two-batch document stream drives
     the quality gate plus all four incremental indexes, and every store
