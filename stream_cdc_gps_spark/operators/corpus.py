@@ -697,14 +697,17 @@ WITH src AS (
     FROM documents GROUP BY source
 ),
 tot AS (
-    SELECT sum(sqrt(CAST(tokens AS DOUBLE))) AS twt,
+    SELECT CAST(sum(CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(28,9)))
+                AS DOUBLE) AS twt,
            CAST(floor(sum(tokens) / 2.0e0) AS BIGINT) AS budget
     FROM src
 ),
 rates AS (
     SELECT source, tokens,
-           CAST(least(10000, floor(sqrt(CAST(tokens AS DOUBLE)) / t.twt
-                                   * t.budget / tokens * 10000 + 0.5e0))
+           CAST(least(10000, floor(
+                CAST(CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(28,9))
+                     AS DOUBLE)
+                / t.twt * t.budget / tokens * 10000 + 0.5e0))
                 AS BIGINT) AS rate_bp
     FROM src CROSS JOIN tot t
 ),
@@ -738,13 +741,19 @@ def q192_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast); the corpus pass is map-only membership against the
     BROADCAST rate table, then one source-keyed partial-agg count. Rates
     quantize to integer basis points BEFORE the predicate, so membership
-    is integer-exact cross-engine at any scale."""
+    is integer-exact cross-engine at any scale. The sqrt weights are
+    quantized to DECIMAL(28,9) per source BEFORE summing (the q174/q184
+    idiom): the per-row double->decimal cast is deterministic, the
+    decimal sum is combine-order-proof, so the total weight — and hence
+    every floor(x*10000+0.5) basis point downstream — cannot flip on an
+    ulp between partition orders or engines."""
     d = t(spark, sf_dir, "documents")
     n_tok = F.size(tokens(F.col("text")))
     src = d.groupBy("source").agg(F.sum(n_tok).cast("bigint").alias("tokens"))
     w_all = Window.partitionBy()
-    wt = F.sqrt(F.col("tokens").cast("double"))
-    total_wt = F.sum(wt).over(w_all)
+    wtq = F.sqrt(F.col("tokens").cast("double")).cast("decimal(28,9)")
+    wt = wtq.cast("double")
+    total_wt = F.sum(wtq).over(w_all).cast("double")
     budget = F.floor(F.sum("tokens").over(w_all) / F.lit(2.0e0))
     rates = src.select(
         "source",

@@ -76,12 +76,28 @@ class BatchPartialStore:
             return {"base_gen": None, "max_compacted": None}
 
     def _commit_meta(self, meta: dict) -> None:
-        """Atomic pointer swap: temp file + rename IS the commit."""
+        """Atomic pointer swap: temp file + rename IS the commit.
+
+        The tmp file is fsync'd before the rename, and the directory
+        after it: without the first, a power loss can make the rename
+        durable while the bytes are not, leaving a zero-length meta.json
+        that bricks the read path (_meta raises JSONDecodeError — loud by
+        design, never a silent reset); without the second, the rename
+        itself may not survive the crash (which is safe — the old pointer
+        still names a complete base). On object stores rename is not
+        atomic at all — see the module docstring's caveat."""
         os.makedirs(self.base_dir, exist_ok=True)
         tmp = f"{self.meta_path}.tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self.meta_path)
+        dfd = os.open(self.base_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def _base_path(self, gen: int) -> str:
         return f"{self.base_dir}/base/v{gen}"

@@ -565,10 +565,16 @@ def test_q190_store_search_plan_matches_live_encode(spark, tmp_path):
 
 def test_q192_mixture_rates_broadcast_corpus_map_only(spark):
     """The rate table must broadcast onto the corpus pass (equi join on
-    source, no corpus-side shuffle before membership) and the whole query
-    carries exactly three exchanges: the O(sources) token aggregate, the
-    kept-side partial agg, and the final rates⋈kept combine."""
+    source, no corpus-side shuffle before membership). Shuffle-exchange
+    budget: exactly FIVE — the rates subtree (source-keyed token aggregate
+    + the 1-row total window's SinglePartition exchange) is instantiated
+    twice in the initial plan (once feeding the output, once inside the
+    kept branch; AQE reuses it at runtime), plus the kept-side partial
+    agg. Every one of them moves O(sources) aggregated rows, never corpus
+    rows — a sixth exchange would mean the corpus itself started
+    shuffling."""
     df = Q["q192_mixture_materialize"](spark, SF_SMOKE)
     p = plan_string(df)
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+    assert exchange_count(df) == 5, p
