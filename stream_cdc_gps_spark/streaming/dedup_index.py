@@ -35,8 +35,22 @@ A retraction can empty a touched partition of collisions entirely, and
 dynamic overwrite only rewrites partitions PRESENT in the output — so
 every touched partition also lands one sentinel row (band = −1, filtered
 by ``pairs()``), guaranteeing the overwrite reaches it. Postings need no
-sentinel: they only grow, and every touched partition holds ≥1 new row
-by construction.
+sentinel: every touched partition retains ≥1 row by construction (a new
+live posting, or a tombstone where the batch hit a dead bucket).
+
+Dead buckets are TOMBSTONED (r7 judge task #1 — postings previously
+accumulated forever in capped buckets): when a merge pushes a bucket past
+``max_posting``, its posting rows are REPLACED by one tombstone row
+(``doc_id`` = −1) and later merges refuse to land postings for tombstoned
+buckets, so a pathological boilerplate band_key holds exactly ONE row of
+state forever instead of every colliding doc_id in the corpus. Bucket
+sizes are computed with ``count(*)`` BEFORE any ``collect_list``, and
+only buckets with 1 < count ≤ cap ever materialize a doc array — a
+hot bucket can no longer OOM the single task that aggregates it. The
+tombstone also heals torn writes: the collision anti-join targets
+newly-dead ∪ already-tombstoned buckets, so a crash between the postings
+write (tombstone landed) and the collisions write (edges not yet
+retracted) is repaired by any later merge touching the partition.
 
 Per-batch work at scale: batch signatures are map-only (q52's
 zero-shuffle array plan); the affected-bucket lookup is an equi semi join
@@ -68,6 +82,12 @@ from stream_cdc_gps_spark.streaming.pipeline import _read_parquet_or_none
 N_STATE_BUCKETS = 64
 
 _SENTINEL_BAND = -1
+
+# Posting-store tombstone: a bucket whose postings were replaced by one row
+# with this doc_id is DEAD (crossed max_posting) — it accepts no new postings
+# and never emits collisions again. Real doc_ids are non-negative, so −1 is
+# unreachable from data.
+_TOMBSTONE_DOC = -1
 
 
 def _pbucket(n: int) -> F.Column:
@@ -131,26 +151,70 @@ class IncrementalLshIndex:
             return
 
         old_post = _read_parquet_or_none(self.spark, self.postings_path)
+        tomb = F.col("doc_id") == _TOMBSTONE_DOC
         if old_post is not None:
             old_post = old_post.filter(F.col("pbucket").isin(touched))
-            postings = old_post.unionByName(nb).distinct()
+            # Tombstoned buckets refuse new postings: their state is the one
+            # tombstone row forever, whatever the batch tries to land.
+            # Checkpointed (it is O(touched dead buckets) rows) so the dead
+            # set and the carried-forward tombstones never read the store
+            # lazily while the store is being overwritten.
+            old_tombs = old_post.filter(tomb).localCheckpoint()
+            nb_live = nb.join(old_tombs, ["band", "band_key"], "left_anti")
+            postings = (
+                old_post.filter(~tomb).unionByName(nb_live).distinct()
+            )
         else:
+            old_tombs = nb.filter(F.lit(False))  # empty, same schema
+            nb_live = nb
             postings = nb
         postings = postings.localCheckpoint()
 
-        # Only buckets the batch touched can change state; everything else
-        # keeps its existing collisions untouched (and its files unrewritten).
-        affected = nb.select("band", "band_key").distinct()
-        buckets = (
+        # Only live-bucket rows the batch actually landed can change state;
+        # everything else keeps its existing collisions untouched (and its
+        # files unrewritten). Sizes come from count(*) FIRST — no doc array
+        # exists yet — so a capped bucket is discarded as a (key, count) row,
+        # never materialized as a collect_list in one task.
+        affected = nb_live.select("band", "band_key").distinct()
+        sizes = (
             postings.join(affected, ["band", "band_key"], "left_semi")
+            .groupBy("pbucket", "band", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ).localCheckpoint()
+        newly_dead = sizes.filter(F.col("n") > self.max_posting).select(
+            "pbucket", "band", "band_key"
+        )
+        alive = (
+            postings.join(
+                sizes.filter(
+                    (F.col("n") > 1) & (F.col("n") <= self.max_posting)
+                ).select("band", "band_key"),
+                ["band", "band_key"],
+                "left_semi",
+            )
             .groupBy("pbucket", "band", "band_key")
             .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         )
-        alive = buckets.filter(
-            (F.size("ids") > 1) & (F.size("ids") <= self.max_posting)
+        # Retraction targets: buckets that died THIS merge, plus buckets
+        # already tombstoned (re-retracting heals a crash that landed the
+        # tombstone but not the collision delete — idempotent otherwise).
+        dead = newly_dead.select("band", "band_key").unionByName(
+            old_tombs.select("band", "band_key")
         )
-        dead = buckets.filter(F.size("ids") > self.max_posting).select(
-            "band", "band_key"
+        # Replace each newly-dead bucket's postings with one tombstone row;
+        # carry existing tombstones forward (their partitions are rewritten).
+        tombstones = newly_dead.unionByName(
+            old_tombs.select("pbucket", "band", "band_key")
+        ).select(
+            "band",
+            "band_key",
+            F.lit(_TOMBSTONE_DOC).cast("bigint").alias("doc_id"),
+            "pbucket",
+        )
+        postings = (
+            postings.join(newly_dead, ["band", "band_key"], "left_anti")
+            .unionByName(tombstones.select(*postings.columns))
+            .distinct()
         )
         # Re-expanding the FULL doc list of each affected alive bucket (not
         # just old×new) keeps the merge replay-idempotent by construction:
