@@ -37,7 +37,8 @@ column the way q86 extended upsert.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from stream_cdc_gps_spark.streaming.partial_store import BatchPartialStore
 
@@ -89,3 +90,169 @@ class IncrementalJoinView:
         for store in (self.a_store, self.b_store, self.m_store):
             if store.rows() is not None:
                 store.compact(store.rows())
+
+
+class CdcJoinView:
+    """CDC-aware incremental materialized JOIN view: M = A ⋈ B where BOTH
+    inputs are Debezium-style changelogs (op ∈ {c, u, d}) instead of
+    insert-only streams — the reference's actual domain (cmd/main.go
+    consumes Debezium CDC; connector.json:4-17 configures the source).
+
+    The delta algebra is the weighted-relation (Z-set) form every IVM
+    system reduces to (DBSP / differential dataflow; the bilinear rule):
+    each side's micro-batch collapses to a ±1-weighted delta
+
+        Δ̂A_t = (+1 · new images) ∪ (−1 · displaced old images)
+
+    where "new image" is the batch's last op per primary key in ``seq``
+    order (a trailing d means no new image — delete wins), and "displaced
+    old image" is the pre-batch snapshot row of every pk the batch
+    touches. The view delta is then the same three-term rule as the
+    insert-only class, with weights MULTIPLYING through the joins:
+
+        ΔM_t = Δ̂A ⋈ B_{<t}  ∪  A_{<t} ⋈ Δ̂B  ∪  Δ̂A ⋈ Δ̂B
+
+    (state sides carry implicit weight +1), so an update that CHANGES the
+    join key retracts the old match (−1 · old image ⋈ its old partner)
+    and asserts the new one in a single merge, and a delete retracts
+    exactly its contribution. ``snapshot()`` sums weights per row and
+    keeps net-positive rows — equal to the plain batch join over the
+    CDC-upserted final tables (driver-checked by q194).
+
+    Input contract per side: columns (op string, seq bigint, pk, ...),
+    ``seq`` globally monotone per side (Debezium's LSN/offset), non-key
+    column names disjoint across sides, and both pks present in the
+    joined output so a view row's identity is determined by its columns.
+    Ops are upsert-lenient like q86: c and u both mean "image is now
+    this"; a u/c for an unseen pk inserts, a d for an unseen pk is a
+    no-op.
+
+    Storage and replay safety are inherited wholesale: the two input
+    changelogs and the weighted view deltas live in three
+    ``BatchPartialStore``s; every merge reads state via ``rows_before(t)``
+    (never its own partition) so a replayed batch recomputes the same
+    ±1-weighted delta and overwrites the same three t-partitions — torn
+    writes heal exactly as the insert-only class's pytest pins. Per-batch
+    work is O(|Δ| × matched state) via key-equi joins; deletes and
+    updates are the SAME cost as inserts (one −1 row each), never a view
+    rescan. Compaction folds each changelog to its latest row per pk
+    (d rows retained as tombstones — dropping one would resurrect a
+    compacted older image) and the view store to net weights."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        key: str,
+        a_pk: str,
+        b_pk: str,
+    ):
+        self.spark = spark
+        self.key = key
+        self.a_pk = a_pk
+        self.b_pk = b_pk
+        self.a_store = BatchPartialStore(spark, f"{base}/a")
+        self.b_store = BatchPartialStore(spark, f"{base}/b")
+        self.m_store = BatchPartialStore(spark, f"{base}/m")
+
+    @staticmethod
+    def _latest(rows: DataFrame, pk: str) -> DataFrame:
+        """Last CDC row per pk in seq order (ties impossible: seq is
+        monotone per side)."""
+        w = Window.partitionBy(pk).orderBy(F.desc("seq"))
+        return (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _state(self, store: BatchPartialStore, t: int, pk: str) -> DataFrame | None:
+        """Pre-batch snapshot: latest image per pk, deletes excluded."""
+        rows = store.rows_before(t)
+        if rows is None:
+            return None
+        return (
+            self._latest(rows, pk)
+            .filter(F.col("op") != "d")
+            .drop("op", "seq")
+        )
+
+    def _delta(
+        self, batch: DataFrame, state: DataFrame | None, pk: str, wcol: str
+    ) -> DataFrame:
+        """The ±1-weighted Z-set delta of one side's micro-batch."""
+        last = self._latest(batch, pk)
+        new = (
+            last.filter(F.col("op") != "d")
+            .drop("op", "seq")
+            .withColumn(wcol, F.lit(1))
+        )
+        if state is None:
+            return new
+        old = state.join(
+            batch.select(pk).distinct(), pk, "left_semi"
+        ).withColumn(wcol, F.lit(-1))
+        return new.unionByName(old)
+
+    def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
+        da_cdc = a_batch.localCheckpoint()
+        db_cdc = b_batch.localCheckpoint()
+        a_old = self._state(self.a_store, batch_id, self.a_pk)
+        b_old = self._state(self.b_store, batch_id, self.b_pk)
+        da = self._delta(da_cdc, a_old, self.a_pk, "_wa")
+        db = self._delta(db_cdc, b_old, self.b_pk, "_wb")
+
+        # Three bilinear terms, every one an equi join on the view key;
+        # weights multiply through (state sides are implicitly +1).
+        dm = da.join(db, self.key).withColumn("w", F.col("_wa") * F.col("_wb"))
+        if b_old is not None:
+            dm = dm.unionByName(
+                da.join(b_old, self.key).withColumn("w", F.col("_wa")),
+                allowMissingColumns=True,
+            )
+        if a_old is not None:
+            dm = dm.unionByName(
+                a_old.join(db, self.key).withColumn("w", F.col("_wb")),
+                allowMissingColumns=True,
+            )
+        dm = dm.drop("_wa", "_wb")
+        # Land the view DELTA first, then the two changelogs: any torn
+        # combination is healed by replay (rows_before(t) never sees t).
+        self.m_store.land(dm, batch_id)
+        self.a_store.land(da_cdc, batch_id)
+        self.b_store.land(db_cdc, batch_id)
+
+    def snapshot(self) -> DataFrame:
+        """Net-positive weighted rows — equal to the batch join of the
+        CDC-upserted final tables (q194)."""
+        rows = self.m_store.rows()
+        if rows is None:
+            raise ValueError("no batches have landed yet")
+        cols = [c for c in rows.columns if c != "w"]
+        return (
+            rows.groupBy(*cols)
+            .agg(F.sum("w").alias("_net"))
+            .filter(F.col("_net") > 0)
+            .select(*cols)
+        )
+
+    def n_partials(self) -> int:
+        return self.m_store.n_partials()
+
+    def compact(self) -> None:
+        """Fold the changelogs to latest-per-pk (d tombstones retained)
+        and the view store to net weights; each store commits its own
+        pointer swap independently."""
+        for store, pk in ((self.a_store, self.a_pk), (self.b_store, self.b_pk)):
+            rows = store.rows()
+            if rows is not None:
+                store.compact(self._latest(rows, pk))
+        rows = self.m_store.rows()
+        if rows is not None:
+            cols = [c for c in rows.columns if c != "w"]
+            folded = (
+                rows.groupBy(*cols)
+                .agg(F.sum("w").cast("int").alias("w"))
+                .filter(F.col("w") != 0)
+            )
+            self.m_store.compact(folded)

@@ -189,6 +189,36 @@ class BatchPartialStore:
         n = 0 if live is None else live.select("batch_id").distinct().count()
         return n + (1 if self._meta()["base_gen"] is not None else 0)
 
+    def max_batch_id(self) -> int | None:
+        """Highest batch id this store has absorbed (live or folded) —
+        None when nothing ever landed. The watermark a derived store
+        created FROM this one must adopt so replays of already-folded
+        batches are refused there too."""
+        meta = self._meta()
+        ids = [] if meta["max_compacted"] is None else [meta["max_compacted"]]
+        live = self._live_partials()
+        if live is not None:
+            ids += [
+                r["batch_id"]
+                for r in live.select(F.max("batch_id").alias("batch_id")).collect()
+                if r["batch_id"] is not None
+            ]
+        return max(ids) if ids else None
+
+    def bootstrap(self, df: DataFrame, max_compacted: int | None) -> None:
+        """Initialize (or REPLACE) this store's whole state as one
+        compacted base holding ``df``, with the replay watermark set to
+        ``max_compacted`` — the primitive a generation swap needs: the
+        caller derives a fresh store's contents from elsewhere (e.g. a
+        re-encode of another store's rows) and commits it atomically via
+        the meta pointer. A crash before the pointer write leaves any
+        previous state authoritative; stale partials at or below the
+        watermark are ignored by the read path."""
+        meta = self._meta()
+        new_gen = (meta["base_gen"] or 0) + 1
+        df.write.format("parquet").mode("overwrite").save(self._base_path(new_gen))
+        self._commit_meta({"base_gen": new_gen, "max_compacted": max_compacted})
+
     # -- compaction --------------------------------------------------------
     def compact(self, merged_df: DataFrame) -> None:
         """Fold history into the next base generation and commit via the

@@ -13,14 +13,32 @@ and any batch arrival order lands byte-the-same base table as the
 all-at-once batch encode — the parity q190 drives through the driver's
 oracle (q187's own SQL).
 
+GENERATIONS (r7 judge task #5): real FAISS deployments don't freeze
+codebooks forever — when the distribution drifts they RETRAIN and
+re-encode. ``retrain()`` is that operation as an atomic generation swap:
+train fresh Lloyd codebooks on every raw vector ingested so far,
+re-encode the whole corpus with them, write codebooks + encoded base
+into a NEW generation directory, then swap one fsync'd pointer file.
+A search captures the pointer once (``generation()``) and reads that
+generation's codebooks and base throughout — it can never see new
+codebooks with old codes or vice versa. A crash anywhere mid-retrain
+leaves the pointer on the old generation, which remains complete; the
+half-written new generation is overwritten by the next attempt. The raw
+vectors are kept in their own append-only store — the retrain substrate
+(FAISS likewise needs original vectors to re-encode), costing one extra
+partition write per merge.
+
 Persistence is ``partial_store.BatchPartialStore`` like the siblings:
 per-batch (vec_id, cell, code0..M-1) rows partitioned by ``batch_id``
 with dynamic partition overwrite (replay-idempotent without dedup
-state), pointer-committed compaction, folded-replay refusal. At serving
-scale the base table is exactly the FAISS IVF layout: the searcher
-(``_ivfadc_query``) meets it with an EQUI join on cell id, so a store
-re-partitioned/bucketed by ``cell`` turns probes into partition-pruned
-posting-list scans — the 10⁹-vector shape.
+state), pointer-committed compaction, folded-replay refusal. The
+generation created by ``retrain()`` adopts the vector store's batch
+watermark, so a replay of an already-folded batch is refused by the new
+generation's store exactly as compaction refuses it everywhere else. At
+serving scale the base table is exactly the FAISS IVF layout: the
+searcher (``_ivfadc_query``) meets it with an EQUI join on cell id, so a
+store re-partitioned/bucketed by ``cell`` turns probes into
+partition-pruned posting-list scans — the 10⁹-vector shape.
 
 Reference parity note: the reference (cmd/main.go) has no vector
 surface; this extends SURVEY.md §2B's IVFADC rows (q186, q187) to the
@@ -29,51 +47,165 @@ streaming column.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from stream_cdc_gps_spark.operators.similarity import _ivfadc_encode
 from stream_cdc_gps_spark.streaming.partial_store import BatchPartialStore
 
+Cents = list[tuple[int, list[float]]]
+Cbs = dict[int, list[tuple[int, list[float]]]]
+
 
 class IncrementalVectorIndex:
     """foreachBatch body maintaining an IVFADC base table over an
-    embedding stream, with codebooks frozen at construction. ``merge``
-    is the batch handler; ``base_table()`` the searchable snapshot
-    (feed it to ``operators/similarity._ivfadc_query``)."""
+    embedding stream. Codebooks are frozen per GENERATION: construction
+    seeds generation 0; ``retrain()`` swaps in a new generation trained
+    on the accumulated corpus. ``merge`` is the batch handler;
+    ``base_table()`` the searchable snapshot of the current generation
+    (feed it to ``operators/similarity._ivfadc_query`` together with
+    ``generation()``'s codebooks)."""
 
     def __init__(
         self,
         spark: SparkSession,
         base: str,
-        cents: list[tuple[int, list[float]]],
-        cbs: dict[int, list[tuple[int, list[float]]]],
+        cents: Cents,
+        cbs: Cbs,
     ):
         self.spark = spark
-        self.cents = cents
-        self.cbs = cbs
-        self.store = BatchPartialStore(spark, base)
+        self.base = base
+        self.vec_store = BatchPartialStore(spark, f"{base}/vecs")
+        self._cb_cache: dict[int, tuple[Cents, Cbs]] = {0: (cents, cbs)}
+        self.store = self._store_of(self.gen())  # current-gen code store
         self.path = self.store.partials_path  # live-partials dir (crash tests)
 
-    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Encode the micro-batch (map-only, frozen codebooks) and land
-        it as the batch's partition. No state is read: add is append."""
-        self.store.land(_ivfadc_encode(batch_df, self.cents, self.cbs), batch_id)
+    # -- generation pointer --------------------------------------------------
+    def _gen_meta_path(self) -> str:
+        return f"{self.base}/meta.json"
 
-    def base_table(self) -> DataFrame:
-        """Every (vec_id, cell, code…) encoded so far — the IVF base the
-        searcher equi-joins on cell id."""
-        rows = self.store.rows()
+    def gen(self) -> int:
+        """Current generation id (0 until the first retrain commits)."""
+        try:
+            with open(self._gen_meta_path()) as f:
+                return int(json.load(f)["gen"])
+        except FileNotFoundError:
+            return 0
+
+    def _commit_gen(self, gen: int) -> None:
+        """The atomic swap: everything the new generation needs is on
+        disk before this pointer moves (fsync'd tmp + rename + dir fsync
+        — the partial_store._commit_meta discipline)."""
+        os.makedirs(self.base, exist_ok=True)
+        tmp = f"{self._gen_meta_path()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"gen": int(gen)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._gen_meta_path())
+        dfd = os.open(self.base, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    def _store_of(self, gen: int) -> BatchPartialStore:
+        return BatchPartialStore(self.spark, f"{self.base}/gen/v{gen}/codes")
+
+    def _codebooks_of(self, gen: int) -> tuple[Cents, Cbs]:
+        if gen not in self._cb_cache:
+            with open(f"{self.base}/gen/v{gen}/codebooks.json") as f:
+                raw = json.load(f)
+            cents = [(int(cid), v) for cid, v in raw["cents"]]
+            cbs = {
+                int(m): [(int(cid), v) for cid, v in rows]
+                for m, rows in raw["cbs"].items()
+            }
+            self._cb_cache[gen] = (cents, cbs)
+        return self._cb_cache[gen]
+
+    def generation(self) -> tuple[int, Cents, Cbs]:
+        """One consistent read of the pointer + that generation's
+        codebooks — capture this ONCE per search and pair it with
+        ``base_table(gen)`` so the whole search runs in one generation."""
+        g = self.gen()
+        cents, cbs = self._codebooks_of(g)
+        return g, cents, cbs
+
+    # -- ingestion -------------------------------------------------------------
+    def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Land the raw vectors (retrain substrate), then encode the
+        micro-batch with the CURRENT generation's frozen codebooks
+        (map-only) and land the codes. Both lands are batch-id partition
+        overwrites; a torn write between them is healed by replay."""
+        batch_df = batch_df.localCheckpoint()
+        self.vec_store.land(batch_df, batch_id)
+        g = self.gen()
+        cents, cbs = self._codebooks_of(g)
+        self._store_of(g).land(_ivfadc_encode(batch_df, cents, cbs), batch_id)
+
+    # -- retrain ---------------------------------------------------------------
+    def retrain(self) -> int:
+        """Generation swap: Lloyd-train fresh coarse cells and PQ
+        codebooks on EVERY raw vector ingested so far, re-encode the
+        corpus, and commit codebooks + base atomically via the pointer.
+        Returns the new generation id. Crash-safe at every step: until
+        ``_commit_gen`` the old generation stays authoritative, and a
+        repeated attempt overwrites the orphaned half-written directory.
+        Cost is one training run + one full map-only re-encode — the
+        deliberate, occasional rebuild, not the per-batch path."""
+        from stream_cdc_gps_spark.operators.similarity import (
+            _lloyd_train_ivf,
+            _lloyd_train_pq,
+        )
+
+        vecs = self.vec_store.rows()
+        if vecs is None:
+            raise ValueError("no batches have landed yet")
+        vecs = vecs.localCheckpoint()
+        cents = _lloyd_train_ivf(vecs)
+        cbs = _lloyd_train_pq(vecs)
+        new_gen = self.gen() + 1
+        gen_dir = f"{self.base}/gen/v{new_gen}"
+        os.makedirs(gen_dir, exist_ok=True)
+        tmp = f"{gen_dir}/codebooks.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"cents": cents, "cbs": {str(m): v for m, v in cbs.items()}}, f
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, f"{gen_dir}/codebooks.json")
+        # Re-encode the whole corpus into the new generation's store; its
+        # watermark adopts the vector store's, so folded-batch replays are
+        # refused in the new generation too.
+        self._store_of(new_gen).bootstrap(
+            _ivfadc_encode(vecs, cents, cbs), self.vec_store.max_batch_id()
+        )
+        self._commit_gen(new_gen)
+        self._cb_cache[new_gen] = (cents, cbs)
+        self.store = self._store_of(new_gen)
+        self.path = self.store.partials_path
+        return new_gen
+
+    # -- reading ---------------------------------------------------------------
+    def base_table(self, gen: int | None = None) -> DataFrame:
+        """Every (vec_id, cell, code…) of one generation (current when
+        unspecified) — the IVF base the searcher equi-joins on cell id."""
+        rows = self._store_of(self.gen() if gen is None else gen).rows()
         if rows is None:
             raise ValueError("no batches have landed yet")
         return rows
 
     def n_partials(self) -> int:
-        return self.store.n_partials()
+        return self._store_of(self.gen()).n_partials()
 
     def compact(self) -> None:
         """Fold the per-batch partitions into one base generation — for
         append-only state the fold is the identity over the rows; the
         point is file-count hygiene, committed by the pointer swap."""
-        if self.store.rows() is None:
-            return
-        self.store.compact(self.store.rows())
+        for store in (self._store_of(self.gen()), self.vec_store):
+            if store.rows() is not None:
+                store.compact(store.rows())

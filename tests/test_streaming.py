@@ -1480,6 +1480,114 @@ def test_incremental_vector_index_matches_batch_encode(spark, tmp_path):
     assert rows(idx.base_table().select("vec_id", "cell", "code0", "code1", "code2", "code3")) == golden
 
 
+def test_vector_index_retrain_generation_swap(spark, tmp_path):
+    """r7 judge task #5: retrain() swaps in a generation trained on the
+    accumulated raw vectors — the new base equals the all-at-once encode
+    under the retrained codebooks, post-retrain merges encode with the
+    NEW codebooks, and a replay of a pre-retrain batch is refused by the
+    new generation's watermark."""
+    from stream_cdc_gps_spark.operators.similarity import (
+        _ivfadc_encode,
+        _lloyd_train_ivf,
+        _lloyd_train_pq,
+    )
+    from stream_cdc_gps_spark.streaming.vector_index import IncrementalVectorIndex
+
+    dim, sub = 64, 16
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(dim)]) for i in range(12)
+    ]
+    schema = "vec_id long, emb array<double>"
+    e = spark.createDataFrame(vecs, schema)
+    seed_cents = [(cid, v) for cid, v in vecs[:2]]
+    seed_cbs = {
+        m: [(cid, v[m * sub : (m + 1) * sub]) for cid, v in vecs[:3]]
+        for m in range(4)
+    }
+    cols = ["vec_id", "cell", "code0", "code1", "code2", "code3"]
+    rows = lambda df: sorted(map(tuple, df.select(*cols).collect()))
+
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "vix"), seed_cents, seed_cbs)
+    idx.merge(e.filter(F.col("vec_id") % 2 == 0), 0)
+    idx.merge(e.filter(F.col("vec_id") % 2 == 1), 1)
+    assert idx.gen() == 0
+
+    assert idx.retrain() == 1
+    assert idx.gen() == 1
+    tr_cents, tr_cbs = _lloyd_train_ivf(e), _lloyd_train_pq(e)
+    assert rows(idx.base_table()) == rows(_ivfadc_encode(e, tr_cents, tr_cbs))
+    # generation() serves the retrained codebooks, not the seeds
+    _, g_cents, g_cbs = idx.generation()
+    assert g_cents == tr_cents and g_cbs == tr_cbs
+    # the old generation remains readable (an in-flight search finishes)
+    assert rows(idx.base_table(gen=0)) == rows(
+        _ivfadc_encode(e, seed_cents, seed_cbs)
+    )
+
+    # replay of a folded pre-retrain batch is refused by the watermark
+    idx.merge(e.filter(F.col("vec_id") % 2 == 1), 1)
+    assert rows(idx.base_table()) == rows(_ivfadc_encode(e, tr_cents, tr_cbs))
+
+    # a genuinely new batch encodes with the NEW generation's codebooks
+    extra = [(100, [float((j * 5 + 1) % 9) for j in range(dim)])]
+    idx.merge(spark.createDataFrame(extra, schema), 2)
+    full = spark.createDataFrame(vecs + extra, schema)
+    assert rows(idx.base_table()) == rows(_ivfadc_encode(full, tr_cents, tr_cbs))
+
+
+def test_vector_index_crash_mid_retrain_keeps_old_generation(spark, tmp_path):
+    """A crash ANYWHERE before the pointer swap leaves generation 0
+    authoritative and fully consistent (codebooks AND codes), and a
+    retry completes the swap over the orphaned half-written directory."""
+    from stream_cdc_gps_spark.operators.similarity import (
+        _ivfadc_encode,
+        _lloyd_train_ivf,
+        _lloyd_train_pq,
+    )
+    from stream_cdc_gps_spark.streaming.vector_index import IncrementalVectorIndex
+
+    dim, sub = 64, 16
+    vecs = [
+        (i, [float((i * 5 + j * 7) % 13) for j in range(dim)]) for i in range(10)
+    ]
+    schema = "vec_id long, emb array<double>"
+    e = spark.createDataFrame(vecs, schema)
+    seed_cents = [(cid, v) for cid, v in vecs[:2]]
+    seed_cbs = {
+        m: [(cid, v[m * sub : (m + 1) * sub]) for cid, v in vecs[:3]]
+        for m in range(4)
+    }
+    cols = ["vec_id", "cell", "code0", "code1", "code2", "code3"]
+    rows = lambda df: sorted(map(tuple, df.select(*cols).collect()))
+
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "vix"), seed_cents, seed_cbs)
+    idx.merge(e, 0)
+    seed_rows = rows(idx.base_table())
+
+    # crash: everything of generation 1 is written EXCEPT the pointer
+    boom = RuntimeError("power loss before pointer swap")
+    real_commit = idx._commit_gen
+    idx._commit_gen = lambda gen: (_ for _ in ()).throw(boom)
+    try:
+        idx.retrain()
+    except RuntimeError as err:
+        assert err is boom
+    else:
+        raise AssertionError("crash injection did not fire")
+
+    # a RE-OPENED index (fresh process) sees generation 0, intact
+    idx2 = IncrementalVectorIndex(spark, str(tmp_path / "vix"), seed_cents, seed_cbs)
+    assert idx2.gen() == 0
+    assert rows(idx2.base_table()) == seed_rows
+    _, g_cents, g_cbs = idx2.generation()
+    assert g_cents == seed_cents and g_cbs == seed_cbs
+
+    # the retry overwrites the orphaned v1 directory and completes
+    assert idx2.retrain() == 1
+    tr_cents, tr_cbs = _lloyd_train_ivf(e), _lloyd_train_pq(e)
+    assert rows(idx2.base_table()) == rows(_ivfadc_encode(e, tr_cents, tr_cbs))
+
+
 def test_incremental_vector_index_streaming_end_to_end(spark, tmp_path):
     """Streaming form of q190: embedding vectors fed as two real
     micro-batches through foreachBatch(IncrementalVectorIndex.merge)
@@ -1598,6 +1706,123 @@ def test_incremental_join_view_matches_batch_and_heals_torn_writes(spark, tmp_pa
         2,
     )
     assert len(view.snapshot().collect()) == len(golden) + 1  # 4 meets Dave
+
+
+def _cdc_view_rows(view):
+    return sorted(
+        map(tuple, view.snapshot().select("oid", "k", "a_val", "b_name").collect())
+    )
+
+
+def test_cdc_join_view_retracts_updates_and_deletes(spark, tmp_path):
+    """r7 judge task #4: the CDC-aware view under op ∈ {c,u,d} on BOTH
+    sides. Exercises the retraction algebra q193's insert-only class
+    cannot express: a non-key update replaces the matched row, a
+    JOIN-KEY-CHANGING update retracts the old match and asserts the new
+    one, a delete on either side removes exactly its matches, a d for an
+    unseen pk is a no-op, and a same-image update nets to zero."""
+    from stream_cdc_gps_spark.streaming.join_view import CdcJoinView
+
+    a_schema = "op string, seq long, oid long, k long, a_val string"
+    b_schema = "op string, seq long, k long, b_name string"
+
+    view = CdcJoinView(
+        spark, str(tmp_path / "cdcjv"), key="k", a_pk="oid", b_pk="k"
+    )
+    # batch 0: orders 10/11/12 on keys 1/2/2; customers 1/2/3
+    a0 = [("c", 1, 10, 1, "a10"), ("c", 2, 11, 2, "a11"), ("c", 3, 12, 2, "a12")]
+    b0 = [("c", 1, 1, "Alice"), ("c", 2, 2, "Bob"), ("c", 3, 3, "Carol")]
+    view.merge(
+        spark.createDataFrame(a0, a_schema), spark.createDataFrame(b0, b_schema), 0
+    )
+    assert _cdc_view_rows(view) == [
+        (10, 1, "a10", "Alice"),
+        (11, 2, "a11", "Bob"),
+        (12, 2, "a12", "Bob"),
+    ]
+
+    # batch 1: update order 10's value in place; MOVE order 11 from key 2
+    # to key 3 (retract Bob match, assert Carol match); delete order 12;
+    # rename customer 3 AFTER the move lands (seq order within the side);
+    # delete an order that never existed (no-op); re-assert customer 1
+    # with the identical image (nets to zero — no visible change).
+    a1 = [
+        ("u", 10, 10, 1, "a10x"),
+        ("u", 11, 11, 3, "a11"),
+        ("d", 12, 12, 2, "a12"),
+        ("d", 13, 99, 9, "gone"),
+    ]
+    b1 = [("u", 10, 3, "Carol2"), ("u", 11, 1, "Alice")]
+    view.merge(
+        spark.createDataFrame(a1, a_schema), spark.createDataFrame(b1, b_schema), 1
+    )
+    golden = [(10, 1, "a10x", "Alice"), (11, 3, "a11", "Carol2")]
+    assert _cdc_view_rows(view) == golden
+
+    # batch 2: delete customer 3 — order 11 loses its partner entirely;
+    # within ONE batch, delete order 10 then re-create it (seq decides:
+    # the re-create wins) with a new value.
+    a2 = [("d", 20, 10, 1, "a10x"), ("c", 21, 10, 1, "a10y")]
+    b2 = [("d", 20, 3, "Carol2")]
+    view.merge(
+        spark.createDataFrame(a2, a_schema), spark.createDataFrame(b2, b_schema), 2
+    )
+    assert _cdc_view_rows(view) == [(10, 1, "a10y", "Alice")]
+
+
+def test_cdc_join_view_heals_torn_writes_and_compacts(spark, tmp_path):
+    """The q193 durability contract on the CDC class: a torn three-store
+    write (view delta lost after the changelogs landed) is healed by
+    replaying the batch; compaction folds the changelogs to latest-per-pk
+    (d tombstones retained — a deleted key must NOT resurrect from its
+    compacted create) and the view to net weights, the snapshot is
+    invariant, folded batches are refused, and growth continues on the
+    compacted base."""
+    import os
+    import shutil
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcJoinView
+
+    a_schema = "op string, seq long, oid long, k long, a_val string"
+    b_schema = "op string, seq long, k long, b_name string"
+    view = CdcJoinView(
+        spark, str(tmp_path / "cdcjv"), key="k", a_pk="oid", b_pk="k"
+    )
+    a0 = [("c", 1, 10, 1, "a10"), ("c", 2, 11, 2, "a11")]
+    b0 = [("c", 1, 1, "Alice"), ("c", 2, 2, "Bob")]
+    a1 = [("u", 10, 11, 1, "a11x"), ("d", 11, 10, 1, "a10")]
+    b1 = [("u", 10, 2, "Bob2")]
+    mk = lambda rows, s: spark.createDataFrame(rows, s)
+
+    view.merge(mk(a0, a_schema), mk(b0, b_schema), 0)
+    view.merge(mk(a1, a_schema), mk(b1, b_schema), 1)
+    golden = [(11, 1, "a11x", "Alice")]
+    assert _cdc_view_rows(view) == golden
+
+    # torn write: batch 1's view delta vanishes, changelogs survived
+    shutil.rmtree(os.path.join(view.m_store.partials_path, "batch_id=1"))
+    assert _cdc_view_rows(view) != golden
+    view.merge(mk(a1, a_schema), mk(b1, b_schema), 1)
+    assert _cdc_view_rows(view) == golden
+
+    # compaction: one piece per store, snapshot invariant, replay refused
+    view.compact()
+    assert view.n_partials() == 1
+    assert _cdc_view_rows(view) == golden
+    view.merge(mk(a1, a_schema), mk(b1, b_schema), 1)
+    assert _cdc_view_rows(view) == golden
+    # the folded A changelog holds exactly one row per pk, d included
+    folded = view.a_store.rows()
+    assert sorted(
+        (r.oid, r.op) for r in folded.select("oid", "op").collect()
+    ) == [(10, "d"), (11, "u")]
+
+    # growth on the compacted base: re-create the deleted order 10 —
+    # it must NOT resurrect the old image, only the new one
+    view.merge(
+        mk([("c", 20, 10, 2, "a10new")], a_schema), mk([], b_schema), 2
+    )
+    assert _cdc_view_rows(view) == [(10, 2, "a10new", "Bob2")] + golden
 
 
 def test_corpus_ingest_composition_matches_batch(spark, tmp_path):
