@@ -88,19 +88,20 @@ PERMANENT = SHARED21 + [
 
 # Rotates each round (BASELINE.md records the per-round pick): queries
 # added or materially changed this round get a tracked number here.
-# r7: the partition-local LSH store (q177), the DECIMAL chi-square fix
-# (q180), and the trained-IVFADC composition (q187 search, q188 recall
-# gate). q189 (composed-ingest parity) runs ~15 s/rep — off-headline,
+# r8: the tombstoned LSH store (q177), the DECIMAL-quantized mixture
+# rates (q192), the join-view module siblings (q193 insert-only, q194
+# CDC-aware), the generation-aware vector index (q190) and its retrain
+# ship-gate (q195 — includes a full Lloyd retrain per rep, expect
+# q187-class cost). q189 (composed-ingest parity) stays off-headline,
 # isolated number in BASELINE.md like q168/q172.
 SPOTLIGHT = [
     "q177_lsh_incremental_parity",
-    "q180_chi2_independence",
-    "q187_ivfpq_trained_search",
-    "q188_ivfpq_trained_recall",
     "q190_ivfpq_incremental_index",
-    "q191_truncated_dim_recall",
     "q192_mixture_materialize",
     "q193_incremental_join_view",
+    "q194_cdc_join_view",
+    "q195_vector_index_retrain",
+    "q196_cdc_aggregate_view",
 ]
 
 HEADLINE = PERMANENT + SPOTLIGHT

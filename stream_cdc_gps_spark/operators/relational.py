@@ -1554,6 +1554,99 @@ def q193_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q196_cdc_aggregate_view",
+    oracle="""
+WITH o_final AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+                ELSE o_custkey END AS cust_key,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0e0
+                     ELSE o_totalprice END AS DECIMAL(18,2)) AS total_price
+    FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT cust_key,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(total_price) AS DOUBLE) AS total_spend
+FROM o_final GROUP BY cust_key
+""",
+)
+def q196_cdc_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-AWARE AGGREGATE-VIEW PARITY (the q194 algebra's aggregate
+    face): maintain V = per-customer order count + DECIMAL(18,2)-exact
+    spend through streaming/join_view.CdcAggregateView under the SAME
+    changelog script as q194's order side — creates, price updates
+    (% 7), key-changing updates (% 13 move an order's spend between
+    customers: one −1 partial on the old key, one +1 on the new, same
+    merge), and deletes (% 5) — then snapshot. The oracle is the plain
+    GROUP BY over the CDC-upserted final table; the DECIMAL value column
+    makes retract-then-assert leave zero arithmetic residue, so
+    maintained == recomputed exactly, not within-epsilon.
+
+    Scale: per-batch work is O(|Δ|) — one weighted-image projection and
+    one |Δ|-keyed partial aggregate; history is NEVER re-aggregated (the
+    alternative at 100 TB is a full re-scan per trigger). Torn-write
+    replay healing and compaction are pytest-pinned alongside q194's."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcAggregateView
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+    )
+    ok = F.col("order_key")
+    ck = F.col("cust_key")
+    raw_price = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("p_raw"),
+    )
+    a0 = o.select(F.lit("c").alias("op"), ok.alias("seq"), *o.columns)
+    # updated images quantize AFTER the double bump, exactly as the oracle
+    bump = lambda col: (col + F.lit(1.0e0)).cast("decimal(18,2)")
+    with_raw = o.join(raw_price, "order_key")
+    a_u1 = with_raw.filter(ok % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + ok).alias("seq"),
+        ok,
+        ck,
+        bump(F.col("p_raw")).alias("total_price"),
+    )
+    bumped = F.when(ok % 7 == 0, bump(F.col("p_raw"))).otherwise(
+        F.col("total_price")
+    )
+    a_u2 = with_raw.filter(ok % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + ok).alias("seq"),
+        ok,
+        (ck + 1).alias("cust_key"),
+        bumped.alias("total_price"),
+    )
+    a_d = o.filter(ok % 5 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(3_000_000_000) + ok).alias("seq"),
+        *o.columns,
+    )
+    base = tempfile.mkdtemp(prefix="cdc_agg_view_")
+    try:
+        view = CdcAggregateView(
+            spark, base, key="cust_key", pk="order_key", val="total_price"
+        )
+        view.merge(a0, 0)
+        view.merge(a_u1.unionByName(a_u2).unionByName(a_d), 1)
+        out = view.snapshot().select(
+            "cust_key",
+            F.col("n").alias("n_orders"),
+            F.col("total").cast("double").alias("total_spend"),
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "q194_cdc_join_view",
     oracle="""
 WITH o_final AS (

@@ -68,81 +68,76 @@ DRIVER_WINDOW = 50
 # instead require a committed full driver-sim artifact
 # (artifacts/driver_sim_full.json certifying a 0-fail run from this round).
 #
-# Round 7 front-loads, in order (r6 judge mandate #2: after the
-# staleness-forced changed queries, finish rotating the r2-era official
-# rows, then start on the oldest r3 rows):
-# (a) queries changed or ADDED in r7 — the staleness gate forces these:
-#     the partition-local IncrementalLshIndex rewrite (q177), the
-#     chi-square DECIMAL quantization fix (q180), the trained-IVFADC
-#     composition (new q187, q188), and the composed-ingest parity row
-#     (new q189, which also reaches the hardened partial-store siblings),
-#     plus q183/q165/q166 whose sources were reworded to break a false
-#     staleness edge (their docstrings' bare word "queries" reached
-#     registry.queries -> _PRIORITY, poisoning them every round the
-#     priority list moves — the reword is itself a symbol change, so they
-#     ride the window once more and the edge is gone for good), q190
-#     (incremental vector index, FAISS-add parity vs q187's own oracle),
-#     q191 (truncated-dim recall), q192 (mixture materialization) and
-#     q193 (incremental join view, delta-join parity vs the plain join);
-# (b) the 18 remaining r2-era official rows (judge list: q72-q77, q84,
-#     q85, q87-q89, q92-q96, q98, q99) — after this round no query's
-#     newest official row predates r3;
-# (c) the 18 oldest r3-era rows in registration order (the rest of the
-#     42-row r3 cohort rotates in r8). All rows outside the window remain
-#     covered by this round's clean-tree full-sim certificates at both
-#     scale factors.
+# Round 8 front-loads, in order (r7 judge mandate #3: after the
+# staleness-forced changed queries, finish rotating the r3-era official
+# rows, then start on the oldest r4 rows):
+# (a) queries changed or ADDED in r8 — the staleness gate forces these:
+#     the CDC-aware join view (new q194) and the codebook-refresh
+#     ship-gate (new q195), plus the rows reaching this round's edited
+#     symbols: q177/q189 (dead-bucket tombstones in
+#     streaming/dedup_index.merge), q190 (generation-aware
+#     vector_index + partial_store.bootstrap), q192 (DECIMAL-quantized
+#     sqrt-weight sum), q193 (join_view module shared with q194/q196);
+# (b) the 24 remaining r3-era official rows (q106/q107/q108/q136 first —
+#     they were bumped from the r7 window by the late q190-q193
+#     additions) — after this round no query's newest official row
+#     predates r4;
+# (c) the 16 oldest r4-era rows in registration order (q01 trimmed from
+#     the tail when q196 joined group (a) — the 48-entry cap). All rows
+#     outside the window remain covered by the clean-tree full-sim
+#     certificates at both scale factors.
 _PRIORITY: list[str] = [
-    # (a) changed or added in r7
+    # (a) changed or added in r8
+    "q194_cdc_join_view",
+    "q195_vector_index_retrain",
+    "q196_cdc_aggregate_view",
     "q177_lsh_incremental_parity",
-    "q180_chi2_independence",
-    "q187_ivfpq_trained_search",
-    "q188_ivfpq_trained_recall",
     "q189_corpus_ingest_parity",
     "q190_ivfpq_incremental_index",
-    "q191_truncated_dim_recall",
     "q192_mixture_materialize",
     "q193_incremental_join_view",
-    "q183_pq_adc_topk",
-    "q165_ivf_training_recall",
-    "q166_lloyd_inertia",
-    # (b) r2-era official rows, judge order
-    "q72_top_terms",
-    "q73_lang_id_heuristic",
-    "q74_source_lang_matrix",
-    "q75_bpe_token_estimate",
-    "q76_rolling_hash",
-    "q77_stopword_ratio",
-    "q84_json_scan",
-    "q85_csv_scan",
-    "q87_train_val_split",
-    "q88_orc_roundtrip",
-    "q89_cogroup_stats",
-    "q92_right_join",
-    "q93_posexplode",
-    "q94_skew_salted_join",
-    "q95_range_frame",
-    "q96_date_spine_coverage",
-    "q98_distribution_ranks",
-    "q99_value_windows",
-    # (c) oldest r3-era official rows, registration order
-    "q112_retention_cohorts",
-    "q114_scd2_history",
-    "q115_snapshot_diff",
-    "q116_dq_checks",
-    "q117_price_histogram",
-    "q118_rolling_dau",
-    "q119_ewma_smoothing",
-    "q120_ohlc_bars",
-    "q121_locf_gapfill",
-    "q122_transition_matrix",
-    "q123_value_outliers",
-    "q124_ab_ttest",
-    "q125_skew_diagnostics",
-    "q126_pagerank",
-    "q134_incremental_agg",
-    "q135_time_range_frame",
-    "q137_mutual_information",
-    "q138_ks_test",
+    # (b) r3-era official rows, bumped-from-r7 first, then judge order
+    "q106_shared_passages",
+    "q107_zipf_fit",
+    "q108_mixture_weights",
+    "q136_asof_tolerance",
+    "q113_heavy_hitters_cms",
+    "q55_simhash",
+    "q100_geofence_join",
+    "q101_spatial_grid",
+    "q81_media_features",
+    "q102_media_resize",
+    "q109_lateral_topk",
+    "q127_variant_extract",
+    "q128_recursive_cte",
+    "q129_collation_group",
+    "q130_sql_scripting",
+    "q131_hll_partition_merge",
+    "q83_gps_rejects",
+    "q68_embedding_quantize",
+    "q78_tfidf",
+    "q66_quality_filter",
+    "q67_stratified_sample",
+    "q69_token_pmi",
+    "q103_sequence_packing",
+    "q104_repetition_stats",
+    # (c) oldest r4-era official rows, registration order
+    "q133_equidepth_histogram",
+    "q145_equidepth_histogram_approx",
+    "q140_mad_robust",
+    "q152_shingle_novelty",
+    "q40_wkt_points",
+    "q41_derived_motion",
+    "q42_trip_sessions",
+    "q44_cdc_roundtrip",
+    "q45_cdc_dedup",
+    "q46_session_window_native",
+    "q143_spatial_knn",
+    "q156_stop_detection",
+    "q157_od_matrix",
+    "q158_zorder_morton",
+    "q80_media_metadata",
+    "q82_media_frames",
 ]
 
 

@@ -92,6 +92,44 @@ class IncrementalJoinView:
                 store.compact(store.rows())
 
 
+def cdc_latest(rows: DataFrame, pk: str) -> DataFrame:
+    """Last CDC row per pk in seq order (ties impossible: seq is monotone
+    per side)."""
+    w = Window.partitionBy(pk).orderBy(F.desc("seq"))
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cdc_state(store: BatchPartialStore, t: int, pk: str) -> DataFrame | None:
+    """Pre-batch snapshot of a CDC changelog store: latest image per pk
+    strictly before batch t, deletes excluded."""
+    rows = store.rows_before(t)
+    if rows is None:
+        return None
+    return cdc_latest(rows, pk).filter(F.col("op") != "d").drop("op", "seq")
+
+
+def cdc_delta(
+    batch: DataFrame, state: DataFrame | None, pk: str, wcol: str
+) -> DataFrame:
+    """The ±1-weighted Z-set delta of one CDC micro-batch: +1 · the
+    batch's last image per pk (none when the last op is d — delete wins),
+    −1 · the pre-batch snapshot image of every pk the batch touches."""
+    last = cdc_latest(batch, pk)
+    new = (
+        last.filter(F.col("op") != "d").drop("op", "seq").withColumn(wcol, F.lit(1))
+    )
+    if state is None:
+        return new
+    old = state.join(batch.select(pk).distinct(), pk, "left_semi").withColumn(
+        wcol, F.lit(-1)
+    )
+    return new.unionByName(old)
+
+
 class CdcJoinView:
     """CDC-aware incremental materialized JOIN view: M = A ⋈ B where BOTH
     inputs are Debezium-style changelogs (op ∈ {c, u, d}) instead of
@@ -157,42 +195,15 @@ class CdcJoinView:
 
     @staticmethod
     def _latest(rows: DataFrame, pk: str) -> DataFrame:
-        """Last CDC row per pk in seq order (ties impossible: seq is
-        monotone per side)."""
-        w = Window.partitionBy(pk).orderBy(F.desc("seq"))
-        return (
-            rows.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        return cdc_latest(rows, pk)
 
     def _state(self, store: BatchPartialStore, t: int, pk: str) -> DataFrame | None:
-        """Pre-batch snapshot: latest image per pk, deletes excluded."""
-        rows = store.rows_before(t)
-        if rows is None:
-            return None
-        return (
-            self._latest(rows, pk)
-            .filter(F.col("op") != "d")
-            .drop("op", "seq")
-        )
+        return cdc_state(store, t, pk)
 
     def _delta(
         self, batch: DataFrame, state: DataFrame | None, pk: str, wcol: str
     ) -> DataFrame:
-        """The ±1-weighted Z-set delta of one side's micro-batch."""
-        last = self._latest(batch, pk)
-        new = (
-            last.filter(F.col("op") != "d")
-            .drop("op", "seq")
-            .withColumn(wcol, F.lit(1))
-        )
-        if state is None:
-            return new
-        old = state.join(
-            batch.select(pk).distinct(), pk, "left_semi"
-        ).withColumn(wcol, F.lit(-1))
-        return new.unionByName(old)
+        return cdc_delta(batch, state, pk, wcol)
 
     def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
         da_cdc = a_batch.localCheckpoint()
@@ -256,3 +267,91 @@ class CdcJoinView:
                 .filter(F.col("w") != 0)
             )
             self.m_store.compact(folded)
+
+
+class CdcAggregateView:
+    """CDC-aware incremental GROUP-BY view: V = SELECT key, count(*),
+    sum(val) FROM A GROUP BY key, maintained over a Debezium-style
+    changelog (op ∈ {c,u,d}) — the aggregate face of the same Z-set
+    algebra as ``CdcJoinView``. COUNT and SUM are linear in the weighted
+    relation, so the per-batch view delta is ONE aggregate over the
+    ±1-weighted image delta:
+
+        ΔV_t = SELECT key, sum(w) AS Δn, sum(w · val) AS Δtotal
+               FROM Δ̂A_t GROUP BY key
+
+    — an update that moves a row between keys lands (−1, old key) and
+    (+1, new key) partials in the same merge; a delete lands one −1.
+    ``snapshot()`` sums the per-batch partials per key and keeps
+    net-positive groups. No history is ever re-aggregated: per-batch
+    work is O(|Δ|) map + one |Δ|-keyed partial aggregate (the
+    rollup_index cost shape, retraction included).
+
+    Exactness contract: pass ``val`` as a DECIMAL column (caller casts —
+    e.g. DECIMAL(18,2) for money). Decimal sums are associative AND
+    invertible exactly, so retract-then-assert leaves no floating-point
+    residue and the maintained total equals the recompute bit-for-bit —
+    the q174/q184 determinism idiom applied to state. Input contract per
+    batch: (op string, seq bigint, pk, key, val, ...), seq globally
+    monotone. Storage/replay: the changelog and the view partials live
+    in two ``BatchPartialStore``s; merges read state via
+    ``rows_before(t)`` so a replayed batch overwrites its own partitions
+    with the same bytes (torn writes heal); compaction folds the
+    changelog to latest-per-pk (d tombstones retained) and the view to
+    per-key running sums (zero-count groups dropped — a later re-insert
+    recreates them)."""
+
+    def __init__(self, spark: SparkSession, base: str, key: str, pk: str, val: str):
+        self.spark = spark
+        self.key = key
+        self.pk = pk
+        self.val = val
+        self.a_store = BatchPartialStore(spark, f"{base}/a")
+        self.v_store = BatchPartialStore(spark, f"{base}/v")
+
+    def merge(self, batch: DataFrame, batch_id: int) -> None:
+        cdc = batch.localCheckpoint()
+        state = cdc_state(self.a_store, batch_id, self.pk)
+        delta = cdc_delta(cdc, state, self.pk, "_w")
+        dv = delta.groupBy(self.key).agg(
+            F.sum("_w").cast("bigint").alias("dn"),
+            F.sum(F.col("_w") * F.col(self.val)).alias("dtotal"),
+        )
+        # View partials first, then the changelog: torn combinations heal
+        # on replay because rows_before(t) never sees partition t.
+        self.v_store.land(dv, batch_id)
+        self.a_store.land(cdc, batch_id)
+
+    def snapshot(self) -> DataFrame:
+        """(key, n, total) for every net-present group — equal to the
+        batch GROUP BY over the CDC-upserted final table (q196)."""
+        rows = self.v_store.rows()
+        if rows is None:
+            raise ValueError("no batches have landed yet")
+        return (
+            rows.groupBy(self.key)
+            .agg(
+                F.sum("dn").cast("bigint").alias("n"),
+                F.sum("dtotal").alias("total"),
+            )
+            .filter(F.col("n") > 0)
+        )
+
+    def n_partials(self) -> int:
+        return self.v_store.n_partials()
+
+    def compact(self) -> None:
+        rows = self.a_store.rows()
+        if rows is not None:
+            self.a_store.compact(cdc_latest(rows, self.pk))
+        rows = self.v_store.rows()
+        if rows is not None:
+            folded = (
+                rows.groupBy(self.key)
+                .agg(
+                    F.sum("dn").cast("bigint").alias("dn"),
+                    F.sum("dtotal").alias("dtotal"),
+                )
+                .filter(F.col("dn") != 0)
+            )
+            self.v_store.compact(folded)

@@ -1825,6 +1825,78 @@ def test_cdc_join_view_heals_torn_writes_and_compacts(spark, tmp_path):
     assert _cdc_view_rows(view) == [(10, 2, "a10new", "Bob2")] + golden
 
 
+def test_cdc_aggregate_view_retracts_exactly(spark, tmp_path):
+    """The aggregate face of the CDC Z-set algebra: count/sum maintained
+    under c/u/d with DECIMAL exactness — a key-moving update lands −1 on
+    the old key and +1 on the new in one merge, a delete retracts its
+    exact contribution (no floating residue), zero-count groups vanish,
+    torn view/changelog writes heal on replay, and compaction preserves
+    the snapshot."""
+    import os
+    import shutil
+    from decimal import Decimal
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcAggregateView
+
+    schema = "op string, seq long, oid long, k long, v decimal(18,2)"
+    D = Decimal
+    view = CdcAggregateView(
+        spark, str(tmp_path / "aggv"), key="k", pk="oid", val="v"
+    )
+    rows = lambda: sorted(
+        (r.k, r.n, r.total) for r in view.snapshot().collect()
+    )
+
+    # batch 0: two orders on key 1, one on key 2
+    b0 = [
+        ("c", 1, 10, 1, D("10.10")),
+        ("c", 2, 11, 1, D("0.20")),
+        ("c", 3, 12, 2, D("5.00")),
+    ]
+    view.merge(spark.createDataFrame(b0, schema), 0)
+    assert rows() == [(1, 2, D("10.30")), (2, 1, D("5.00"))]
+
+    # batch 1: move order 10 from key 1 to key 2 with a new value;
+    # delete order 12; update order 11 in place
+    b1 = [
+        ("u", 10, 10, 2, D("10.00")),
+        ("d", 11, 12, 2, D("5.00")),
+        ("u", 12, 11, 1, D("0.25")),
+    ]
+    view.merge(spark.createDataFrame(b1, schema), 1)
+    golden = [(1, 1, D("0.25")), (2, 1, D("10.00"))]
+    assert rows() == golden
+
+    # batch 2: delete the last key-1 order — the group must VANISH
+    view.merge(
+        spark.createDataFrame([("d", 20, 11, 1, D("0.25"))], schema), 2
+    )
+    assert rows() == [(2, 1, D("10.00"))]
+
+    # torn write: batch 2's view partial vanishes, changelog survived
+    shutil.rmtree(os.path.join(view.v_store.partials_path, "batch_id=2"))
+    assert rows() == golden  # the stale pre-2 state is visible again
+    view.merge(
+        spark.createDataFrame([("d", 20, 11, 1, D("0.25"))], schema), 2
+    )
+    assert rows() == [(2, 1, D("10.00"))]
+
+    # compaction folds both stores, snapshot invariant, replay refused
+    view.compact()
+    assert view.n_partials() == 1
+    assert rows() == [(2, 1, D("10.00"))]
+    view.merge(
+        spark.createDataFrame([("d", 20, 11, 1, D("0.25"))], schema), 2
+    )
+    assert rows() == [(2, 1, D("10.00"))]
+
+    # growth on the compacted base: a re-insert recreates the dead group
+    view.merge(
+        spark.createDataFrame([("c", 30, 20, 1, D("7.77"))], schema), 3
+    )
+    assert rows() == [(1, 1, D("7.77")), (2, 1, D("10.00"))]
+
+
 def test_corpus_ingest_composition_matches_batch(spark, tmp_path):
     """The composed ingest handler: ONE two-batch document stream drives
     the quality gate plus all four incremental indexes, and every store
