@@ -481,3 +481,112 @@ def test_rollup_store_exactly_once_under_generated_op_sequences(spark, ops):
         assert got == expect
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# CDC Z-set views under GENERATED changelogs: op sequences (c/u/d with
+# colliding pks, key-moving updates, deletes of unseen pks, delete-then-
+# recreate) on BOTH inputs, split at a generated point into two lock-step
+# micro-batches. Golden state is replayed in plain Python (dict upsert),
+# so the property is "weighted delta maintenance == last-writer-wins
+# replay", for the JOIN view and the AGGREGATE view in one example.
+_cdc_ops_a = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # 0=c 1=u 2=d
+        st.integers(min_value=0, max_value=3),  # pk (oid)
+        st.integers(min_value=0, max_value=2),  # join key
+        st.integers(min_value=0, max_value=99),  # value in cents
+    ),
+    max_size=8,
+)
+_cdc_ops_b = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # 0=c 1=u 2=d
+        st.integers(min_value=0, max_value=2),  # pk == join key
+        st.integers(min_value=0, max_value=2),  # name choice
+    ),
+    max_size=6,
+)
+_cdc_examples = st.tuples(
+    _cdc_ops_a, _cdc_ops_b, st.integers(min_value=0, max_value=9)
+)
+
+
+@given(ex=_cdc_examples)
+@settings(max_examples=5, deadline=None)
+def test_cdc_views_match_python_replay_on_generated(spark, ex):
+    import shutil
+    import tempfile
+    from decimal import Decimal
+
+    from stream_cdc_gps_spark.streaming.join_view import (
+        CdcAggregateView,
+        CdcJoinView,
+    )
+
+    ops_a, ops_b, split_raw = ex
+    opname = {0: "c", 1: "u", 2: "d"}
+    a_rows = [
+        (opname[t], i, pk, k, Decimal(v) / 100)
+        for i, (t, pk, k, v) in enumerate(ops_a)
+    ]
+    b_rows = [
+        (opname[t], i, bk, f"name{n}") for i, (t, bk, n) in enumerate(ops_b)
+    ]
+    sa = split_raw % (len(a_rows) + 1)
+    sb = split_raw % (len(b_rows) + 1)
+
+    # golden: last-writer-wins replay in plain Python
+    a_state: dict[int, tuple[int, Decimal]] = {}
+    for t, pk, k, v in ops_a:
+        if t == 2:
+            a_state.pop(pk, None)
+        else:
+            a_state[pk] = (k, Decimal(v) / 100)
+    b_state: dict[int, str] = {}
+    for t, bk, n in ops_b:
+        if t == 2:
+            b_state.pop(bk, None)
+        else:
+            b_state[bk] = f"name{n}"
+    join_golden = sorted(
+        (pk, k, v, b_state[k]) for pk, (k, v) in a_state.items() if k in b_state
+    )
+    agg: dict[int, list] = {}
+    for pk, (k, v) in a_state.items():
+        e = agg.setdefault(k, [0, Decimal(0)])
+        e[0] += 1
+        e[1] += v
+    agg_golden = sorted((k, e[0], e[1]) for k, e in agg.items())
+
+    a_schema = "op string, seq long, oid long, k long, v decimal(18,2)"
+    b_schema = "op string, seq long, k long, b_name string"
+    base = tempfile.mkdtemp(prefix="cdc_prop_")
+    try:
+        jv = CdcJoinView(spark, f"{base}/j", key="k", a_pk="oid", b_pk="k")
+        av = CdcAggregateView(spark, f"{base}/g", key="k", pk="oid", val="v")
+        for bid, (alo, ahi, blo, bhi) in enumerate(
+            [(0, sa, 0, sb), (sa, len(a_rows), sb, len(b_rows))]
+        ):
+            jv.merge(
+                spark.createDataFrame(a_rows[alo:ahi], a_schema),
+                spark.createDataFrame(b_rows[blo:bhi], b_schema),
+                bid,
+            )
+            av.merge(spark.createDataFrame(a_rows[alo:ahi], a_schema), bid)
+        try:
+            got_join = sorted(
+                (r.oid, r.k, r.v, r.b_name)
+                for r in jv.snapshot().select("oid", "k", "v", "b_name").collect()
+            )
+        except ValueError:
+            got_join = []  # nothing ever landed a view delta
+        assert got_join == join_golden
+        try:
+            got_agg = sorted(
+                (r.k, r.n, r.total) for r in av.snapshot().collect()
+            )
+        except ValueError:
+            got_agg = []
+        assert got_agg == agg_golden
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
