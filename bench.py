@@ -102,6 +102,7 @@ SPOTLIGHT = [
     "q194_cdc_join_view",
     "q195_vector_index_retrain",
     "q196_cdc_aggregate_view",
+    "q197_cdc_minmax_view",
 ]
 
 HEADLINE = PERMANENT + SPOTLIGHT

@@ -1647,6 +1647,100 @@ def q196_cdc_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q197_cdc_minmax_view",
+    oracle="""
+WITH o_final AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+                ELSE o_custkey END AS cust_key,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0e0
+                     ELSE o_totalprice END AS DECIMAL(18,2)) AS total_price
+    FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT cust_key,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(total_price) AS DOUBLE) AS min_spend,
+       CAST(max(total_price) AS DOUBLE) AS max_spend
+FROM o_final GROUP BY cust_key
+""",
+)
+def q197_cdc_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-AWARE MIN/MAX-VIEW PARITY — the NON-LINEAR aggregate case
+    q196's weighted partials cannot express: deleting the row that held
+    a key's minimum has no −1 retraction (the new minimum is whatever
+    survives — the support-set problem). streaming/join_view.CdcMinMaxView
+    recomputes ONLY the touched keys from their post-batch state per
+    merge; the view store keeps latest-per-key rows so an emptied key's
+    n = 0 row supersedes its stale aggregate. Driven by the SAME
+    changelog script as q196 (creates, price updates % 7, key-moving
+    updates % 13, deletes % 5 — the deletes are what force new minima);
+    oracle is the plain GROUP BY over the CDC-upserted final table.
+
+    Scale: per-batch aggregate work is O(touched keys' state) against
+    the latest-per-pk snapshot — never a full re-aggregate; torn-write
+    healing, emptied-key supersession, and compaction are pytest-pinned
+    alongside the q194/q196 siblings."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcMinMaxView
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+    )
+    ok = F.col("order_key")
+    ck = F.col("cust_key")
+    raw_price = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("p_raw"),
+    )
+    a0 = o.select(F.lit("c").alias("op"), ok.alias("seq"), *o.columns)
+    bump = lambda col: (col + F.lit(1.0e0)).cast("decimal(18,2)")
+    with_raw = o.join(raw_price, "order_key")
+    a_u1 = with_raw.filter(ok % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + ok).alias("seq"),
+        ok,
+        ck,
+        bump(F.col("p_raw")).alias("total_price"),
+    )
+    bumped = F.when(ok % 7 == 0, bump(F.col("p_raw"))).otherwise(
+        F.col("total_price")
+    )
+    a_u2 = with_raw.filter(ok % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + ok).alias("seq"),
+        ok,
+        (ck + 1).alias("cust_key"),
+        bumped.alias("total_price"),
+    )
+    a_d = o.filter(ok % 5 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(3_000_000_000) + ok).alias("seq"),
+        *o.columns,
+    )
+    base = tempfile.mkdtemp(prefix="cdc_minmax_view_")
+    try:
+        view = CdcMinMaxView(
+            spark, base, key="cust_key", pk="order_key", val="total_price"
+        )
+        view.merge(a0, 0)
+        view.merge(a_u1.unionByName(a_u2).unionByName(a_d), 1)
+        out = view.snapshot().select(
+            "cust_key",
+            F.col("n").alias("n_orders"),
+            F.col("vmin").cast("double").alias("min_spend"),
+            F.col("vmax").cast("double").alias("max_spend"),
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "q194_cdc_join_view",
     oracle="""
 WITH o_final AS (

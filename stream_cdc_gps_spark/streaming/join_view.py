@@ -355,3 +355,116 @@ class CdcAggregateView:
                 .filter(F.col("dn") != 0)
             )
             self.v_store.compact(folded)
+
+
+class CdcMinMaxView:
+    """CDC-aware incremental MIN/MAX view: V = SELECT key, count(*),
+    min(val), max(val) FROM A GROUP BY key under op ∈ {c,u,d} — the
+    NON-LINEAR aggregate case. MIN/MAX are not invertible: deleting the
+    row that held a key's minimum cannot be retracted with a −1 partial
+    (the new minimum is whatever survives — the "support set" problem
+    every IVM paper treats separately from the linear aggregates). The
+    standard answer, and this implementation: per batch, recompute the
+    aggregate ONLY for the keys the batch touches, from those keys'
+    post-batch state:
+
+        touched = keys of the batch's old ∪ new images
+        ΔV_t    = SELECT key, count(*), min(val), max(val)
+                  FROM state_after SEMI JOIN touched GROUP BY key
+                  (keys touched but left empty land an n = 0 row)
+
+    and the view store keeps the LATEST row per key (``bseq`` =
+    batch id; ``snapshot()`` is latest-per-key, n > 0). Aggregate work
+    is O(touched keys' state): post-batch images derive from the
+    pre-batch snapshot (state minus batch pks, plus the batch's alive
+    images) — never a re-window of history — and only touched keys
+    reach the GROUP BY; compacting the changelog to latest-per-pk makes
+    the snapshot read itself the base-table scan, which a key-bucketed
+    layout prunes at scale. Replay lands the same recomputed rows in
+    the same batch partition (idempotent overwrite); a torn
+    view/changelog write heals on replay like the siblings. Input
+    contract: (op string, seq bigint, pk, key, val, ...), seq globally
+    monotone."""
+
+    def __init__(self, spark: SparkSession, base: str, key: str, pk: str, val: str):
+        self.spark = spark
+        self.key = key
+        self.pk = pk
+        self.val = val
+        self.a_store = BatchPartialStore(spark, f"{base}/a")
+        self.v_store = BatchPartialStore(spark, f"{base}/v")
+
+    def merge(self, batch: DataFrame, batch_id: int) -> None:
+        cdc = batch.localCheckpoint()
+        state = cdc_state(self.a_store, batch_id, self.pk)
+        # post-batch alive images: the batch's last image per pk wins
+        # over the pre-batch snapshot (delete-wins within the batch)
+        new_alive = (
+            cdc_latest(cdc, self.pk).filter(F.col("op") != "d").drop("op", "seq")
+        )
+        batch_pks = cdc.select(self.pk).distinct()
+        if state is None:
+            after = new_alive
+            touched = new_alive.select(self.key)
+        else:
+            after = state.join(batch_pks, self.pk, "left_anti").unionByName(
+                new_alive
+            )
+            # touched keys: every key an old or new image of this batch
+            # names (a key-moving update touches both)
+            touched = new_alive.select(self.key).unionByName(
+                state.join(batch_pks, self.pk, "left_semi").select(self.key)
+            )
+        touched = touched.distinct().localCheckpoint()
+        recomputed = (
+            after.join(touched, self.key, "left_semi")
+            .groupBy(self.key)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min(self.val).alias("vmin"),
+                F.max(self.val).alias("vmax"),
+            )
+        )
+        # keys touched but now EMPTY must land an n=0 row — the latest-
+        # per-key read otherwise resurrects their previous aggregate
+        emptied = touched.join(recomputed, self.key, "left_anti").select(
+            self.key,
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(None).cast(recomputed.schema["vmin"].dataType).alias("vmin"),
+            F.lit(None).cast(recomputed.schema["vmax"].dataType).alias("vmax"),
+        )
+        dv = recomputed.unionByName(emptied).withColumn(
+            "bseq", F.lit(int(batch_id))
+        )
+        self.v_store.land(dv, batch_id)
+        self.a_store.land(cdc, batch_id)
+
+    def snapshot(self) -> DataFrame:
+        """(key, n, vmin, vmax) for every net-present group — equal to
+        the batch GROUP BY over the CDC-upserted final table (q197)."""
+        rows = self.v_store.rows()
+        if rows is None:
+            raise ValueError("no batches have landed yet")
+        w = Window.partitionBy(self.key).orderBy(F.desc("bseq"))
+        return (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("n") > 0))
+            .drop("_rn", "bseq")
+        )
+
+    def n_partials(self) -> int:
+        return self.v_store.n_partials()
+
+    def compact(self) -> None:
+        rows = self.a_store.rows()
+        if rows is not None:
+            self.a_store.compact(cdc_latest(rows, self.pk))
+        rows = self.v_store.rows()
+        if rows is not None:
+            w = Window.partitionBy(self.key).orderBy(F.desc("bseq"))
+            folded = (
+                rows.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) & (F.col("n") > 0))
+                .drop("_rn")
+            )
+            self.v_store.compact(folded)

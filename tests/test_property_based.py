@@ -521,6 +521,7 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
     from stream_cdc_gps_spark.streaming.join_view import (
         CdcAggregateView,
         CdcJoinView,
+        CdcMinMaxView,
     )
 
     ops_a, ops_b, split_raw = ex
@@ -557,6 +558,13 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
         e[0] += 1
         e[1] += v
     agg_golden = sorted((k, e[0], e[1]) for k, e in agg.items())
+    mm: dict[int, list] = {}
+    for pk, (k, v) in a_state.items():
+        e = mm.setdefault(k, [0, None, None])
+        e[0] += 1
+        e[1] = v if e[1] is None else min(e[1], v)
+        e[2] = v if e[2] is None else max(e[2], v)
+    mm_golden = sorted((k, e[0], e[1], e[2]) for k, e in mm.items())
 
     a_schema = "op string, seq long, oid long, k long, v decimal(18,2)"
     b_schema = "op string, seq long, k long, b_name string"
@@ -564,6 +572,7 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
     try:
         jv = CdcJoinView(spark, f"{base}/j", key="k", a_pk="oid", b_pk="k")
         av = CdcAggregateView(spark, f"{base}/g", key="k", pk="oid", val="v")
+        mv = CdcMinMaxView(spark, f"{base}/m", key="k", pk="oid", val="v")
         for bid, (alo, ahi, blo, bhi) in enumerate(
             [(0, sa, 0, sb), (sa, len(a_rows), sb, len(b_rows))]
         ):
@@ -573,6 +582,7 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
                 bid,
             )
             av.merge(spark.createDataFrame(a_rows[alo:ahi], a_schema), bid)
+            mv.merge(spark.createDataFrame(a_rows[alo:ahi], a_schema), bid)
         try:
             got_join = sorted(
                 (r.oid, r.k, r.v, r.b_name)
@@ -588,5 +598,12 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
         except ValueError:
             got_agg = []
         assert got_agg == agg_golden
+        try:
+            got_mm = sorted(
+                (r.k, r.n, r.vmin, r.vmax) for r in mv.snapshot().collect()
+            )
+        except ValueError:
+            got_mm = []
+        assert got_mm == mm_golden
     finally:
         shutil.rmtree(base, ignore_errors=True)

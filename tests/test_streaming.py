@@ -1897,6 +1897,72 @@ def test_cdc_aggregate_view_retracts_exactly(spark, tmp_path):
     assert rows() == [(1, 1, D("7.77")), (2, 1, D("10.00"))]
 
 
+def test_cdc_minmax_view_recomputes_touched_keys(spark, tmp_path):
+    """The non-linear (support-set) case: deleting the row that held a
+    key's min/max yields the SURVIVOR's aggregate (no −1 retraction
+    exists); a key-moving update recomputes both keys; an emptied key's
+    n=0 row supersedes its stale aggregate (and a re-insert revives it);
+    torn view writes heal on replay; compaction preserves the snapshot."""
+    import os
+    import shutil
+    from decimal import Decimal
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcMinMaxView
+
+    schema = "op string, seq long, oid long, k long, v decimal(18,2)"
+    D = Decimal
+    view = CdcMinMaxView(spark, str(tmp_path / "mmv"), key="k", pk="oid", val="v")
+    rows = lambda: sorted(
+        (r.k, r.n, r.vmin, r.vmax) for r in view.snapshot().collect()
+    )
+
+    b0 = [
+        ("c", 1, 10, 1, D("1.00")),  # key 1's minimum
+        ("c", 2, 11, 1, D("5.00")),
+        ("c", 3, 12, 1, D("9.00")),  # key 1's maximum
+        ("c", 4, 13, 2, D("4.00")),
+    ]
+    view.merge(spark.createDataFrame(b0, schema), 0)
+    assert rows() == [(1, 3, D("1.00"), D("9.00")), (2, 1, D("4.00"), D("4.00"))]
+
+    # delete the min-holder AND move the max-holder to key 2: key 1 must
+    # re-derive BOTH extremes from its survivor, key 2 absorbs the mover
+    b1 = [("d", 10, 10, 1, D("1.00")), ("u", 11, 12, 2, D("9.00"))]
+    view.merge(spark.createDataFrame(b1, schema), 1)
+    golden = [(1, 1, D("5.00"), D("5.00")), (2, 2, D("4.00"), D("9.00"))]
+    assert rows() == golden
+
+    # empty key 1 entirely — its group must vanish, not go stale
+    view.merge(
+        spark.createDataFrame([("d", 20, 11, 1, D("5.00"))], schema), 2
+    )
+    after_empty = [(2, 2, D("4.00"), D("9.00"))]
+    assert rows() == after_empty
+
+    # torn write: batch 2's view rows vanish, changelog survived
+    shutil.rmtree(os.path.join(view.v_store.partials_path, "batch_id=2"))
+    assert rows() == golden  # stale pre-2 state visible again
+    view.merge(
+        spark.createDataFrame([("d", 20, 11, 1, D("5.00"))], schema), 2
+    )
+    assert rows() == after_empty
+
+    # compaction folds both stores; snapshot invariant; replay refused
+    view.compact()
+    assert view.n_partials() == 1
+    assert rows() == after_empty
+    view.merge(
+        spark.createDataFrame([("d", 20, 11, 1, D("5.00"))], schema), 2
+    )
+    assert rows() == after_empty
+
+    # revival on the compacted base: a new key-1 row recreates the group
+    view.merge(
+        spark.createDataFrame([("c", 30, 20, 1, D("2.50"))], schema), 3
+    )
+    assert rows() == [(1, 1, D("2.50"), D("2.50"))] + after_empty
+
+
 def test_corpus_ingest_composition_matches_batch(spark, tmp_path):
     """The composed ingest handler: ONE two-batch document stream drives
     the quality gate plus all four incremental indexes, and every store
