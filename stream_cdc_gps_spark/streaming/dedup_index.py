@@ -261,3 +261,20 @@ class IncrementalLshIndex:
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         )
+
+    def telemetry(self) -> DataFrame:
+        """One-row store health summary (the q164 cap-telemetry pattern
+        for the incremental store): live posting rows, live bucket count,
+        and TOMBSTONED (dead) bucket count — the number an operator
+        watches to see boilerplate keys being capped instead of
+        accumulating state. One aggregate over the postings store."""
+        tomb = F.col("doc_id") == _TOMBSTONE_DOC
+        return self.spark.read.parquet(self.postings_path).agg(
+            F.sum(F.when(~tomb, 1).otherwise(0))
+            .cast("bigint")
+            .alias("posting_rows"),
+            F.count_distinct(
+                F.when(~tomb, F.concat_ws("|", "band", "band_key"))
+            ).alias("live_buckets"),
+            F.sum(tomb.cast("int")).cast("bigint").alias("dead_buckets"),
+        )

@@ -205,16 +205,16 @@ class CdcJoinView:
     ) -> DataFrame:
         return cdc_delta(batch, state, pk, wcol)
 
-    def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
-        da_cdc = a_batch.localCheckpoint()
-        db_cdc = b_batch.localCheckpoint()
-        a_old = self._state(self.a_store, batch_id, self.a_pk)
-        b_old = self._state(self.b_store, batch_id, self.b_pk)
-        da = self._delta(da_cdc, a_old, self.a_pk, "_wa")
-        db = self._delta(db_cdc, b_old, self.b_pk, "_wb")
-
-        # Three bilinear terms, every one an equi join on the view key;
-        # weights multiply through (state sides are implicitly +1).
+    def _view_delta(
+        self,
+        da: DataFrame,
+        db: DataFrame,
+        a_old: DataFrame | None,
+        b_old: DataFrame | None,
+    ) -> DataFrame:
+        """The three bilinear terms, every one an EQUI join on the view
+        key; weights multiply through (state sides are implicitly +1).
+        Exposed separately so tests/test_plans.py can pin the plan."""
         dm = da.join(db, self.key).withColumn("w", F.col("_wa") * F.col("_wb"))
         if b_old is not None:
             dm = dm.unionByName(
@@ -226,7 +226,16 @@ class CdcJoinView:
                 a_old.join(db, self.key).withColumn("w", F.col("_wb")),
                 allowMissingColumns=True,
             )
-        dm = dm.drop("_wa", "_wb")
+        return dm.drop("_wa", "_wb")
+
+    def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
+        da_cdc = a_batch.localCheckpoint()
+        db_cdc = b_batch.localCheckpoint()
+        a_old = self._state(self.a_store, batch_id, self.a_pk)
+        b_old = self._state(self.b_store, batch_id, self.b_pk)
+        da = self._delta(da_cdc, a_old, self.a_pk, "_wa")
+        db = self._delta(db_cdc, b_old, self.b_pk, "_wb")
+        dm = self._view_delta(da, db, a_old, b_old)
         # Land the view DELTA first, then the two changelogs: any torn
         # combination is healed by replay (rows_before(t) never sees t).
         self.m_store.land(dm, batch_id)

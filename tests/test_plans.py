@@ -563,6 +563,42 @@ def test_q190_store_search_plan_matches_live_encode(spark, tmp_path):
     assert "Scan parquet" in p  # the base side IS the store, not a recompute
 
 
+def test_cdc_view_delta_terms_are_equi_joins(spark, tmp_path):
+    """q194/q196/q197's 100 TB contract: every delta-maintenance term is
+    a KEY-EQUI join (hash-joinable, partition-prunable at scale) — no
+    cartesian product, no non-equi join condition anywhere in the merge
+    plan, and the per-batch work never re-joins history against history
+    (both delta sides derive from the micro-batch, state enters only as
+    one equi side per term)."""
+    from stream_cdc_gps_spark.streaming.join_view import (
+        CdcJoinView,
+        cdc_delta,
+        cdc_state,
+    )
+
+    a_schema = "op string, seq long, oid long, k long, a_val string"
+    b_schema = "op string, seq long, k long, b_name string"
+    view = CdcJoinView(
+        spark, str(tmp_path / "jv"), key="k", a_pk="oid", b_pk="k"
+    )
+    view.merge(
+        spark.createDataFrame([("c", 1, 10, 1, "a")], a_schema),
+        spark.createDataFrame([("c", 1, 1, "Alice")], b_schema),
+        0,
+    )
+    a1 = spark.createDataFrame([("u", 10, 10, 2, "a2")], a_schema)
+    b1 = spark.createDataFrame([("d", 10, 1, "Alice")], b_schema)
+    a_old = cdc_state(view.a_store, 1, "oid")
+    b_old = cdc_state(view.b_store, 1, "k")
+    da = cdc_delta(a1.localCheckpoint(), a_old, "oid", "_wa")
+    db = cdc_delta(b1.localCheckpoint(), b_old, "k", "_wb")
+    p = plan_string(view._view_delta(da, db, a_old, b_old))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # all three bilinear terms survive into the plan as joins
+    assert p.count("Join") >= 3
+
+
 def test_q192_mixture_rates_broadcast_corpus_map_only(spark):
     """The rate table must broadcast onto the corpus pass (equi join on
     source, no corpus-side shuffle before membership). Shuffle-exchange

@@ -1031,6 +1031,10 @@ def test_incremental_lsh_dead_bucket_state_is_bounded(spark, tmp_path):
     assert spark.read.parquet(idx.postings_path).count() == 3
     assert idx.pairs().count() == 0
 
+    # telemetry surfaces the tombstone state as numbers
+    t = idx.telemetry().collect()[0]
+    assert (t.posting_rows, t.live_buckets, t.dead_buckets) == (0, 0, 3)
+
 
 def test_incremental_cms_streaming_matches_batch(spark, tmp_path):
     """Streaming CMS maintenance: documents fed as two micro-batches
