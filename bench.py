@@ -103,6 +103,7 @@ SPOTLIGHT = [
     "q195_vector_index_retrain",
     "q196_cdc_aggregate_view",
     "q197_cdc_minmax_view",
+    "q198_cdc_left_join_view",
 ]
 
 HEADLINE = PERMANENT + SPOTLIGHT

@@ -1647,6 +1647,115 @@ def q196_cdc_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q198_cdc_left_join_view",
+    oracle="""
+WITH o_final AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+                ELSE o_custkey END AS cust_key,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0e0
+                ELSE o_totalprice END AS total_price
+    FROM orders WHERE o_orderkey % 5 <> 0
+),
+c_final AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN c_name || '*'
+                ELSE c_name END AS cust_name
+    FROM customer WHERE c_custkey % 11 <> 0
+)
+SELECT o.o_orderkey AS order_key, o.cust_key AS cust_key,
+       c.cust_name AS cust_name, o.total_price AS total_price
+FROM o_final o LEFT JOIN c_final c ON c.c_custkey = o.cust_key
+""",
+)
+def q198_cdc_left_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-AWARE LEFT-JOIN-VIEW PARITY — the outer-join face of the IVM
+    family (q194 covers inner): null-padding is an EXISTENCE indicator,
+    so a customer delete (% 11) must flip every one of their orders to
+    null-padded and a (re)insert must unflip them — no per-row ±1
+    retraction expresses that; streaming/join_view.CdcLeftJoinView
+    recomputes only the touched keys per merge and versions the view by
+    key. Same changelog script as q194 on both sides; the key-moving
+    updates (% 13 reassign to cust_key + 1, which may not exist) are
+    what create unmatched orders mid-stream. Oracle is the plain batch
+    LEFT JOIN over the CDC-upserted final tables — null padding
+    included in the hash comparison.
+
+    Scale: per-batch work is O(touched keys' state on both sides), all
+    key-equi joins against latest-per-pk snapshots; torn-write healing
+    and key-versioned supersession are pytest-pinned alongside the
+    q194/q196/q197 siblings."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcLeftJoinView
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"), F.col("c_name").alias("cust_name")
+    )
+    ok = F.col("order_key")
+    ck = F.col("cust_key")
+    a0 = o.select(F.lit("c").alias("op"), ok.alias("seq"), *o.columns)
+    b0 = c.select(F.lit("c").alias("op"), ck.alias("seq"), *c.columns)
+    bumped = F.when(ok % 7 == 0, F.col("total_price") + F.lit(1.0e0)).otherwise(
+        F.col("total_price")
+    )
+    a_u1 = o.filter(ok % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + ok).alias("seq"),
+        ok,
+        ck,
+        (F.col("total_price") + F.lit(1.0e0)).alias("total_price"),
+    )
+    a_u2 = o.filter(ok % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + ok).alias("seq"),
+        ok,
+        (ck + 1).alias("cust_key"),
+        bumped.alias("total_price"),
+    )
+    a_d = o.filter(ok % 5 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(3_000_000_000) + ok).alias("seq"),
+        *o.columns,
+    )
+    b_u = c.filter(ck % 3 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + ck).alias("seq"),
+        ck,
+        F.concat(F.col("cust_name"), F.lit("*")).alias("cust_name"),
+    )
+    b_d = c.filter(ck % 11 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(2_000_000_000) + ck).alias("seq"),
+        *c.columns,
+    )
+    base = tempfile.mkdtemp(prefix="cdc_lj_view_")
+    try:
+        view = CdcLeftJoinView(
+            spark, base, key="cust_key", a_pk="order_key", b_pk="cust_key"
+        )
+        view.merge(a0, b0, 0)
+        view.merge(
+            a_u1.unionByName(a_u2).unionByName(a_d),
+            b_u.unionByName(b_d),
+            1,
+        )
+        out = view.snapshot().select(
+            "order_key", "cust_key", "cust_name", "total_price"
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "q197_cdc_minmax_view",
     oracle="""
 WITH o_final AS (

@@ -82,16 +82,17 @@ DRIVER_WINDOW = 50
 #     they were bumped from the r7 window by the late q190-q193
 #     additions) — after this round no query's newest official row
 #     predates r4;
-# (c) the 15 oldest r4-era rows in registration order (q01 and q82
-#     trimmed from the tail as q196/q197 joined group (a) — the 48-entry
-#     cap). All rows outside the window remain covered by the clean-tree
-#     full-sim certificates at both scale factors.
+# (c) the 14 oldest r4-era rows in registration order (q01/q82/q80
+#     trimmed from the tail as q196/q197/q198 joined group (a) — the
+#     48-entry cap). All rows outside the window remain covered by the
+#     clean-tree full-sim certificates at both scale factors.
 _PRIORITY: list[str] = [
     # (a) changed or added in r8
     "q194_cdc_join_view",
     "q195_vector_index_retrain",
     "q196_cdc_aggregate_view",
     "q197_cdc_minmax_view",
+    "q198_cdc_left_join_view",
     "q177_lsh_incremental_parity",
     "q189_corpus_ingest_parity",
     "q190_ivfpq_incremental_index",
@@ -137,7 +138,6 @@ _PRIORITY: list[str] = [
     "q156_stop_detection",
     "q157_od_matrix",
     "q158_zorder_morton",
-    "q80_media_metadata",
 ]
 
 

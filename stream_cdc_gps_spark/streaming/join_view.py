@@ -366,6 +366,140 @@ class CdcAggregateView:
             self.v_store.compact(folded)
 
 
+class CdcLeftJoinView:
+    """CDC-aware incremental LEFT OUTER join view: M = A ⟕ B on ``key``
+    under op ∈ {c,u,d} on both sides — the outer-join face of the IVM
+    family, and like MIN/MAX a NON-LINEAR case: whether an A row is
+    null-padded depends on whether ANY B row shares its key (an
+    existence indicator), so a B-side transition between zero and some
+    matches must flip the padding of every A row on that key — there is
+    no per-row ±1 retraction for that. The support-set answer again:
+    per batch, recompute the left join ONLY for the touched keys from
+    both sides' post-batch snapshots,
+
+        touched = keys named by either batch's old ∪ new images
+        ΔV_t    = (A_after ⋉ touched) ⟕ (B_after ⋉ touched)
+
+    and version the view BY KEY: every touched key lands one MARKER row
+    (bseq = batch id) plus its recomputed rows; ``snapshot()`` takes,
+    per key, the rows of the latest batch that recomputed it — so a key
+    whose recompute produced zero rows (all its A rows deleted) is
+    superseded to empty rather than left stale. Work is O(touched keys'
+    state on both sides); post-batch snapshots derive from the
+    pre-batch state (never a history re-window); every join is
+    key-equi. Torn view/changelog writes heal on replay (rows_before(t)
+    never sees t); compaction folds the changelogs to latest-per-pk and
+    the view to each key's latest recompute. Input contract as the
+    siblings: (op string, seq bigint, pk, ...), seq globally monotone,
+    non-key columns disjoint, join key present on both sides."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        key: str,
+        a_pk: str,
+        b_pk: str,
+    ):
+        self.spark = spark
+        self.key = key
+        self.a_pk = a_pk
+        self.b_pk = b_pk
+        self.a_store = BatchPartialStore(spark, f"{base}/a")
+        self.b_store = BatchPartialStore(spark, f"{base}/b")
+        self.v_store = BatchPartialStore(spark, f"{base}/v")
+
+    @staticmethod
+    def _after(
+        cdc: DataFrame, state: DataFrame | None, pk: str
+    ) -> tuple[DataFrame, DataFrame]:
+        """(post-batch alive images, keys this batch touches on this
+        side) — both derived from the pre-batch snapshot plus the
+        batch's last image per pk."""
+        new_alive = (
+            cdc_latest(cdc, pk).filter(F.col("op") != "d").drop("op", "seq")
+        )
+        if state is None:
+            return new_alive, new_alive
+        batch_pks = cdc.select(pk).distinct()
+        after = state.join(batch_pks, pk, "left_anti").unionByName(new_alive)
+        touched = new_alive.unionByName(
+            state.join(batch_pks, pk, "left_semi"), allowMissingColumns=True
+        )
+        return after, touched
+
+    def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
+        da_cdc = a_batch.localCheckpoint()
+        db_cdc = b_batch.localCheckpoint()
+        a_after, a_touch = self._after(
+            da_cdc, cdc_state(self.a_store, batch_id, self.a_pk), self.a_pk
+        )
+        b_after, b_touch = self._after(
+            db_cdc, cdc_state(self.b_store, batch_id, self.b_pk), self.b_pk
+        )
+        touched = (
+            a_touch.select(self.key)
+            .unionByName(b_touch.select(self.key))
+            .distinct()
+            .localCheckpoint()
+        )
+        lj = a_after.join(touched, self.key, "left_semi").join(
+            b_after.join(touched, self.key, "left_semi"), self.key, "left"
+        )
+        data = lj.select(
+            F.lit(False).alias("is_marker"), F.lit(int(batch_id)).alias("bseq"), "*"
+        )
+        markers = touched.select(
+            F.lit(True).alias("is_marker"),
+            F.lit(int(batch_id)).alias("bseq"),
+            self.key,
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in lj.schema.fields
+                if f.name != self.key
+            ],
+        )
+        self.v_store.land(data.unionByName(markers), batch_id)
+        self.a_store.land(da_cdc, batch_id)
+        self.b_store.land(db_cdc, batch_id)
+
+    def snapshot(self) -> DataFrame:
+        """Per key, the rows of the LATEST batch that recomputed it —
+        equal to the batch left join over the CDC-upserted final tables
+        (q198)."""
+        rows = self.v_store.rows()
+        if rows is None:
+            raise ValueError("no batches have landed yet")
+        latest = (
+            rows.filter("is_marker")
+            .groupBy(self.key)
+            .agg(F.max("bseq").alias("bseq"))
+        )
+        return (
+            rows.filter(~F.col("is_marker"))
+            .join(latest, [self.key, "bseq"], "inner")
+            .drop("bseq", "is_marker")
+        )
+
+    def n_partials(self) -> int:
+        return self.v_store.n_partials()
+
+    def compact(self) -> None:
+        for store, pk in ((self.a_store, self.a_pk), (self.b_store, self.b_pk)):
+            rows = store.rows()
+            if rows is not None:
+                store.compact(cdc_latest(rows, pk))
+        rows = self.v_store.rows()
+        if rows is not None:
+            latest = (
+                rows.filter("is_marker")
+                .groupBy(self.key)
+                .agg(F.max("bseq").alias("bseq"))
+            )
+            folded = rows.join(latest, [self.key, "bseq"], "left_semi")
+            self.v_store.compact(folded)
+
+
 class CdcMinMaxView:
     """CDC-aware incremental MIN/MAX view: V = SELECT key, count(*),
     min(val), max(val) FROM A GROUP BY key under op ∈ {c,u,d} — the

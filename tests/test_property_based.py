@@ -521,6 +521,7 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
     from stream_cdc_gps_spark.streaming.join_view import (
         CdcAggregateView,
         CdcJoinView,
+        CdcLeftJoinView,
         CdcMinMaxView,
     )
 
@@ -552,6 +553,9 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
     join_golden = sorted(
         (pk, k, v, b_state[k]) for pk, (k, v) in a_state.items() if k in b_state
     )
+    lj_golden = sorted(
+        (pk, k, v, b_state.get(k)) for pk, (k, v) in a_state.items()
+    )
     agg: dict[int, list] = {}
     for pk, (k, v) in a_state.items():
         e = agg.setdefault(k, [0, Decimal(0)])
@@ -573,6 +577,7 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
         jv = CdcJoinView(spark, f"{base}/j", key="k", a_pk="oid", b_pk="k")
         av = CdcAggregateView(spark, f"{base}/g", key="k", pk="oid", val="v")
         mv = CdcMinMaxView(spark, f"{base}/m", key="k", pk="oid", val="v")
+        lv = CdcLeftJoinView(spark, f"{base}/l", key="k", a_pk="oid", b_pk="k")
         for bid, (alo, ahi, blo, bhi) in enumerate(
             [(0, sa, 0, sb), (sa, len(a_rows), sb, len(b_rows))]
         ):
@@ -583,6 +588,11 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
             )
             av.merge(spark.createDataFrame(a_rows[alo:ahi], a_schema), bid)
             mv.merge(spark.createDataFrame(a_rows[alo:ahi], a_schema), bid)
+            lv.merge(
+                spark.createDataFrame(a_rows[alo:ahi], a_schema),
+                spark.createDataFrame(b_rows[blo:bhi], b_schema),
+                bid,
+            )
         try:
             got_join = sorted(
                 (r.oid, r.k, r.v, r.b_name)
@@ -605,5 +615,13 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
         except ValueError:
             got_mm = []
         assert got_mm == mm_golden
+        try:
+            got_lj = sorted(
+                (r.oid, r.k, r.v, r.b_name)
+                for r in lv.snapshot().select("oid", "k", "v", "b_name").collect()
+            )
+        except ValueError:
+            got_lj = []
+        assert got_lj == lj_golden
     finally:
         shutil.rmtree(base, ignore_errors=True)

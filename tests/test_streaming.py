@@ -1901,6 +1901,92 @@ def test_cdc_aggregate_view_retracts_exactly(spark, tmp_path):
     assert rows() == [(1, 1, D("7.77")), (2, 1, D("10.00"))]
 
 
+def test_cdc_left_join_view_flips_padding(spark, tmp_path):
+    """The outer-join support-set semantics: deleting a key's LAST B row
+    flips every A row on that key to null-padded in one merge,
+    re-inserting flips them back, a key-move to a B-less key pads the
+    mover, emptied keys supersede to empty (not stale), torn view
+    writes heal on replay, and compaction preserves the snapshot."""
+    import os
+    import shutil
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcLeftJoinView
+
+    a_schema = "op string, seq long, oid long, k long, a_val string"
+    b_schema = "op string, seq long, k long, b_name string"
+    view = CdcLeftJoinView(
+        spark, str(tmp_path / "ljv"), key="k", a_pk="oid", b_pk="k"
+    )
+    rows = lambda: sorted(
+        ((r.oid, r.k, r.a_val, r.b_name) for r in
+         view.snapshot().select("oid", "k", "a_val", "b_name").collect()),
+    )
+
+    # batch 0: orders 10/11 on key 1 (matched), 12 on key 9 (B-less)
+    view.merge(
+        spark.createDataFrame(
+            [("c", 1, 10, 1, "a10"), ("c", 2, 11, 1, "a11"),
+             ("c", 3, 12, 9, "a12")], a_schema
+        ),
+        spark.createDataFrame([("c", 1, 1, "Alice")], b_schema),
+        0,
+    )
+    assert rows() == [
+        (10, 1, "a10", "Alice"),
+        (11, 1, "a11", "Alice"),
+        (12, 9, "a12", None),
+    ]
+
+    # batch 1: delete customer 1 -> BOTH its orders flip to padded in
+    # one merge; move order 12 to key 2, which has no customer either
+    view.merge(
+        spark.createDataFrame([("u", 10, 12, 2, "a12")], a_schema),
+        spark.createDataFrame([("d", 10, 1, "Alice")], b_schema),
+        1,
+    )
+    golden = [(10, 1, "a10", None), (11, 1, "a11", None), (12, 2, "a12", None)]
+    assert rows() == golden
+
+    # batch 2: customer 1 returns under a new name -> orders unflip;
+    # delete order 11 entirely
+    view.merge(
+        spark.createDataFrame([("d", 20, 11, 1, "a11")], a_schema),
+        spark.createDataFrame([("c", 20, 1, "Alicia")], b_schema),
+        2,
+    )
+    after2 = [(10, 1, "a10", "Alicia"), (12, 2, "a12", None)]
+    assert rows() == after2
+
+    # torn write: batch 2's view rows vanish, changelogs survived
+    shutil.rmtree(os.path.join(view.v_store.partials_path, "batch_id=2"))
+    assert rows() == golden
+    view.merge(
+        spark.createDataFrame([("d", 20, 11, 1, "a11")], a_schema),
+        spark.createDataFrame([("c", 20, 1, "Alicia")], b_schema),
+        2,
+    )
+    assert rows() == after2
+
+    # compaction folds all three stores; snapshot invariant; replay refused
+    view.compact()
+    assert view.n_partials() == 1
+    assert rows() == after2
+    view.merge(
+        spark.createDataFrame([("d", 20, 11, 1, "a11")], a_schema),
+        spark.createDataFrame([("c", 20, 1, "Alicia")], b_schema),
+        2,
+    )
+    assert rows() == after2
+
+    # growth on the compacted base: key 2 gains a customer -> unpad
+    view.merge(
+        spark.createDataFrame([], a_schema),
+        spark.createDataFrame([("c", 30, 2, "Bob")], b_schema),
+        3,
+    )
+    assert rows() == [(10, 1, "a10", "Alicia"), (12, 2, "a12", "Bob")]
+
+
 def test_cdc_minmax_view_recomputes_touched_keys(spark, tmp_path):
     """The non-linear (support-set) case: deleting the row that held a
     key's min/max yields the SURVIVOR's aggregate (no −1 retraction
