@@ -104,6 +104,8 @@ SPOTLIGHT = [
     "q196_cdc_aggregate_view",
     "q197_cdc_minmax_view",
     "q198_cdc_left_join_view",
+    "q199_cdc_distinct_view",
+    "q200_cdc_topk_view",
 ]
 
 HEADLINE = PERMANENT + SPOTLIGHT

@@ -1965,3 +1965,176 @@ def q194_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+
+@query(
+    "q199_cdc_distinct_view",
+    oracle="""
+WITH o_final AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+                ELSE o_custkey END AS cust_key,
+           CASE WHEN o_orderkey % 7 = 0 THEN '0-REVISED'
+                ELSE o_orderpriority END AS prio
+    FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT cust_key,
+       CAST(count(DISTINCT prio) AS BIGINT) AS n_prios
+FROM o_final GROUP BY cust_key
+""",
+)
+def q199_cdc_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-AWARE COUNT(DISTINCT)-VIEW PARITY — the TWO-LEVEL IVM case
+    (neither q196's linear partials nor q197's touched-key recompute):
+    distinct count is linear only in the SUPPORT of the (key, val)
+    projection, so streaming/join_view.CdcDistinctCountView stacks a
+    per-(customer, priority) alive-count store under the view and
+    derives the view delta from 0↔positive transitions of that support
+    — a delete only decrements the count when it kills a priority's
+    LAST holder. Changelog script: creates, priority rewrites (% 7 →
+    '0-REVISED', introducing a value the initial state never held),
+    key-moving updates (% 13), deletes (% 5). Oracle is the plain
+    COUNT(DISTINCT) over the CDC-upserted final table.
+
+    Scale: level 1 is one |Δ|-keyed aggregate; level 2 touches only the
+    batch's own (key, val) pairs via an equi semi join against the
+    support store — history is never re-scanned (the 100 TB
+    alternative re-runs a global COUNT DISTINCT per trigger).
+    Transition algebra, torn-write healing, and compaction are
+    pytest-pinned alongside the q194-q198 siblings."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcDistinctCountView
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    ok = F.col("order_key")
+    ck = F.col("cust_key")
+    a0 = o.select(F.lit("c").alias("op"), ok.alias("seq"), *o.columns)
+    a_u1 = o.filter(ok % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + ok).alias("seq"),
+        ok,
+        ck,
+        F.lit("0-REVISED").alias("prio"),
+    )
+    revised = F.when(ok % 7 == 0, F.lit("0-REVISED")).otherwise(F.col("prio"))
+    a_u2 = o.filter(ok % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + ok).alias("seq"),
+        ok,
+        (ck + 1).alias("cust_key"),
+        revised.alias("prio"),
+    )
+    a_d = o.filter(ok % 5 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(3_000_000_000) + ok).alias("seq"),
+        *o.columns,
+    )
+    base = tempfile.mkdtemp(prefix="cdc_distinct_view_")
+    try:
+        view = CdcDistinctCountView(
+            spark, base, key="cust_key", pk="order_key", val="prio"
+        )
+        view.merge(a0, 0)
+        view.merge(a_u1.unionByName(a_u2).unionByName(a_d), 1)
+        out = view.snapshot().select(
+            "cust_key", F.col("n_distinct").alias("n_prios")
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q200_cdc_topk_view",
+    oracle="""
+WITH o_final AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+                ELSE o_custkey END AS cust_key,
+           CASE WHEN o_orderkey % 7 = 0 THEN '0-REVISED'
+                ELSE o_orderpriority END AS prio
+    FROM orders WHERE o_orderkey % 5 <> 0
+),
+counts AS (
+    SELECT cust_key, prio, CAST(count(*) AS BIGINT) AS n
+    FROM o_final GROUP BY cust_key, prio
+),
+ranked AS (
+    SELECT cust_key, prio, n,
+           row_number() OVER (PARTITION BY cust_key
+                              ORDER BY n DESC, prio ASC) AS rn
+    FROM counts
+)
+SELECT cust_key, prio, n FROM ranked WHERE rn <= 2
+""",
+)
+def q200_cdc_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-AWARE TOP-K-PER-GROUP VIEW PARITY — the hybrid IVM case
+    composing both maintenance strategies: each customer's 2 most
+    frequent order priorities (count desc, priority asc on ties),
+    maintained by streaming/join_view.CdcTopKView — the per-(customer,
+    priority) support counts update LINEARLY (q196's algebra one level
+    down) while the ranking, an order statistic, recomputes per merge
+    ONLY for touched customers from their post-batch support (q197's
+    support-set algebra one level up). Same changelog script as q199;
+    the deletes and priority rewrites are what reshuffle ranks mid-
+    stream. Oracle is the plain count/rank/filter over the CDC-upserted
+    final table.
+
+    Scale: per-batch work is one |Δ|-keyed aggregate plus a top-k
+    window over ONLY the touched keys' support rows (equi semi join —
+    never a global re-rank); key-versioned supersession, torn-write
+    healing, and compaction are pytest-pinned alongside the siblings."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcTopKView
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    ok = F.col("order_key")
+    ck = F.col("cust_key")
+    a0 = o.select(F.lit("c").alias("op"), ok.alias("seq"), *o.columns)
+    a_u1 = o.filter(ok % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + ok).alias("seq"),
+        ok,
+        ck,
+        F.lit("0-REVISED").alias("prio"),
+    )
+    revised = F.when(ok % 7 == 0, F.lit("0-REVISED")).otherwise(F.col("prio"))
+    a_u2 = o.filter(ok % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + ok).alias("seq"),
+        ok,
+        (ck + 1).alias("cust_key"),
+        revised.alias("prio"),
+    )
+    a_d = o.filter(ok % 5 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(3_000_000_000) + ok).alias("seq"),
+        *o.columns,
+    )
+    base = tempfile.mkdtemp(prefix="cdc_topk_view_")
+    try:
+        view = CdcTopKView(
+            spark, base, key="cust_key", pk="order_key", val="prio", k=2
+        )
+        view.merge(a0, 0)
+        view.merge(a_u1.unionByName(a_u2).unionByName(a_d), 1)
+        out = view.snapshot().select("cust_key", "prio", "n")
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

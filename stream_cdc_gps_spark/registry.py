@@ -73,19 +73,22 @@ DRIVER_WINDOW = 50
 # rows, then start on the oldest r4 rows):
 # (a) queries changed or ADDED in r8 — the staleness gate forces these:
 #     the CDC-aware join view (new q194) and the codebook-refresh
-#     ship-gate (new q195), plus the rows reaching this round's edited
-#     symbols: q177/q189 (dead-bucket tombstones in
+#     ship-gate (new q195), the late-r8 IVM completions (new
+#     q196/q197/q198/q199/q200), plus the rows reaching this round's
+#     edited symbols: q177/q189 (dead-bucket tombstones in
 #     streaming/dedup_index.merge), q190 (generation-aware
 #     vector_index + partial_store.bootstrap), q192 (DECIMAL-quantized
-#     sqrt-weight sum), q193 (join_view module shared with q194/q196);
+#     sqrt-weight sum), q193 (join_view module shared with the CDC
+#     views);
 # (b) the 24 remaining r3-era official rows (q106/q107/q108/q136 first —
 #     they were bumped from the r7 window by the late q190-q193
 #     additions) — after this round no query's newest official row
 #     predates r4;
-# (c) the 14 oldest r4-era rows in registration order (q01/q82/q80
-#     trimmed from the tail as q196/q197/q198 joined group (a) — the
-#     48-entry cap). All rows outside the window remain covered by the
-#     clean-tree full-sim certificates at both scale factors.
+# (c) the 12 oldest r4-era rows in registration order (q01/q82/q80
+#     trimmed as q196/q197/q198 joined group (a), then q157/q158 as
+#     q199/q200 joined — the 48-entry cap). All rows outside the window
+#     remain covered by the clean-tree full-sim certificates at both
+#     scale factors.
 _PRIORITY: list[str] = [
     # (a) changed or added in r8
     "q194_cdc_join_view",
@@ -93,6 +96,8 @@ _PRIORITY: list[str] = [
     "q196_cdc_aggregate_view",
     "q197_cdc_minmax_view",
     "q198_cdc_left_join_view",
+    "q199_cdc_distinct_view",
+    "q200_cdc_topk_view",
     "q177_lsh_incremental_parity",
     "q189_corpus_ingest_parity",
     "q190_ivfpq_incremental_index",
@@ -136,8 +141,6 @@ _PRIORITY: list[str] = [
     "q46_session_window_native",
     "q143_spatial_knn",
     "q156_stop_detection",
-    "q157_od_matrix",
-    "q158_zorder_morton",
 ]
 
 

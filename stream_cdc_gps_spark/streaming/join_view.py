@@ -611,3 +611,272 @@ class CdcMinMaxView:
                 .drop("_rn")
             )
             self.v_store.compact(folded)
+
+
+def cdc_support_delta(
+    cdc: DataFrame, state: DataFrame | None, pk: str, key: str, val: str
+) -> DataFrame:
+    """±-weighted delta of the (key, val) SUPPORT projection: the net
+    change in alive-row count per (key, val) pair contributed by one CDC
+    micro-batch. NULL values are excluded (COUNT(DISTINCT) and top-k
+    semantics both ignore them); pairs whose batch delta nets to zero
+    (a row moves off a value while another moves on) are dropped — they
+    can cause no transition. One |Δ|-keyed partial aggregate."""
+    delta = cdc_delta(cdc, state, pk, "_w").filter(F.col(val).isNotNull())
+    return (
+        delta.groupBy(key, val)
+        .agg(F.sum("_w").cast("bigint").alias("dw"))
+        .filter(F.col("dw") != 0)
+    )
+
+
+class CdcDistinctCountView:
+    """CDC-aware incremental COUNT(DISTINCT) view: V = SELECT key,
+    count(DISTINCT val) FROM A GROUP BY key under op ∈ {c,u,d} — the
+    TWO-LEVEL case every IVM system treats as the canonical non-trivial
+    aggregate: distinct count is not linear in the row Z-set (two rows
+    carrying the same value add once), but it IS linear in the SUPPORT
+    of the (key, val) projection. The standard factoring is a view
+    stacked on a view:
+
+        level 1 (support store S): per (key, val), the net number of
+        alive rows holding that pair — maintained LINEARLY, one
+        |Δ|-keyed aggregate over the ±1-weighted image delta per batch;
+        level 2 (view store V): the distinct count changes by +1 exactly
+        when a pair's net weight transitions 0 → positive and by −1 on
+        positive → 0, so the view delta needs each touched pair's
+        PRE-BATCH net weight — an equi join of the batch's support
+        delta against S (O(|Δ| × touched pairs' partials), never a
+        rescan of the support).
+
+    ``snapshot()`` sums the per-batch transition partials per key and
+    keeps positive groups — equal to the plain COUNT(DISTINCT) over the
+    CDC-upserted final table (driver-checked by q199). Input contract
+    as the siblings: (op string, seq bigint, pk, key, val, ...), seq
+    globally monotone per side. Storage/replay: changelog, support, and
+    view partials live in three ``BatchPartialStore``s; every merge
+    reads all three via ``rows_before(t)`` so a replayed batch lands
+    identical bytes in its own partitions and torn writes heal;
+    compaction folds the changelog to latest-per-pk (d tombstones
+    retained), the support to net weights (zeros dropped), and the view
+    to per-key running counts."""
+
+    def __init__(self, spark: SparkSession, base: str, key: str, pk: str, val: str):
+        self.spark = spark
+        self.key = key
+        self.pk = pk
+        self.val = val
+        self.a_store = BatchPartialStore(spark, f"{base}/a")
+        self.s_store = BatchPartialStore(spark, f"{base}/s")
+        self.v_store = BatchPartialStore(spark, f"{base}/v")
+
+    def _transitions(self, ds: DataFrame, s_pre: DataFrame | None) -> DataFrame:
+        """Per-key distinct-count delta from the batch's support delta:
+        each touched pair's pre-batch net weight (equi join against the
+        support store, touched pairs only) decides a 0↔positive
+        transition. Exposed so tests/test_plans.py can pin the plan."""
+        if s_pre is None:
+            joined = ds.withColumn("w_pre", F.lit(0).cast("bigint"))
+        else:
+            pre = (
+                s_pre.join(
+                    ds.select(self.key, self.val), [self.key, self.val], "left_semi"
+                )
+                .groupBy(self.key, self.val)
+                .agg(F.sum("dw").cast("bigint").alias("w_pre"))
+            )
+            joined = ds.join(pre, [self.key, self.val], "left").withColumn(
+                "w_pre", F.coalesce(F.col("w_pre"), F.lit(0)).cast("bigint")
+            )
+        up = (F.col("w_pre") <= 0) & (F.col("w_pre") + F.col("dw") > 0)
+        down = (F.col("w_pre") > 0) & (F.col("w_pre") + F.col("dw") <= 0)
+        return (
+            joined.select(
+                self.key,
+                F.when(up, F.lit(1))
+                .when(down, F.lit(-1))
+                .otherwise(F.lit(0))
+                .alias("dd"),
+            )
+            .filter(F.col("dd") != 0)
+            .groupBy(self.key)
+            .agg(F.sum("dd").cast("bigint").alias("ddc"))
+        )
+
+    def merge(self, batch: DataFrame, batch_id: int) -> None:
+        cdc = batch.localCheckpoint()
+        state = cdc_state(self.a_store, batch_id, self.pk)
+        ds = cdc_support_delta(
+            cdc, state, self.pk, self.key, self.val
+        ).localCheckpoint()
+        dv = self._transitions(ds, self.s_store.rows_before(batch_id))
+        # View partials first, then support, then changelog: any torn
+        # combination heals on replay (rows_before(t) never sees t).
+        self.v_store.land(dv, batch_id)
+        self.s_store.land(ds, batch_id)
+        self.a_store.land(cdc, batch_id)
+
+    def snapshot(self) -> DataFrame:
+        """(key, n_distinct) for every net-present group — equal to the
+        batch COUNT(DISTINCT) over the CDC-upserted final table (q199)."""
+        rows = self.v_store.rows()
+        if rows is None:
+            raise ValueError("no batches have landed yet")
+        return (
+            rows.groupBy(self.key)
+            .agg(F.sum("ddc").cast("bigint").alias("n_distinct"))
+            .filter(F.col("n_distinct") > 0)
+        )
+
+    def n_partials(self) -> int:
+        return self.v_store.n_partials()
+
+    def compact(self) -> None:
+        rows = self.a_store.rows()
+        if rows is not None:
+            self.a_store.compact(cdc_latest(rows, self.pk))
+        rows = self.s_store.rows()
+        if rows is not None:
+            folded = (
+                rows.groupBy(self.key, self.val)
+                .agg(F.sum("dw").cast("bigint").alias("dw"))
+                .filter(F.col("dw") != 0)
+            )
+            self.s_store.compact(folded)
+        rows = self.v_store.rows()
+        if rows is not None:
+            folded = (
+                rows.groupBy(self.key)
+                .agg(F.sum("ddc").cast("bigint").alias("ddc"))
+                .filter(F.col("ddc") != 0)
+            )
+            self.v_store.compact(folded)
+
+
+class CdcTopKView:
+    """CDC-aware incremental TOP-K-PER-GROUP view: V = the k most
+    frequent values per key (count desc, value asc tie-break) under
+    op ∈ {c,u,d} — the HYBRID case composing both maintenance
+    strategies the family demonstrates:
+
+        level 1 (support store S): per-(key, val) alive-row counts,
+        maintained LINEARLY like ``CdcDistinctCountView`` — one
+        |Δ|-keyed aggregate over the ±1-weighted image delta per batch;
+        level 2: the top-k ranking is an ORDER STATISTIC over a key's
+        support — not linear (evicting the current #k promotes whatever
+        ranks next), so like MIN/MAX the merge recomputes it ONLY for
+        the touched keys, reading those keys' post-batch net support
+        from S (pre-batch partials ⋈ touched keys, plus the batch's
+        own delta — an equi semi join, never a support rescan).
+
+    The view store versions BY KEY with marker rows (the
+    ``CdcLeftJoinView`` idiom, since a key's recompute is a row SET):
+    ``snapshot()`` takes each key's latest recompute, so a key whose
+    values all died supersedes to empty. Equal to the plain
+    count/rank/filter over the CDC-upserted final table
+    (driver-checked by q200). Contract/storage/replay/compaction as
+    the siblings; ties broken (count desc, val asc) so the result is
+    deterministic on both engines."""
+
+    def __init__(
+        self, spark: SparkSession, base: str, key: str, pk: str, val: str, k: int
+    ):
+        self.spark = spark
+        self.key = key
+        self.pk = pk
+        self.val = val
+        self.k = int(k)
+        self.a_store = BatchPartialStore(spark, f"{base}/a")
+        self.s_store = BatchPartialStore(spark, f"{base}/s")
+        self.v_store = BatchPartialStore(spark, f"{base}/v")
+
+    def _topk(
+        self, ds: DataFrame, touched: DataFrame, s_pre: DataFrame | None
+    ) -> DataFrame:
+        """(key, val, n) top-k rows recomputed for the touched keys from
+        their post-batch net support: the support store enters through
+        one equi semi join on the key, the ranking window partitions by
+        key over touched rows only. Exposed so tests/test_plans.py can
+        pin the plan."""
+        if s_pre is None:
+            net_src = ds
+        else:
+            net_src = s_pre.join(touched, self.key, "left_semi").unionByName(ds)
+        net = (
+            net_src.groupBy(self.key, self.val)
+            .agg(F.sum("dw").cast("bigint").alias("n"))
+            .filter(F.col("n") > 0)
+        )
+        w = Window.partitionBy(self.key).orderBy(F.desc("n"), F.asc(self.val))
+        return (
+            net.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.k)
+            .drop("_rn")
+        )
+
+    def merge(self, batch: DataFrame, batch_id: int) -> None:
+        cdc = batch.localCheckpoint()
+        state = cdc_state(self.a_store, batch_id, self.pk)
+        ds = cdc_support_delta(
+            cdc, state, self.pk, self.key, self.val
+        ).localCheckpoint()
+        touched = ds.select(self.key).distinct().localCheckpoint()
+        topk = self._topk(ds, touched, self.s_store.rows_before(batch_id))
+        data = topk.select(
+            F.lit(False).alias("is_marker"),
+            F.lit(int(batch_id)).alias("bseq"),
+            self.key,
+            self.val,
+            "n",
+        )
+        markers = touched.select(
+            F.lit(True).alias("is_marker"),
+            F.lit(int(batch_id)).alias("bseq"),
+            self.key,
+            F.lit(None).cast(topk.schema[self.val].dataType).alias(self.val),
+            F.lit(None).cast("bigint").alias("n"),
+        )
+        self.v_store.land(data.unionByName(markers), batch_id)
+        self.s_store.land(ds, batch_id)
+        self.a_store.land(cdc, batch_id)
+
+    def snapshot(self) -> DataFrame:
+        """(key, val, n) — each key's latest top-k recompute, equal to
+        the batch count/rank/filter over the CDC-upserted final table
+        (q200)."""
+        rows = self.v_store.rows()
+        if rows is None:
+            raise ValueError("no batches have landed yet")
+        latest = (
+            rows.filter("is_marker").groupBy(self.key).agg(F.max("bseq").alias("bseq"))
+        )
+        return (
+            rows.filter(~F.col("is_marker"))
+            .join(latest, [self.key, "bseq"], "inner")
+            .drop("bseq", "is_marker")
+        )
+
+    def n_partials(self) -> int:
+        return self.v_store.n_partials()
+
+    def compact(self) -> None:
+        rows = self.a_store.rows()
+        if rows is not None:
+            self.a_store.compact(cdc_latest(rows, self.pk))
+        rows = self.s_store.rows()
+        if rows is not None:
+            folded = (
+                rows.groupBy(self.key, self.val)
+                .agg(F.sum("dw").cast("bigint").alias("dw"))
+                .filter(F.col("dw") != 0)
+            )
+            self.s_store.compact(folded)
+        rows = self.v_store.rows()
+        if rows is not None:
+            latest = (
+                rows.filter("is_marker")
+                .groupBy(self.key)
+                .agg(F.max("bseq").alias("bseq"))
+            )
+            folded = rows.join(latest, [self.key, "bseq"], "left_semi")
+            self.v_store.compact(folded)

@@ -614,3 +614,39 @@ def test_q192_mixture_rates_broadcast_corpus_map_only(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert exchange_count(df) == 5, p
+
+
+def test_cdc_two_level_views_stay_equi(spark, tmp_path):
+    """q199/q200's 100 TB contract: the level-2 reads — the support meet
+    deciding distinct-count transitions, and the touched-key net support
+    feeding the top-k rerank — reach the support store through KEY-EQUI
+    joins only (hash-joinable, partition-prunable); no cartesian product
+    or nested-loop join anywhere in either derivation."""
+    from stream_cdc_gps_spark.streaming.join_view import (
+        CdcDistinctCountView,
+        CdcTopKView,
+        cdc_state,
+        cdc_support_delta,
+    )
+
+    schema = "op string, seq long, oid long, k long, v string"
+    dv = CdcDistinctCountView(
+        spark, str(tmp_path / "d"), key="k", pk="oid", val="v"
+    )
+    tv = CdcTopKView(spark, str(tmp_path / "t"), key="k", pk="oid", val="v", k=2)
+    b0 = spark.createDataFrame(
+        [("c", 1, 10, 1, "a"), ("c", 2, 11, 2, "b")], schema
+    )
+    dv.merge(b0, 0)
+    tv.merge(b0, 0)
+    b1 = spark.createDataFrame([("u", 10, 10, 1, "b")], schema).localCheckpoint()
+    ds = cdc_support_delta(
+        b1, cdc_state(dv.a_store, 1, "oid"), "oid", "k", "v"
+    ).localCheckpoint()
+    p1 = plan_string(dv._transitions(ds, dv.s_store.rows_before(1)))
+    touched = ds.select("k").distinct().localCheckpoint()
+    p2 = plan_string(tv._topk(ds, touched, tv.s_store.rows_before(1)))
+    for p in (p1, p2):
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "Join" in p  # the support store genuinely enters the plan

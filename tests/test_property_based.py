@@ -520,9 +520,11 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
 
     from stream_cdc_gps_spark.streaming.join_view import (
         CdcAggregateView,
+        CdcDistinctCountView,
         CdcJoinView,
         CdcLeftJoinView,
         CdcMinMaxView,
+        CdcTopKView,
     )
 
     ops_a, ops_b, split_raw = ex
@@ -569,6 +571,21 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
         e[1] = v if e[1] is None else min(e[1], v)
         e[2] = v if e[2] is None else max(e[2], v)
     mm_golden = sorted((k, e[0], e[1], e[2]) for k, e in mm.items())
+    dc: dict[int, set] = {}
+    for pk, (k, v) in a_state.items():
+        dc.setdefault(k, set()).add(v)
+    dc_golden = sorted((k, len(s)) for k, s in dc.items())
+    cnt: dict[tuple, int] = {}
+    for pk, (k, v) in a_state.items():
+        cnt[(k, v)] = cnt.get((k, v), 0) + 1
+    by_key: dict[int, list] = {}
+    for (k, v), n in cnt.items():
+        by_key.setdefault(k, []).append((v, n))
+    tk_golden = sorted(
+        (k, v, n)
+        for k, vs in by_key.items()
+        for v, n in sorted(vs, key=lambda t: (-t[1], t[0]))[:2]
+    )
 
     a_schema = "op string, seq long, oid long, k long, v decimal(18,2)"
     b_schema = "op string, seq long, k long, b_name string"
@@ -578,6 +595,8 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
         av = CdcAggregateView(spark, f"{base}/g", key="k", pk="oid", val="v")
         mv = CdcMinMaxView(spark, f"{base}/m", key="k", pk="oid", val="v")
         lv = CdcLeftJoinView(spark, f"{base}/l", key="k", a_pk="oid", b_pk="k")
+        dv = CdcDistinctCountView(spark, f"{base}/d", key="k", pk="oid", val="v")
+        tv = CdcTopKView(spark, f"{base}/t", key="k", pk="oid", val="v", k=2)
         for bid, (alo, ahi, blo, bhi) in enumerate(
             [(0, sa, 0, sb), (sa, len(a_rows), sb, len(b_rows))]
         ):
@@ -588,6 +607,8 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
             )
             av.merge(spark.createDataFrame(a_rows[alo:ahi], a_schema), bid)
             mv.merge(spark.createDataFrame(a_rows[alo:ahi], a_schema), bid)
+            dv.merge(spark.createDataFrame(a_rows[alo:ahi], a_schema), bid)
+            tv.merge(spark.createDataFrame(a_rows[alo:ahi], a_schema), bid)
             lv.merge(
                 spark.createDataFrame(a_rows[alo:ahi], a_schema),
                 spark.createDataFrame(b_rows[blo:bhi], b_schema),
@@ -623,5 +644,17 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
         except ValueError:
             got_lj = []
         assert got_lj == lj_golden
+        try:
+            got_dc = sorted(
+                (r.k, r.n_distinct) for r in dv.snapshot().collect()
+            )
+        except ValueError:
+            got_dc = []
+        assert got_dc == dc_golden
+        try:
+            got_tk = sorted((r.k, r.v, r.n) for r in tv.snapshot().collect())
+        except ValueError:
+            got_tk = []
+        assert got_tk == tk_golden
     finally:
         shutil.rmtree(base, ignore_errors=True)

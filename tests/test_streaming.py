@@ -2172,3 +2172,135 @@ def test_corpus_ingest_composition_matches_batch(spark, tmp_path):
     # end-to-end replay: every store is idempotent, nothing drifts
     run("ck2")
     assert states() == (lsh, cms, est, n_rows, roll)
+
+
+
+def test_cdc_distinct_count_view_transitions(spark, tmp_path):
+    """The two-level case: the distinct count moves ONLY on 0<->positive
+    transitions of a (key, val) pair's support — deleting one of two
+    holders of a value changes nothing, deleting the last holder
+    decrements, a within-batch value swap (a->b while b->a) nets to a
+    zero support delta and an unchanged view, emptied keys vanish, torn
+    view writes heal on replay, and compaction preserves the snapshot."""
+    import os
+    import shutil
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcDistinctCountView
+
+    schema = "op string, seq long, oid long, k long, v string"
+    view = CdcDistinctCountView(
+        spark, str(tmp_path / "dcv"), key="k", pk="oid", val="v"
+    )
+    rows = lambda: sorted((r.k, r.n_distinct) for r in view.snapshot().collect())
+
+    # batch 0: key 1 holds {a (x2), b}; key 2 holds {x}
+    b0 = [
+        ("c", 1, 10, 1, "a"),
+        ("c", 2, 11, 1, "a"),
+        ("c", 3, 12, 1, "b"),
+        ("c", 4, 13, 2, "x"),
+    ]
+    view.merge(spark.createDataFrame(b0, schema), 0)
+    assert rows() == [(1, 2), (2, 1)]
+
+    # batch 1: delete one 'a' holder (no transition — 11 still holds it);
+    # rewrite 12 from b to a ('b' dies, 'a' gains a duplicate — net −1);
+    # MOVE 13 from key 2 to key 1 with a new value (key 2 empties, key 1
+    # gains 'z')
+    b1 = [
+        ("d", 10, 10, 1, "a"),
+        ("u", 11, 12, 1, "a"),
+        ("u", 12, 13, 1, "z"),
+    ]
+    view.merge(spark.createDataFrame(b1, schema), 1)
+    golden = [(1, 2)]  # key 1 = {a, z}; key 2 gone
+    assert rows() == golden
+
+    # batch 2: a pure value SWAP inside key 1 (11: a->z, 13: z->a) — the
+    # support delta nets to zero pair-wise, so NO view partial changes
+    b2 = [("u", 20, 11, 1, "z"), ("u", 21, 13, 1, "a")]
+    view.merge(spark.createDataFrame(b2, schema), 2)
+    assert rows() == golden
+
+    # torn write: batch 1's view partial vanishes, support/changelog
+    # survived — stale state visible, replay heals
+    shutil.rmtree(os.path.join(view.v_store.partials_path, "batch_id=1"))
+    assert rows() == [(1, 2), (2, 1)]
+    view.merge(spark.createDataFrame(b1, schema), 1)
+    assert rows() == golden
+
+    # compaction folds all three stores; snapshot invariant; replay refused
+    view.compact()
+    assert view.n_partials() == 1
+    assert rows() == golden
+    view.merge(spark.createDataFrame(b1, schema), 1)
+    assert rows() == golden
+
+    # growth on the compacted base: key 2 revives with two fresh values
+    view.merge(
+        spark.createDataFrame([("c", 30, 20, 2, "p"), ("c", 31, 21, 2, "q")], schema),
+        3,
+    )
+    assert rows() == [(1, 2), (2, 2)]
+
+
+def test_cdc_topk_view_reranks_touched_keys(spark, tmp_path):
+    """The hybrid case: support counts maintain linearly while the
+    ranking recomputes per touched key — deleting holders of the #1
+    value demotes it (ties break value-asc), a key-move empties one key
+    (superseded, not stale) and reranks the other, torn view writes
+    heal on replay, and compaction preserves the snapshot."""
+    import os
+    import shutil
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcTopKView
+
+    schema = "op string, seq long, oid long, k long, v string"
+    view = CdcTopKView(
+        spark, str(tmp_path / "tkv"), key="k", pk="oid", val="v", k=2
+    )
+    rows = lambda: sorted((r.k, r.v, r.n) for r in view.snapshot().collect())
+
+    # batch 0: key 1 counts a=3 b=2 c=1; key 2 counts x=1
+    b0 = [
+        ("c", 1, 10, 1, "a"),
+        ("c", 2, 11, 1, "a"),
+        ("c", 3, 12, 1, "a"),
+        ("c", 4, 13, 1, "b"),
+        ("c", 5, 14, 1, "b"),
+        ("c", 6, 15, 1, "c"),
+        ("c", 7, 16, 2, "x"),
+    ]
+    view.merge(spark.createDataFrame(b0, schema), 0)
+    assert rows() == [(1, "a", 3), (1, "b", 2), (2, "x", 1)]
+
+    # batch 1: delete two 'a' holders — counts a=1 b=2 c=1; top2 = b,
+    # then the a/c tie breaks value-asc to a
+    b1 = [("d", 10, 10, 1, "a"), ("d", 11, 11, 1, "a")]
+    view.merge(spark.createDataFrame(b1, schema), 1)
+    golden = [(1, "a", 1), (1, "b", 2), (2, "x", 1)]
+    assert rows() == golden
+
+    # batch 2: MOVE 16 from key 2 to key 1 as a 'c' — key 2 empties
+    # (superseded to empty, not stale), key 1 counts a=1 b=2 c=2
+    b2 = [("u", 20, 16, 1, "c")]
+    view.merge(spark.createDataFrame(b2, schema), 2)
+    after2 = [(1, "b", 2), (1, "c", 2)]
+    assert rows() == after2
+
+    # torn write: batch 2's view rows vanish — stale, replay heals
+    shutil.rmtree(os.path.join(view.v_store.partials_path, "batch_id=2"))
+    assert rows() == golden
+    view.merge(spark.createDataFrame(b2, schema), 2)
+    assert rows() == after2
+
+    # compaction folds all three stores; snapshot invariant; replay refused
+    view.compact()
+    assert view.n_partials() == 1
+    assert rows() == after2
+    view.merge(spark.createDataFrame(b2, schema), 2)
+    assert rows() == after2
+
+    # growth on the compacted base: key 2 revives
+    view.merge(spark.createDataFrame([("c", 30, 17, 2, "y")], schema), 3)
+    assert rows() == after2 + [(2, "y", 1)]
