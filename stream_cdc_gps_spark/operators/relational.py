@@ -2138,3 +2138,137 @@ def q200_cdc_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q201_cdc_view_suite",
+    oracle="""
+WITH o_final AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+                ELSE o_custkey END AS cust_key,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0e0
+                     ELSE o_totalprice END AS DECIMAL(18,2)) AS total_price,
+           CASE WHEN o_orderkey % 7 = 0 THEN '0-REVISED'
+                ELSE o_orderpriority END AS prio
+    FROM orders WHERE o_orderkey % 5 <> 0
+),
+c_final AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 0
+),
+base AS (
+    SELECT cust_key,
+           CAST(count(*) AS BIGINT)         AS n_orders,
+           CAST(sum(total_price) AS DOUBLE) AS total_spend,
+           CAST(min(total_price) AS DOUBLE) AS min_spend,
+           CAST(max(total_price) AS DOUBLE) AS max_spend,
+           CAST(count(DISTINCT prio) AS BIGINT) AS n_prios
+    FROM o_final GROUP BY cust_key
+),
+m AS (
+    SELECT o.cust_key, CAST(count(*) AS BIGINT) AS n_matched
+    FROM o_final o JOIN c_final c ON c.c_custkey = o.cust_key
+    GROUP BY o.cust_key
+)
+SELECT b.cust_key, b.n_orders, b.total_spend, b.min_spend, b.max_spend,
+       b.n_prios, COALESCE(m.n_matched, CAST(0 AS BIGINT)) AS n_matched
+FROM base b LEFT JOIN m ON m.cust_key = b.cust_key
+""",
+)
+def q201_cdc_view_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED CDC-VIEW-SUITE PARITY (the q189 pattern applied to IVM):
+    ONE handler (streaming/join_view.CdcViewSuite) drives all six CDC
+    views — inner join, left join, count/sum, min/max, distinct-count,
+    top-k — off a single delivered changelog pair per batch, with the
+    changelog and support stores SHARED across the family (landed once,
+    not per view — at 100 TB the naive composition multiplies changelog
+    storage and write volume by the view count). The dashboard snapshot
+    joins the per-key views into one row per customer: order count,
+    DECIMAL-exact spend, min/max spend, distinct priorities, and the
+    inner-join match count (0 where the customer record is deleted).
+    Oracle is ONE batch GROUP BY + join over the CDC-upserted final
+    tables. Same changelog script as the q194-q200 siblings on both
+    sides.
+
+    Scale: per batch each view's delta runs against the shared
+    pre-batch state via key-equi joins (the per-view cost shapes of
+    q194-q200, unchanged); torn nine-landing crashes heal on replay
+    exactly as for the single views (pytest-pinned)."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcViewSuite
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("cust_key"))
+    ok = F.col("order_key")
+    ck = F.col("cust_key")
+    raw_price = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("p_raw"),
+    )
+    a0 = o.select(F.lit("c").alias("op"), ok.alias("seq"), *o.columns)
+    b0 = c.select(F.lit("c").alias("op"), ck.alias("seq"), *c.columns)
+    bump = lambda col: (col + F.lit(1.0e0)).cast("decimal(18,2)")
+    with_raw = o.join(raw_price, "order_key")
+    a_u1 = with_raw.filter(ok % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + ok).alias("seq"),
+        ok,
+        ck,
+        bump(F.col("p_raw")).alias("total_price"),
+        F.lit("0-REVISED").alias("prio"),
+    )
+    bumped = F.when(ok % 7 == 0, bump(F.col("p_raw"))).otherwise(
+        F.col("total_price")
+    )
+    revised = F.when(ok % 7 == 0, F.lit("0-REVISED")).otherwise(F.col("prio"))
+    a_u2 = with_raw.filter(ok % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + ok).alias("seq"),
+        ok,
+        (ck + 1).alias("cust_key"),
+        bumped.alias("total_price"),
+        revised.alias("prio"),
+    )
+    a_d = o.filter(ok % 5 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(3_000_000_000) + ok).alias("seq"),
+        *o.columns,
+    )
+    b_d = c.filter(ck % 11 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(2_000_000_000) + ck).alias("seq"),
+        *c.columns,
+    )
+    base = tempfile.mkdtemp(prefix="cdc_suite_")
+    try:
+        suite = CdcViewSuite(
+            spark,
+            base,
+            key="cust_key",
+            a_pk="order_key",
+            b_pk="cust_key",
+            num_val="total_price",
+            cat_val="prio",
+        )
+        suite.merge(a0, b0, 0)
+        suite.merge(a_u1.unionByName(a_u2).unionByName(a_d), b_d, 1)
+        out = suite.snapshot_dashboard().select(
+            "cust_key",
+            F.col("n").alias("n_orders"),
+            F.col("total").cast("double").alias("total_spend"),
+            F.col("vmin").cast("double").alias("min_spend"),
+            F.col("vmax").cast("double").alias("max_spend"),
+            F.col("n_distinct").alias("n_prios"),
+            "n_matched",
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

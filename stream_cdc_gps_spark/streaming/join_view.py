@@ -184,13 +184,21 @@ class CdcJoinView:
         key: str,
         a_pk: str,
         b_pk: str,
+        *,
+        a_store: BatchPartialStore | None = None,
+        b_store: BatchPartialStore | None = None,
+        land_inputs: bool = True,
     ):
         self.spark = spark
         self.key = key
         self.a_pk = a_pk
         self.b_pk = b_pk
-        self.a_store = BatchPartialStore(spark, f"{base}/a")
-        self.b_store = BatchPartialStore(spark, f"{base}/b")
+        # Injectable changelog stores + a landing gate so a composed
+        # handler (CdcViewSuite) can SHARE one changelog across the whole
+        # view family and land it exactly once per batch.
+        self.a_store = a_store or BatchPartialStore(spark, f"{base}/a")
+        self.b_store = b_store or BatchPartialStore(spark, f"{base}/b")
+        self.land_inputs = land_inputs
         self.m_store = BatchPartialStore(spark, f"{base}/m")
 
     @staticmethod
@@ -239,8 +247,9 @@ class CdcJoinView:
         # Land the view DELTA first, then the two changelogs: any torn
         # combination is healed by replay (rows_before(t) never sees t).
         self.m_store.land(dm, batch_id)
-        self.a_store.land(da_cdc, batch_id)
-        self.b_store.land(db_cdc, batch_id)
+        if self.land_inputs:
+            self.a_store.land(da_cdc, batch_id)
+            self.b_store.land(db_cdc, batch_id)
 
     def snapshot(self) -> DataFrame:
         """Net-positive weighted rows — equal to the batch join of the
@@ -310,12 +319,23 @@ class CdcAggregateView:
     per-key running sums (zero-count groups dropped — a later re-insert
     recreates them)."""
 
-    def __init__(self, spark: SparkSession, base: str, key: str, pk: str, val: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        key: str,
+        pk: str,
+        val: str,
+        *,
+        a_store: BatchPartialStore | None = None,
+        land_inputs: bool = True,
+    ):
         self.spark = spark
         self.key = key
         self.pk = pk
         self.val = val
-        self.a_store = BatchPartialStore(spark, f"{base}/a")
+        self.a_store = a_store or BatchPartialStore(spark, f"{base}/a")
+        self.land_inputs = land_inputs
         self.v_store = BatchPartialStore(spark, f"{base}/v")
 
     def merge(self, batch: DataFrame, batch_id: int) -> None:
@@ -329,7 +349,8 @@ class CdcAggregateView:
         # View partials first, then the changelog: torn combinations heal
         # on replay because rows_before(t) never sees partition t.
         self.v_store.land(dv, batch_id)
-        self.a_store.land(cdc, batch_id)
+        if self.land_inputs:
+            self.a_store.land(cdc, batch_id)
 
     def snapshot(self) -> DataFrame:
         """(key, n, total) for every net-present group — equal to the
@@ -400,13 +421,18 @@ class CdcLeftJoinView:
         key: str,
         a_pk: str,
         b_pk: str,
+        *,
+        a_store: BatchPartialStore | None = None,
+        b_store: BatchPartialStore | None = None,
+        land_inputs: bool = True,
     ):
         self.spark = spark
         self.key = key
         self.a_pk = a_pk
         self.b_pk = b_pk
-        self.a_store = BatchPartialStore(spark, f"{base}/a")
-        self.b_store = BatchPartialStore(spark, f"{base}/b")
+        self.a_store = a_store or BatchPartialStore(spark, f"{base}/a")
+        self.b_store = b_store or BatchPartialStore(spark, f"{base}/b")
+        self.land_inputs = land_inputs
         self.v_store = BatchPartialStore(spark, f"{base}/v")
 
     @staticmethod
@@ -460,8 +486,9 @@ class CdcLeftJoinView:
             ],
         )
         self.v_store.land(data.unionByName(markers), batch_id)
-        self.a_store.land(da_cdc, batch_id)
-        self.b_store.land(db_cdc, batch_id)
+        if self.land_inputs:
+            self.a_store.land(da_cdc, batch_id)
+            self.b_store.land(db_cdc, batch_id)
 
     def snapshot(self) -> DataFrame:
         """Per key, the rows of the LATEST batch that recomputed it —
@@ -529,12 +556,23 @@ class CdcMinMaxView:
     contract: (op string, seq bigint, pk, key, val, ...), seq globally
     monotone."""
 
-    def __init__(self, spark: SparkSession, base: str, key: str, pk: str, val: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        key: str,
+        pk: str,
+        val: str,
+        *,
+        a_store: BatchPartialStore | None = None,
+        land_inputs: bool = True,
+    ):
         self.spark = spark
         self.key = key
         self.pk = pk
         self.val = val
-        self.a_store = BatchPartialStore(spark, f"{base}/a")
+        self.a_store = a_store or BatchPartialStore(spark, f"{base}/a")
+        self.land_inputs = land_inputs
         self.v_store = BatchPartialStore(spark, f"{base}/v")
 
     def merge(self, batch: DataFrame, batch_id: int) -> None:
@@ -580,7 +618,8 @@ class CdcMinMaxView:
             "bseq", F.lit(int(batch_id))
         )
         self.v_store.land(dv, batch_id)
-        self.a_store.land(cdc, batch_id)
+        if self.land_inputs:
+            self.a_store.land(cdc, batch_id)
 
     def snapshot(self) -> DataFrame:
         """(key, n, vmin, vmax) for every net-present group — equal to
@@ -661,13 +700,27 @@ class CdcDistinctCountView:
     retained), the support to net weights (zeros dropped), and the view
     to per-key running counts."""
 
-    def __init__(self, spark: SparkSession, base: str, key: str, pk: str, val: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        key: str,
+        pk: str,
+        val: str,
+        *,
+        a_store: BatchPartialStore | None = None,
+        s_store: BatchPartialStore | None = None,
+        land_inputs: bool = True,
+        land_support: bool = True,
+    ):
         self.spark = spark
         self.key = key
         self.pk = pk
         self.val = val
-        self.a_store = BatchPartialStore(spark, f"{base}/a")
-        self.s_store = BatchPartialStore(spark, f"{base}/s")
+        self.a_store = a_store or BatchPartialStore(spark, f"{base}/a")
+        self.s_store = s_store or BatchPartialStore(spark, f"{base}/s")
+        self.land_inputs = land_inputs
+        self.land_support = land_support
         self.v_store = BatchPartialStore(spark, f"{base}/v")
 
     def _transitions(self, ds: DataFrame, s_pre: DataFrame | None) -> DataFrame:
@@ -713,8 +766,10 @@ class CdcDistinctCountView:
         # View partials first, then support, then changelog: any torn
         # combination heals on replay (rows_before(t) never sees t).
         self.v_store.land(dv, batch_id)
-        self.s_store.land(ds, batch_id)
-        self.a_store.land(cdc, batch_id)
+        if self.land_support:
+            self.s_store.land(ds, batch_id)
+        if self.land_inputs:
+            self.a_store.land(cdc, batch_id)
 
     def snapshot(self) -> DataFrame:
         """(key, n_distinct) for every net-present group — equal to the
@@ -779,15 +834,28 @@ class CdcTopKView:
     deterministic on both engines."""
 
     def __init__(
-        self, spark: SparkSession, base: str, key: str, pk: str, val: str, k: int
+        self,
+        spark: SparkSession,
+        base: str,
+        key: str,
+        pk: str,
+        val: str,
+        k: int,
+        *,
+        a_store: BatchPartialStore | None = None,
+        s_store: BatchPartialStore | None = None,
+        land_inputs: bool = True,
+        land_support: bool = True,
     ):
         self.spark = spark
         self.key = key
         self.pk = pk
         self.val = val
         self.k = int(k)
-        self.a_store = BatchPartialStore(spark, f"{base}/a")
-        self.s_store = BatchPartialStore(spark, f"{base}/s")
+        self.a_store = a_store or BatchPartialStore(spark, f"{base}/a")
+        self.s_store = s_store or BatchPartialStore(spark, f"{base}/s")
+        self.land_inputs = land_inputs
+        self.land_support = land_support
         self.v_store = BatchPartialStore(spark, f"{base}/v")
 
     def _topk(
@@ -837,8 +905,10 @@ class CdcTopKView:
             F.lit(None).cast("bigint").alias("n"),
         )
         self.v_store.land(data.unionByName(markers), batch_id)
-        self.s_store.land(ds, batch_id)
-        self.a_store.land(cdc, batch_id)
+        if self.land_support:
+            self.s_store.land(ds, batch_id)
+        if self.land_inputs:
+            self.a_store.land(cdc, batch_id)
 
     def snapshot(self) -> DataFrame:
         """(key, val, n) — each key's latest top-k recompute, equal to
@@ -880,3 +950,118 @@ class CdcTopKView:
             )
             folded = rows.join(latest, [self.key, "bseq"], "left_semi")
             self.v_store.compact(folded)
+
+
+class CdcViewSuite:
+    """One foreachBatch handler driving the WHOLE CDC view family off a
+    single delivered changelog pair — the composed-ingest pattern
+    (streaming/corpus_ingest.py) applied to incremental view
+    maintenance, with the state-sharing a 100 TB deployment requires:
+
+        shared: one A changelog store, one B changelog store, one
+        (key, cat_val) support store — landed ONCE per batch, however
+        many views read them (the naive composition persists the same
+        changelog per view: 6× the write volume and 6× the state);
+        per view: only each view's own delta partitions.
+
+    Members: the inner-join view M = A ⋈ B, the left-join view A ⟕ B,
+    the linear aggregate (count + DECIMAL-exact sum of ``num_val``),
+    min/max of ``num_val``, COUNT(DISTINCT ``cat_val``), and the top-k
+    most frequent ``cat_val`` — every maintenance strategy the family
+    implements, fed by one batch image-delta computation per store.
+
+    ``merge`` runs every view's delta against the SHARED pre-batch
+    state (each reads ``rows_before(t)``, so landing order within the
+    batch is free), then lands the two changelogs last — the
+    torn-write-safe direction for all six views at once: a crash
+    leaving any prefix of the nine landings is healed by Structured
+    Streaming's re-delivery exactly as for the single views
+    (pytest-pinned). ``snapshot_dashboard()`` joins the per-key views
+    into one row per key — equal to the single GROUP BY + join over
+    the CDC-upserted final tables (driver-checked by q201).
+    ``compact()`` folds the shared stores once and each view store by
+    its own algebra (the per-view compacts skip stores another view
+    already folded — a folded store has no live partials)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        key: str,
+        a_pk: str,
+        b_pk: str,
+        num_val: str,
+        cat_val: str,
+        k: int = 2,
+    ):
+        self.spark = spark
+        self.key = key
+        self.a_store = BatchPartialStore(spark, f"{base}/a")
+        self.b_store = BatchPartialStore(spark, f"{base}/b")
+        self.s_store = BatchPartialStore(spark, f"{base}/s")
+        share = {"a_store": self.a_store, "land_inputs": False}
+        self.join = CdcJoinView(
+            spark, f"{base}/join", key, a_pk, b_pk, b_store=self.b_store, **share
+        )
+        self.left = CdcLeftJoinView(
+            spark, f"{base}/left", key, a_pk, b_pk, b_store=self.b_store, **share
+        )
+        self.agg = CdcAggregateView(spark, f"{base}/agg", key, a_pk, num_val, **share)
+        self.minmax = CdcMinMaxView(spark, f"{base}/mm", key, a_pk, num_val, **share)
+        self.distinct = CdcDistinctCountView(
+            spark, f"{base}/dc", key, a_pk, cat_val, s_store=self.s_store, **share
+        )
+        self.topk = CdcTopKView(
+            spark,
+            f"{base}/tk",
+            key,
+            a_pk,
+            cat_val,
+            k,
+            s_store=self.s_store,
+            land_support=False,  # the distinct view lands the shared support
+            **share,
+        )
+
+    def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
+        da = a_batch.localCheckpoint()
+        db = b_batch.localCheckpoint()
+        self.join.merge(da, db, batch_id)
+        self.left.merge(da, db, batch_id)
+        self.agg.merge(da, batch_id)
+        self.minmax.merge(da, batch_id)
+        self.distinct.merge(da, batch_id)  # lands the shared support delta
+        self.topk.merge(da, batch_id)
+        # The shared changelogs land LAST — every view's delta for any
+        # replayed batch recomputes against rows_before(t), so a crash
+        # after any prefix of the landings re-lands identical bytes.
+        self.a_store.land(da, batch_id)
+        self.b_store.land(db, batch_id)
+
+    def snapshot_dashboard(self) -> DataFrame:
+        """One row per net-present key: (key, n, total, vmin, vmax,
+        n_distinct, n_matched) — the linear aggregate, min/max,
+        distinct-count, and inner-join-match-count views joined on the
+        key (their key sets coincide: each is exactly the alive keys;
+        the match count is 0 for keys with no B-side partner)."""
+        g = self.agg.snapshot()
+        x = self.minmax.snapshot().drop("n")
+        d = self.distinct.snapshot()
+        jm = (
+            self.join.snapshot()
+            .groupBy(self.key)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+        )
+        return (
+            g.join(x, self.key)
+            .join(d, self.key)
+            .join(jm, self.key, "left")
+            .na.fill({"n_matched": 0})
+        )
+
+    def n_partials(self) -> int:
+        return self.a_store.n_partials()
+
+    def compact(self) -> None:
+        for view in (self.join, self.left, self.agg, self.minmax, self.distinct, self.topk):
+            view.compact()

@@ -2304,3 +2304,111 @@ def test_cdc_topk_view_reranks_touched_keys(spark, tmp_path):
     # growth on the compacted base: key 2 revives
     view.merge(spark.createDataFrame([("c", 30, 17, 2, "y")], schema), 3)
     assert rows() == after2 + [(2, "y", 1)]
+
+
+def test_cdc_view_suite_composes_and_shares_state(spark, tmp_path):
+    """The composed handler: one changelog pair drives all six CDC views
+    with the changelog and support stores landed ONCE (shared — no
+    per-view copy exists on disk); every member snapshot equals the
+    same view maintained standalone over the same batches; a torn
+    multi-landing crash (shared changelog + one view store lost) heals
+    on replay; compaction preserves the dashboard."""
+    import os
+    import shutil
+
+    from stream_cdc_gps_spark.streaming.join_view import (
+        CdcAggregateView,
+        CdcDistinctCountView,
+        CdcMinMaxView,
+        CdcTopKView,
+        CdcViewSuite,
+    )
+
+    a_schema = "op string, seq long, oid long, k long, v decimal(18,2), c string"
+    b_schema = "op string, seq long, k long"
+    from decimal import Decimal as D
+
+    a0 = [
+        ("c", 1, 10, 1, D("1.00"), "p"),
+        ("c", 2, 11, 1, D("5.00"), "p"),
+        ("c", 3, 12, 2, D("9.00"), "q"),
+    ]
+    b0 = [("c", 1, 1)]
+    a1 = [
+        ("u", 10, 10, 2, D("2.00"), "r"),  # key move 1->2, new category
+        ("d", 11, 12, 2, D("9.00"), "q"),  # delete key 2's only 'q'
+    ]
+    b1 = [("d", 10, 1)]  # customer 1 vanishes: key 1 loses its match
+    mk = lambda rows, s: spark.createDataFrame(rows, s)
+
+    base = str(tmp_path / "suite")
+    suite = CdcViewSuite(
+        spark, base, key="k", a_pk="oid", b_pk="k", num_val="v", cat_val="c"
+    )
+    suite.merge(mk(a0, a_schema), mk(b0, b_schema), 0)
+    suite.merge(mk(a1, a_schema), mk(b1, b_schema), 1)
+
+    # shared state on disk exactly once: the suite-level changelog and
+    # support stores have partials, the per-view copies were never created
+    assert os.path.isdir(os.path.join(base, "a", "partials"))
+    assert os.path.isdir(os.path.join(base, "s", "partials"))
+    for sub in ("join/a", "left/a", "agg/a", "mm/a", "dc/a", "dc/s", "tk/a", "tk/s"):
+        assert not os.path.exists(os.path.join(base, sub))
+
+    # member snapshots == the same views maintained standalone
+    sa = CdcAggregateView(spark, str(tmp_path / "sa"), key="k", pk="oid", val="v")
+    sm = CdcMinMaxView(spark, str(tmp_path / "sm"), key="k", pk="oid", val="v")
+    sd = CdcDistinctCountView(spark, str(tmp_path / "sd"), key="k", pk="oid", val="c")
+    st_ = CdcTopKView(spark, str(tmp_path / "st"), key="k", pk="oid", val="c", k=2)
+    for bid, rows_ in ((0, a0), (1, a1)):
+        for v in (sa, sm, sd, st_):
+            v.merge(mk(rows_, a_schema), bid)
+    snap = lambda df, cols: sorted(map(tuple, df.select(*cols).collect()))
+    assert snap(suite.agg.snapshot(), ["k", "n", "total"]) == snap(
+        sa.snapshot(), ["k", "n", "total"]
+    )
+    assert snap(suite.minmax.snapshot(), ["k", "n", "vmin", "vmax"]) == snap(
+        sm.snapshot(), ["k", "n", "vmin", "vmax"]
+    )
+    assert snap(suite.distinct.snapshot(), ["k", "n_distinct"]) == snap(
+        sd.snapshot(), ["k", "n_distinct"]
+    )
+    assert snap(suite.topk.snapshot(), ["k", "c", "n"]) == snap(
+        st_.snapshot(), ["k", "c", "n"]
+    )
+
+    # dashboard: key 1 empty after the move? no — 11 stays on key 1
+    dash = lambda: sorted(
+        map(
+            tuple,
+            suite.snapshot_dashboard()
+            .select("k", "n", "total", "vmin", "vmax", "n_distinct", "n_matched")
+            .collect(),
+        )
+    )
+    golden = [
+        (1, 1, D("5.00"), D("5.00"), D("5.00"), 1, 0),  # b1 deleted its match
+        (2, 1, D("2.00"), D("2.00"), D("2.00"), 1, 0),
+    ]
+    assert dash() == golden
+
+    # torn write: batch 1 of the SHARED changelog and of one view store
+    # vanish together — replay heals every member at once
+    shutil.rmtree(os.path.join(base, "a", "partials", "batch_id=1"))
+    shutil.rmtree(os.path.join(base, "agg", "v", "partials", "batch_id=1"))
+    suite.merge(mk(a1, a_schema), mk(b1, b_schema), 1)
+    assert dash() == golden
+
+    # compaction: shared stores fold once, dashboard invariant, replay refused
+    suite.compact()
+    assert suite.n_partials() == 1
+    assert dash() == golden
+    suite.merge(mk(a1, a_schema), mk(b1, b_schema), 1)
+    assert dash() == golden
+
+    # growth on the compacted base: key 1 regains its customer
+    suite.merge(mk([], a_schema), mk([("c", 20, 1)], b_schema), 2)
+    assert dash() == [
+        (1, 1, D("5.00"), D("5.00"), D("5.00"), 1, 1),
+        (2, 1, D("2.00"), D("2.00"), D("2.00"), 1, 0),
+    ]
