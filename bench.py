@@ -106,6 +106,7 @@ SPOTLIGHT = [
     "q198_cdc_left_join_view",
     "q199_cdc_distinct_view",
     "q200_cdc_topk_view",
+    "q202_quantile_sketch",
 ]
 # q201 (composed CDC view suite: 6 views x 2 merges per rep, ~30 s at
 # sf0.1) stays OFF-headline like q168/q172/q189 — isolated number in

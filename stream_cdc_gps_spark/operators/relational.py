@@ -2272,3 +2272,116 @@ def q201_cdc_view_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q202_quantile_sketch",
+    oracle="""
+WITH lens AS (
+    SELECT source, CAST(length(text) AS BIGINT) AS len, doc_id FROM documents
+),
+ranked AS (
+    SELECT source, len,
+           row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM lens
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.5e0 * n) AS BIGINT) THEN len END) AS BIGINT) AS p50_len,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.9e0 * n) AS BIGINT) THEN len END) AS BIGINT) AS p90_len,
+       TRUE AS p50_ok,
+       TRUE AS p90_ok
+FROM ranked GROUP BY source
+""",
+)
+def q202_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING QUANTILE-SKETCH PARITY — completes the mergeable-sketch
+    triad (CMS frequency q113, HLL cardinality q131, quantiles HERE):
+    maintain per-source document-length summaries through
+    streaming/quantile_index.IncrementalQuantileSketch over a 2-slice
+    arrival, then ship-gate the merged sketch's p50/p90 estimates
+    against the exact order statistics, the q131/q26 contract: the
+    driver-checked output is the EXACT per-source rank statistics plus
+    in-query booleans the sketch estimate must satisfy (tie-aware rank
+    interval of the estimate overlaps target ± 3·n/C ranks, C = 64
+    strata). The exact rank definition (row_number ordered by
+    (len, doc_id), rank = ceil(q·n) in DOUBLE arithmetic) is spelled
+    identically on both engines.
+
+    Scale: the sketch is C rows per key however many rows stream in —
+    per batch one window + one aggregate per key, DECIMAL-exact and
+    partition-order-proof; merging summaries is the same compression
+    over C·batches rows, never the raw values. The exact-side scan here
+    is the gate's own verification cost, not the sketch's."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.quantile_index import (
+        N_STRATA,
+        IncrementalQuantileSketch,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("len")
+    )
+    base = tempfile.mkdtemp(prefix="quantile_sketch_")
+    try:
+        idx = IncrementalQuantileSketch(spark, base)
+        idx.merge(docs.filter(F.col("doc_id") % 2 == 0), "source", "len", 0)
+        idx.merge(docs.filter(F.col("doc_id") % 2 == 1), "source", "len", 1)
+        est = (
+            idx.quantiles([0.5, 0.9])
+            .groupBy(F.col("key").alias("source"))
+            .agg(
+                F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias("e50"),
+                F.max(F.when(F.col("q") == 0.9, F.col("est"))).alias("e90"),
+            )
+            .localCheckpoint()  # materialize before the state dir is removed
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    wql = Window.partitionBy("source").orderBy("len", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = docs.withColumn("rn", F.row_number().over(wql)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    lt = lambda e: F.sum(F.when(F.col("len") < e, 1).otherwise(0)).cast("bigint")
+    le = lambda e: F.sum(F.when(F.col("len") <= e, 1).otherwise(0)).cast("bigint")
+    per_src = (
+        ranked.join(F.broadcast(est), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("len")
+                )
+            )
+            .cast("bigint")
+            .alias("p50_len"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")), F.col("len")
+                )
+            )
+            .cast("bigint")
+            .alias("p90_len"),
+            lt(F.col("e50")).alias("lt50"),
+            le(F.col("e50")).alias("le50"),
+            lt(F.col("e90")).alias("lt90"),
+            le(F.col("e90")).alias("le90"),
+        )
+    )
+    tol = F.ceil(F.lit(3.0) * F.col("n_docs") / F.lit(int(N_STRATA)))
+    t50 = F.ceil(F.lit(0.5) * F.col("n_docs"))
+    t90 = F.ceil(F.lit(0.9) * F.col("n_docs"))
+    return per_src.select(
+        "source",
+        "n_docs",
+        "p50_len",
+        "p90_len",
+        ((F.col("lt50") <= t50 + tol) & (F.col("le50") >= t50 - tol)).alias("p50_ok"),
+        ((F.col("lt90") <= t90 + tol) & (F.col("le90") >= t90 - tol)).alias("p90_ok"),
+    )

@@ -84,11 +84,11 @@ DRIVER_WINDOW = 50
 #     they were bumped from the r7 window by the late q190-q193
 #     additions) — after this round no query's newest official row
 #     predates r4;
-# (c) the 11 oldest r4-era rows in registration order (q01/q82/q80
-#     trimmed as q196/q197/q198 joined group (a), then q157/q158/q156
-#     as q199/q200/q201 joined — the 48-entry cap). All rows outside
-#     the window remain covered by the clean-tree full-sim certificates
-#     at both scale factors.
+# (c) the 10 oldest r4-era rows in registration order (q01/q82/q80
+#     trimmed as q196/q197/q198 joined group (a), then q157/q158/q156/
+#     q143 as q199/q200/q201/q202 joined — the 48-entry cap). All rows
+#     outside the window remain covered by the clean-tree full-sim
+#     certificates at both scale factors.
 _PRIORITY: list[str] = [
     # (a) changed or added in r8
     "q194_cdc_join_view",
@@ -99,6 +99,7 @@ _PRIORITY: list[str] = [
     "q199_cdc_distinct_view",
     "q200_cdc_topk_view",
     "q201_cdc_view_suite",
+    "q202_quantile_sketch",
     "q177_lsh_incremental_parity",
     "q189_corpus_ingest_parity",
     "q190_ivfpq_incremental_index",
@@ -140,7 +141,6 @@ _PRIORITY: list[str] = [
     "q44_cdc_roundtrip",
     "q45_cdc_dedup",
     "q46_session_window_native",
-    "q143_spatial_knn",
 ]
 
 

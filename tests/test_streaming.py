@@ -2412,3 +2412,87 @@ def test_cdc_view_suite_composes_and_shares_state(spark, tmp_path):
         (1, 1, D("5.00"), D("5.00"), D("5.00"), 1, 1),
         (2, 1, D("2.00"), D("2.00"), D("2.00"), 1, 0),
     ]
+
+
+def test_quantile_sketch_merges_replays_and_compacts(spark, tmp_path):
+    """The quantile member of the sketch triad: per-key equi-depth
+    summaries merge across micro-batches with bounded rank error (the
+    tie-aware interval of every p50/p90 estimate stays within 3n/C of
+    the target), heavy tie-blocks included; a replayed batch overwrites
+    its own partition (snapshot invariant); compaction folds via the
+    same compression (snapshot invariant, replay refused); two
+    identical builds produce byte-identical summaries (the DECIMAL
+    order-proof claim)."""
+    from stream_cdc_gps_spark.streaming.quantile_index import (
+        N_STRATA,
+        IncrementalQuantileSketch,
+    )
+
+    # key a: skewed with a heavy tie-block (300 zeros + 0..699);
+    # key b: quadratic spread, 500 values
+    vals_a = [0] * 300 + list(range(700))
+    vals_b = [i * i % 1000 for i in range(500)]
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    schema = "k string, v long"
+
+    def ok(vals, est, q):
+        import math
+
+        n = len(vals)
+        target = math.ceil(q * n)
+        tol = math.ceil(3.0 * n / N_STRATA)
+        lt = sum(1 for x in vals if x < est)
+        le = sum(1 for x in vals if x <= est)
+        return lt <= target + tol and le >= target - tol
+
+    def build(base):
+        idx = IncrementalQuantileSketch(spark, base)
+        for bid in range(3):
+            sl = [r for i, r in enumerate(rows) if i % 3 == bid]
+            idx.merge(spark.createDataFrame(sl, schema), "k", "v", bid)
+        return idx
+
+    idx = build(str(tmp_path / "qs1"))
+    summary1 = sorted(map(tuple, idx.summary().collect()))
+    assert {r[0] for r in summary1} == {"a", "b"}
+    # bounded summary: at most C strata per key however many rows landed
+    from collections import Counter
+
+    per_key = Counter(r[0] for r in summary1)
+    assert max(per_key.values()) <= N_STRATA
+
+    est = {
+        (r.key, r.q): r.est for r in idx.quantiles([0.5, 0.9]).collect()
+    }
+    for key, vals in (("a", vals_a), ("b", vals_b)):
+        for q in (0.5, 0.9):
+            assert ok(vals, est[(key, q)], q), (key, q, est[(key, q)])
+
+    # determinism: an identical second build lands identical bytes
+    idx2 = build(str(tmp_path / "qs2"))
+    assert sorted(map(tuple, idx2.summary().collect())) == summary1
+
+    # replay of the last batch: overwrites its own partition, invariant
+    sl2 = [r for i, r in enumerate(rows) if i % 3 == 2]
+    idx.merge(spark.createDataFrame(sl2, schema), "k", "v", 2)
+    assert sorted(map(tuple, idx.summary().collect())) == summary1
+
+    # compaction: same compression as the fold — snapshot invariant,
+    # folded-batch replay refused
+    idx.compact()
+    assert idx.n_partials() == 1
+    after = sorted(map(tuple, idx.summary().collect()))
+    est2 = {(r.key, r.q): r.est for r in idx.quantiles([0.5, 0.9]).collect()}
+    for key, vals in (("a", vals_a), ("b", vals_b)):
+        for q in (0.5, 0.9):
+            assert ok(vals, est2[(key, q)], q), (key, q, est2[(key, q)])
+    idx.merge(spark.createDataFrame(sl2, schema), "k", "v", 2)
+    assert sorted(map(tuple, idx.summary().collect())) == after
+
+    # growth on the compacted base: new values shift the estimates
+    idx.merge(
+        spark.createDataFrame([("a", 10_000)] * 200, schema), "k", "v", 3
+    )
+    vals_a3 = vals_a + [10_000] * 200
+    est3 = {(r.key, r.q): r.est for r in idx.quantiles([0.9]).collect()}
+    assert ok(vals_a3, est3[("a", 0.9)], 0.9)
