@@ -2496,3 +2496,90 @@ def test_quantile_sketch_merges_replays_and_compacts(spark, tmp_path):
     vals_a3 = vals_a + [10_000] * 200
     est3 = {(r.key, r.q): r.est for r in idx.quantiles([0.9]).collect()}
     assert ok(vals_a3, est3[("a", 0.9)], 0.9)
+
+
+def test_cdc_view_suite_streaming_end_to_end(spark, tmp_path):
+    """Streaming form of q201: ONE file stream carries BOTH tables'
+    changelogs multiplexed with a ``side`` tag (the Debezium
+    one-connector-many-tables shape, reference connector.json), split
+    inside the foreachBatch handler; two availableNow micro-batches
+    drive all six views and the dashboard equals the hand-computed
+    final state; a worst-case full replay from a fresh checkpoint is a
+    no-op."""
+    from stream_cdc_gps_spark.streaming.join_view import CdcViewSuite
+
+    src = tmp_path / "in"
+    src.mkdir()
+    b0 = [
+        {"side": "a", "op": "c", "seq": 1, "oid": 10, "k": 1, "v": "1.00", "c": "p"},
+        {"side": "a", "op": "c", "seq": 2, "oid": 11, "k": 1, "v": "5.00", "c": "p"},
+        {"side": "a", "op": "c", "seq": 3, "oid": 12, "k": 2, "v": "9.00", "c": "q"},
+        {"side": "b", "op": "c", "seq": 1, "k": 1},
+    ]
+    b1 = [
+        {"side": "a", "op": "u", "seq": 10, "oid": 10, "k": 2, "v": "2.00", "c": "r"},
+        {"side": "a", "op": "d", "seq": 11, "oid": 12, "k": 2, "v": "9.00", "c": "q"},
+        {"side": "b", "op": "d", "seq": 10, "k": 1},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in b0))
+    (src / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in b1))
+
+    suite = CdcViewSuite(
+        spark,
+        str(tmp_path / "suite"),
+        key="k",
+        a_pk="oid",
+        b_pk="k",
+        num_val="v",
+        cat_val="c",
+    )
+    schema = (
+        "side string, op string, seq long, oid long, k long, v string, c string"
+    )
+
+    def handler(df, bid):
+        a = df.filter(F.col("side") == "a").select(
+            "op", "seq", "oid", "k", F.col("v").cast("decimal(18,2)").alias("v"), "c"
+        )
+        b = df.filter(F.col("side") == "b").select("op", "seq", "k")
+        suite.merge(a, b, bid)
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", "1")  # two real micro-batches
+            .format("text")
+            .load(str(src))
+            .select(F.from_json("value", schema).alias("m"))
+            .select("m.*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+
+    from decimal import Decimal as D
+
+    dash = lambda: sorted(
+        map(
+            tuple,
+            suite.snapshot_dashboard()
+            .select("k", "n", "total", "vmin", "vmax", "n_distinct", "n_matched")
+            .collect(),
+        )
+    )
+    golden = [
+        (1, 1, D("5.00"), D("5.00"), D("5.00"), 1, 0),
+        (2, 1, D("2.00"), D("2.00"), D("2.00"), 1, 0),
+    ]
+    assert dash() == golden
+
+    # worst-case restart: a fresh checkpoint replays every micro-batch;
+    # rows_before(t) reads + idempotent partition overwrites make it a no-op
+    run("ck2")
+    assert dash() == golden
