@@ -17,6 +17,11 @@ multi-second stateful pipelines:
    corpus — the bytes ratio IS the fix, as a number.
 3. CorpusIngestPipeline end-to-end: per-batch composed-merge wall and
    the final all-stores snapshot read (the q189 read path).
+4. CdcViewSuite vs six standalone CDC views over the SAME changelog
+   script (r8): total bytes written per arrangement — the shared
+   changelog/support stores land once per batch in the suite, while the
+   standalone views each persist their own copy; the bytes ratio is the
+   suite's storage claim as a number.
 
 Usage: python scripts/bench_streaming_stores.py [sf_dir] [n_batches]
 """
@@ -133,6 +138,93 @@ def main() -> None:
         pipe.hll.estimate()
         pipe.rollup.snapshot().count()
         out["ingest_snapshot_all_stores_sec"] = round(time.perf_counter() - t0, 2)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    # 4. shared-state CDC suite vs six standalone views: bytes written
+    # for the same 2-batch changelog script (q201's storage claim)
+    from stream_cdc_gps_spark.streaming.join_view import (
+        CdcAggregateView,
+        CdcDistinctCountView,
+        CdcJoinView,
+        CdcLeftJoinView,
+        CdcMinMaxView,
+        CdcTopKView,
+        CdcViewSuite,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("oid"),
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        F.col("o_orderpriority").alias("c"),
+    )
+    cst = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ok = F.col("oid")
+    a0 = o.select(F.lit("c").alias("op"), ok.alias("seq"), *o.columns).localCheckpoint()
+    a1 = (
+        o.filter(ok % 7 == 0)
+        .select(
+            F.lit("u").alias("op"),
+            (F.lit(1_000_000_000) + ok).alias("seq"),
+            ok,
+            F.col("k"),
+            (F.col("v") + F.lit(1.0e0)).cast("decimal(18,2)").alias("v"),
+            F.lit("0-REVISED").alias("c"),
+        )
+        .unionByName(
+            o.filter(ok % 5 == 0).select(
+                F.lit("d").alias("op"),
+                (F.lit(3_000_000_000) + ok).alias("seq"),
+                *o.columns,
+            )
+        )
+        .localCheckpoint()
+    )
+    b0 = cst.select(
+        F.lit("c").alias("op"), F.col("k").alias("seq"), *cst.columns
+    ).localCheckpoint()
+    b1 = (
+        cst.filter(F.col("k") % 11 == 0)
+        .select(F.lit("d").alias("op"), (F.lit(2_000_000_000) + F.col("k")).alias("seq"), *cst.columns)
+        .localCheckpoint()
+    )
+
+    base = tempfile.mkdtemp(prefix="cdc_suite_")
+    try:
+        suite = CdcViewSuite(
+            spark, base, key="k", a_pk="oid", b_pk="k", num_val="v", cat_val="c"
+        )
+        t0 = time.perf_counter()
+        suite.merge(a0, b0, 0)
+        suite.merge(a1, b1, 1)
+        out["suite_merge_sec_total"] = round(time.perf_counter() - t0, 2)
+        out["suite_bytes_written"] = sum(
+            s for s, _ in _snapshot_files(base).values()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    base = tempfile.mkdtemp(prefix="cdc_solo_")
+    try:
+        views = [
+            CdcJoinView(spark, f"{base}/j", key="k", a_pk="oid", b_pk="k"),
+            CdcLeftJoinView(spark, f"{base}/l", key="k", a_pk="oid", b_pk="k"),
+            CdcAggregateView(spark, f"{base}/g", key="k", pk="oid", val="v"),
+            CdcMinMaxView(spark, f"{base}/m", key="k", pk="oid", val="v"),
+            CdcDistinctCountView(spark, f"{base}/d", key="k", pk="oid", val="c"),
+            CdcTopKView(spark, f"{base}/t", key="k", pk="oid", val="c", k=2),
+        ]
+        t0 = time.perf_counter()
+        for bid, (ab, bb) in enumerate(((a0, b0), (a1, b1))):
+            for v in views[:2]:
+                v.merge(ab, bb, bid)
+            for v in views[2:]:
+                v.merge(ab, bid)
+        out["standalone_merge_sec_total"] = round(time.perf_counter() - t0, 2)
+        out["standalone_bytes_written"] = sum(
+            s for s, _ in _snapshot_files(base).values()
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
