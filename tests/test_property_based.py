@@ -658,3 +658,61 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
         assert got_tk == tk_golden
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# The quantile sketch under GENERATED value multisets (ties, skew, tiny
+# keys) and split points: after any 2-batch arrival the merged summary's
+# p50/p90 estimates must satisfy the tie-aware rank interval the q202
+# ship-gate checks (within 3n/C of the target), and an identical rebuild
+# must land an identical summary (the DECIMAL order-proof claim).
+_quantile_examples = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=39),  # split point (mod n+1)
+)
+
+
+@given(ex=_quantile_examples)
+@settings(max_examples=6, deadline=None)
+def test_quantile_sketch_rank_bound_on_generated(spark, ex):
+    import math
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.quantile_index import (
+        N_STRATA,
+        IncrementalQuantileSketch,
+    )
+
+    choices, split_raw = ex
+    # map the small generated alphabet to a spread-out, tie-heavy domain
+    vals = [c * c * 7 for c in choices]
+    split = split_raw % (len(vals) + 1)
+    rows = [("k", v) for v in vals]
+    schema = "k string, v long"
+
+    def build(base):
+        idx = IncrementalQuantileSketch(spark, base)
+        idx.merge(spark.createDataFrame(rows[:split], schema), "k", "v", 0)
+        idx.merge(spark.createDataFrame(rows[split:], schema), "k", "v", 1)
+        return idx
+
+    base1 = tempfile.mkdtemp(prefix="qs_prop1_")
+    base2 = tempfile.mkdtemp(prefix="qs_prop2_")
+    try:
+        idx = build(base1)
+        est = {r.q: r.est for r in idx.quantiles([0.5, 0.9]).collect()}
+        n = len(vals)
+        tol = math.ceil(3.0 * n / N_STRATA)
+        for q in (0.5, 0.9):
+            target = math.ceil(q * n)
+            lt = sum(1 for x in vals if x < est[q])
+            le = sum(1 for x in vals if x <= est[q])
+            assert lt <= target + tol and le >= target - tol, (
+                vals, split, q, est[q], lt, le, target, tol,
+            )
+        # identical rebuild -> identical bytes
+        summary = sorted(map(tuple, idx.summary().collect()))
+        assert sorted(map(tuple, build(base2).summary().collect())) == summary
+    finally:
+        shutil.rmtree(base1, ignore_errors=True)
+        shutil.rmtree(base2, ignore_errors=True)
