@@ -525,6 +525,7 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
         CdcLeftJoinView,
         CdcMinMaxView,
         CdcTopKView,
+        CdcViewSuite,
     )
 
     ops_a, ops_b, split_raw = ex
@@ -597,6 +598,15 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
         lv = CdcLeftJoinView(spark, f"{base}/l", key="k", a_pk="oid", b_pk="k")
         dv = CdcDistinctCountView(spark, f"{base}/d", key="k", pk="oid", val="v")
         tv = CdcTopKView(spark, f"{base}/t", key="k", pk="oid", val="v", k=2)
+        # the composed suite over the SAME generated script: its members
+        # (shared changelog/support stores) must match the standalone
+        # views — catches shared-state divergence the unit test's one
+        # handcrafted script could miss. num_val == cat_val == v is
+        # legal: distinct/topk just run over the numeric column.
+        sv = CdcViewSuite(
+            spark, f"{base}/sv", key="k", a_pk="oid", b_pk="k",
+            num_val="v", cat_val="v",
+        )
         for bid, (alo, ahi, blo, bhi) in enumerate(
             [(0, sa, 0, sb), (sa, len(a_rows), sb, len(b_rows))]
         ):
@@ -609,6 +619,11 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
             mv.merge(spark.createDataFrame(a_rows[alo:ahi], a_schema), bid)
             dv.merge(spark.createDataFrame(a_rows[alo:ahi], a_schema), bid)
             tv.merge(spark.createDataFrame(a_rows[alo:ahi], a_schema), bid)
+            sv.merge(
+                spark.createDataFrame(a_rows[alo:ahi], a_schema),
+                spark.createDataFrame(b_rows[blo:bhi], b_schema),
+                bid,
+            )
             lv.merge(
                 spark.createDataFrame(a_rows[alo:ahi], a_schema),
                 spark.createDataFrame(b_rows[blo:bhi], b_schema),
@@ -656,6 +671,21 @@ def test_cdc_views_match_python_replay_on_generated(spark, ex):
         except ValueError:
             got_tk = []
         assert got_tk == tk_golden
+        # the suite's members (shared stores) match the standalone views
+        def member(view, cols):
+            try:
+                return sorted(
+                    map(tuple, view.snapshot().select(*cols).collect())
+                )
+            except ValueError:
+                return []
+
+        assert member(sv.join, ["oid", "k", "v", "b_name"]) == join_golden
+        assert member(sv.left, ["oid", "k", "v", "b_name"]) == lj_golden
+        assert member(sv.agg, ["k", "n", "total"]) == agg_golden
+        assert member(sv.minmax, ["k", "n", "vmin", "vmax"]) == mm_golden
+        assert member(sv.distinct, ["k", "n_distinct"]) == dc_golden
+        assert member(sv.topk, ["k", "v", "n"]) == tk_golden
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
