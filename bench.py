@@ -107,6 +107,7 @@ SPOTLIGHT = [
     "q199_cdc_distinct_view",
     "q200_cdc_topk_view",
     "q202_quantile_sketch",
+    "q203_cdc_window_rollup",
 ]
 # q201 (composed CDC view suite: 6 views x 2 merges per rep, ~30 s at
 # sf0.1) stays OFF-headline like q168/q172/q189 — isolated number in

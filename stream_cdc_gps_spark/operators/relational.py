@@ -2385,3 +2385,101 @@ def q202_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("lt50") <= t50 + tol) & (F.col("le50") >= t50 - tol)).alias("p50_ok"),
         ((F.col("lt90") <= t90 + tol) & (F.col("le90") >= t90 - tol)).alias("p90_ok"),
     )
+
+
+@query(
+    "q203_cdc_window_rollup",
+    oracle="""
+WITH e_final AS (
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 13 = 0 THEN ts + INTERVAL 1 HOUR
+                ELSE ts END AS ts,
+           CAST(CASE WHEN event_id % 7 = 0 THEN value + 1.0e0
+                     ELSE value END AS DECIMAL(18,2)) AS value
+    FROM events WHERE event_id % 5 <> 0
+)
+SELECT event_type,
+       date_trunc('hour', ts) AS hour_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(value) AS DOUBLE) AS total_value
+FROM e_final GROUP BY event_type, date_trunc('hour', ts)
+""",
+)
+def q203_cdc_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-CORRECTION WINDOWED ROLLUP — the q196 algebra applied to TIME
+    WINDOWS: the maintained group key is (event_type, hour bucket), so a
+    late correction that shifts an event's timestamp across an hour
+    boundary (% 13 adds an hour) is exactly the key-moving update — one
+    −1 partial on the old window, one +1 on the new, in the same merge —
+    the case naive "append-only" incremental rollups silently get wrong
+    when upstream data is revised. Value corrections (% 7) and
+    retractions (% 5) reach back into ARBITRARILY OLD windows with
+    O(|Δ|) work; no window is ever re-scanned. Composite key = the
+    (type, hour) pair serialized into one column — query-level
+    composition over streaming/join_view.CdcAggregateView, zero new
+    maintenance code. Oracle is the plain GROUP BY over the upserted
+    final events.
+
+    Scale: identical to q196 — per batch one weighted-image projection
+    and one |Δ|-keyed partial aggregate; DECIMAL values make
+    retract-then-assert residue-free. The events table's hour buckets
+    (~720/month × types) keep the view store tiny regardless of event
+    volume."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcAggregateView
+
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    eid = F.col("event_id")
+    hour_key = lambda ts_col: F.concat(
+        F.col("event_type"),
+        F.lit("|"),
+        F.date_format(F.date_trunc("hour", ts_col), "yyyy-MM-dd HH:mm:ss"),
+    )
+    vdec = F.col("value").cast("decimal(18,2)")
+    bump = (F.col("value") + F.lit(1.0e0)).cast("decimal(18,2)")
+    a0 = e.select(
+        F.lit("c").alias("op"),
+        eid.alias("seq"),
+        eid.alias("event_id"),
+        hour_key(F.col("ts")).alias("k"),
+        vdec.alias("v"),
+    )
+    a_u1 = e.filter(eid % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + eid).alias("seq"),
+        eid.alias("event_id"),
+        hour_key(F.col("ts")).alias("k"),
+        bump.alias("v"),
+    )
+    bumped = F.when(eid % 7 == 0, bump).otherwise(vdec)
+    a_u2 = e.filter(eid % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + eid).alias("seq"),
+        eid.alias("event_id"),
+        hour_key(F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("k"),
+        bumped.alias("v"),
+    )
+    a_d = e.filter(eid % 5 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(3_000_000_000) + eid).alias("seq"),
+        eid.alias("event_id"),
+        hour_key(F.col("ts")).alias("k"),
+        vdec.alias("v"),
+    )
+    base = tempfile.mkdtemp(prefix="cdc_window_rollup_")
+    try:
+        view = CdcAggregateView(spark, base, key="k", pk="event_id", val="v")
+        view.merge(a0, 0)
+        view.merge(a_u1.unionByName(a_u2).unionByName(a_d), 1)
+        out = view.snapshot().select(
+            F.substring_index("k", "|", 1).alias("event_type"),
+            F.to_timestamp(F.substring_index("k", "|", -1)).alias("hour_ts"),
+            F.col("n").alias("n_events"),
+            F.col("total").cast("double").alias("total_value"),
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

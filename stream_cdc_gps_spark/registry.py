@@ -84,9 +84,9 @@ DRIVER_WINDOW = 50
 #     they were bumped from the r7 window by the late q190-q193
 #     additions) — after this round no query's newest official row
 #     predates r4;
-# (c) the 10 oldest r4-era rows in registration order (q01/q82/q80
+# (c) the 9 oldest r4-era rows in registration order (q01/q82/q80
 #     trimmed as q196/q197/q198 joined group (a), then q157/q158/q156/
-#     q143 as q199/q200/q201/q202 joined — the 48-entry cap). All rows
+#     q143/q46 as q199-q203 joined — the 48-entry cap). All rows
 #     outside the window remain covered by the clean-tree full-sim
 #     certificates at both scale factors.
 _PRIORITY: list[str] = [
@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "q200_cdc_topk_view",
     "q201_cdc_view_suite",
     "q202_quantile_sketch",
+    "q203_cdc_window_rollup",
     "q177_lsh_incremental_parity",
     "q189_corpus_ingest_parity",
     "q190_ivfpq_incremental_index",
@@ -140,7 +141,6 @@ _PRIORITY: list[str] = [
     "q42_trip_sessions",
     "q44_cdc_roundtrip",
     "q45_cdc_dedup",
-    "q46_session_window_native",
 ]
 
 
