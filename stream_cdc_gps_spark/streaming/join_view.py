@@ -86,8 +86,18 @@ class IncrementalJoinView:
 
     def compact(self) -> None:
         """Fold each store's partitions (append-only state: identity
-        fold), committed independently by each store's pointer swap."""
-        for store in (self.a_store, self.b_store, self.m_store):
+        fold), committed independently by each store's pointer swap —
+        VIEW store first, then the changelogs. The order is load-bearing
+        (r8 advice): each store's pointer commits independently, so a
+        crash between them must leave a prefix that replay heals. If a
+        changelog folded batch t while the view store had not, a replayed
+        t would compute its delta against rows_before(t) = the folded
+        base (which already CONTAINS t) — a degenerate delta dynamically
+        overwriting the still-live, correct view partition t. Folding the
+        view store first makes the replayed t refused at m_store.land
+        (t ≤ max_compacted) while the changelog re-lands are byte-
+        identical overwrites."""
+        for store in (self.m_store, self.a_store, self.b_store):
             if store.rows() is not None:
                 store.compact(store.rows())
 
@@ -268,14 +278,13 @@ class CdcJoinView:
     def n_partials(self) -> int:
         return self.m_store.n_partials()
 
-    def compact(self) -> None:
-        """Fold the changelogs to latest-per-pk (d tombstones retained)
-        and the view store to net weights; each store commits its own
-        pointer swap independently."""
-        for store, pk in ((self.a_store, self.a_pk), (self.b_store, self.b_pk)):
-            rows = store.rows()
-            if rows is not None:
-                store.compact(self._latest(rows, pk))
+    def compact_view_stores(self) -> None:
+        """Fold the view store to net weights. Runs BEFORE the changelog
+        folds (dependency order, r8 advice): once the view store's
+        watermark covers batch t, a replayed t is refused at land — so a
+        crash that then folds a changelog (making rows_before(t) include
+        t and the recomputed delta degenerate) can no longer overwrite
+        the live, correct view partition t."""
         rows = self.m_store.rows()
         if rows is not None:
             cols = [c for c in rows.columns if c != "w"]
@@ -285,6 +294,21 @@ class CdcJoinView:
                 .filter(F.col("w") != 0)
             )
             self.m_store.compact(folded)
+
+    def compact_source_stores(self) -> None:
+        """Fold the changelogs to latest-per-pk (d tombstones retained —
+        dropping one would resurrect a compacted older image)."""
+        for store, pk in ((self.a_store, self.a_pk), (self.b_store, self.b_pk)):
+            rows = store.rows()
+            if rows is not None:
+                store.compact(self._latest(rows, pk))
+
+    def compact(self) -> None:
+        """View store first, then changelogs — each store commits its own
+        pointer swap independently, and this order is the one where every
+        crash prefix heals on replay (see compact_view_stores)."""
+        self.compact_view_stores()
+        self.compact_source_stores()
 
 
 class CdcAggregateView:
@@ -370,10 +394,7 @@ class CdcAggregateView:
     def n_partials(self) -> int:
         return self.v_store.n_partials()
 
-    def compact(self) -> None:
-        rows = self.a_store.rows()
-        if rows is not None:
-            self.a_store.compact(cdc_latest(rows, self.pk))
+    def compact_view_stores(self) -> None:
         rows = self.v_store.rows()
         if rows is not None:
             folded = (
@@ -385,6 +406,18 @@ class CdcAggregateView:
                 .filter(F.col("dn") != 0)
             )
             self.v_store.compact(folded)
+
+    def compact_source_stores(self) -> None:
+        rows = self.a_store.rows()
+        if rows is not None:
+            self.a_store.compact(cdc_latest(rows, self.pk))
+
+    def compact(self) -> None:
+        # View store first, then the changelog (dependency order, r8
+        # advice): a crash between the two pointer commits must leave a
+        # prefix replay heals — see CdcJoinView.compact_view_stores.
+        self.compact_view_stores()
+        self.compact_source_stores()
 
 
 class CdcLeftJoinView:
@@ -511,11 +544,7 @@ class CdcLeftJoinView:
     def n_partials(self) -> int:
         return self.v_store.n_partials()
 
-    def compact(self) -> None:
-        for store, pk in ((self.a_store, self.a_pk), (self.b_store, self.b_pk)):
-            rows = store.rows()
-            if rows is not None:
-                store.compact(cdc_latest(rows, pk))
+    def compact_view_stores(self) -> None:
         rows = self.v_store.rows()
         if rows is not None:
             latest = (
@@ -525,6 +554,18 @@ class CdcLeftJoinView:
             )
             folded = rows.join(latest, [self.key, "bseq"], "left_semi")
             self.v_store.compact(folded)
+
+    def compact_source_stores(self) -> None:
+        for store, pk in ((self.a_store, self.a_pk), (self.b_store, self.b_pk)):
+            rows = store.rows()
+            if rows is not None:
+                store.compact(cdc_latest(rows, pk))
+
+    def compact(self) -> None:
+        # View store first, then changelogs (dependency order, r8 advice)
+        # — see CdcJoinView.compact_view_stores for the crash argument.
+        self.compact_view_stores()
+        self.compact_source_stores()
 
 
 class CdcMinMaxView:
@@ -637,10 +678,7 @@ class CdcMinMaxView:
     def n_partials(self) -> int:
         return self.v_store.n_partials()
 
-    def compact(self) -> None:
-        rows = self.a_store.rows()
-        if rows is not None:
-            self.a_store.compact(cdc_latest(rows, self.pk))
+    def compact_view_stores(self) -> None:
         rows = self.v_store.rows()
         if rows is not None:
             w = Window.partitionBy(self.key).orderBy(F.desc("bseq"))
@@ -650,6 +688,17 @@ class CdcMinMaxView:
                 .drop("_rn")
             )
             self.v_store.compact(folded)
+
+    def compact_source_stores(self) -> None:
+        rows = self.a_store.rows()
+        if rows is not None:
+            self.a_store.compact(cdc_latest(rows, self.pk))
+
+    def compact(self) -> None:
+        # View store first, then the changelog (dependency order, r8
+        # advice) — see CdcJoinView.compact_view_stores.
+        self.compact_view_stores()
+        self.compact_source_stores()
 
 
 def cdc_support_delta(
@@ -786,18 +835,7 @@ class CdcDistinctCountView:
     def n_partials(self) -> int:
         return self.v_store.n_partials()
 
-    def compact(self) -> None:
-        rows = self.a_store.rows()
-        if rows is not None:
-            self.a_store.compact(cdc_latest(rows, self.pk))
-        rows = self.s_store.rows()
-        if rows is not None:
-            folded = (
-                rows.groupBy(self.key, self.val)
-                .agg(F.sum("dw").cast("bigint").alias("dw"))
-                .filter(F.col("dw") != 0)
-            )
-            self.s_store.compact(folded)
+    def compact_view_stores(self) -> None:
         rows = self.v_store.rows()
         if rows is not None:
             folded = (
@@ -806,6 +844,30 @@ class CdcDistinctCountView:
                 .filter(F.col("ddc") != 0)
             )
             self.v_store.compact(folded)
+
+    def compact_source_stores(self) -> None:
+        # Support store BEFORE the changelog: the view reads the support
+        # via rows_before(t), so the support folding batch t while the
+        # changelog had not is safe (a replayed t is refused at both the
+        # view and support lands), while the reverse would feed the
+        # transition join a pre-state that already includes t.
+        rows = self.s_store.rows()
+        if rows is not None:
+            folded = (
+                rows.groupBy(self.key, self.val)
+                .agg(F.sum("dw").cast("bigint").alias("dw"))
+                .filter(F.col("dw") != 0)
+            )
+            self.s_store.compact(folded)
+        rows = self.a_store.rows()
+        if rows is not None:
+            self.a_store.compact(cdc_latest(rows, self.pk))
+
+    def compact(self) -> None:
+        # Dependency order (r8 advice): view store, then support, then
+        # the changelog — see CdcJoinView.compact_view_stores.
+        self.compact_view_stores()
+        self.compact_source_stores()
 
 
 class CdcTopKView:
@@ -929,18 +991,7 @@ class CdcTopKView:
     def n_partials(self) -> int:
         return self.v_store.n_partials()
 
-    def compact(self) -> None:
-        rows = self.a_store.rows()
-        if rows is not None:
-            self.a_store.compact(cdc_latest(rows, self.pk))
-        rows = self.s_store.rows()
-        if rows is not None:
-            folded = (
-                rows.groupBy(self.key, self.val)
-                .agg(F.sum("dw").cast("bigint").alias("dw"))
-                .filter(F.col("dw") != 0)
-            )
-            self.s_store.compact(folded)
+    def compact_view_stores(self) -> None:
         rows = self.v_store.rows()
         if rows is not None:
             latest = (
@@ -950,6 +1001,26 @@ class CdcTopKView:
             )
             folded = rows.join(latest, [self.key, "bseq"], "left_semi")
             self.v_store.compact(folded)
+
+    def compact_source_stores(self) -> None:
+        # Support before changelog — same argument as the distinct view.
+        rows = self.s_store.rows()
+        if rows is not None:
+            folded = (
+                rows.groupBy(self.key, self.val)
+                .agg(F.sum("dw").cast("bigint").alias("dw"))
+                .filter(F.col("dw") != 0)
+            )
+            self.s_store.compact(folded)
+        rows = self.a_store.rows()
+        if rows is not None:
+            self.a_store.compact(cdc_latest(rows, self.pk))
+
+    def compact(self) -> None:
+        # Dependency order (r8 advice): view store, then support, then
+        # the changelog — see CdcJoinView.compact_view_stores.
+        self.compact_view_stores()
+        self.compact_source_stores()
 
 
 class CdcViewSuite:
@@ -1042,8 +1113,13 @@ class CdcViewSuite:
         """One row per net-present key: (key, n, total, vmin, vmax,
         n_distinct, n_matched) — the linear aggregate, min/max,
         distinct-count, and inner-join-match-count views joined on the
-        key (their key sets coincide: each is exactly the alive keys;
-        the match count is 0 for keys with no B-side partner)."""
+        key. The aggregate and min/max key sets coincide (each is
+        exactly the alive keys); the distinct view excludes NULL values
+        and net-zero groups, so an alive key whose ``cat_val`` rows are
+        all NULL is LEFT-joined and filled with 0 (r8 advice — the
+        inner join silently dropped such keys; SQL's COUNT(DISTINCT)
+        over the final table keeps them at 0), as is the match count
+        for keys with no B-side partner."""
         g = self.agg.snapshot()
         x = self.minmax.snapshot().drop("n")
         d = self.distinct.snapshot()
@@ -1054,14 +1130,37 @@ class CdcViewSuite:
         )
         return (
             g.join(x, self.key)
-            .join(d, self.key)
+            .join(d, self.key, "left")
             .join(jm, self.key, "left")
-            .na.fill({"n_matched": 0})
+            .na.fill({"n_matched": 0, "n_distinct": 0})
         )
 
     def n_partials(self) -> int:
         return self.a_store.n_partials()
 
     def compact(self) -> None:
-        for view in (self.join, self.left, self.agg, self.minmax, self.distinct, self.topk):
-            view.compact()
+        """Dependency order ACROSS the whole suite (r8 advice): every
+        member's VIEW store folds before any shared store — if a shared
+        changelog folded batch t while any member's view store had not,
+        a replayed t would compute that member's delta against a
+        pre-state that already includes t and overwrite its live,
+        correct view partition. The member compacts would each fold the
+        shared stores in the right order individually, but interleaved
+        (join folds the changelog before left folds its view) the
+        cross-member prefix is unsafe — so the suite sequences all view
+        folds first, then the shared support, then the changelogs."""
+        members = (self.join, self.left, self.agg, self.minmax, self.distinct, self.topk)
+        for view in members:
+            view.compact_view_stores()
+        rows = self.s_store.rows()
+        if rows is not None:
+            folded = (
+                rows.groupBy(self.key, self.distinct.val)
+                .agg(F.sum("dw").cast("bigint").alias("dw"))
+                .filter(F.col("dw") != 0)
+            )
+            self.s_store.compact(folded)
+        for store, pk in ((self.a_store, self.join.a_pk), (self.b_store, self.join.b_pk)):
+            rows = store.rows()
+            if rows is not None:
+                store.compact(cdc_latest(rows, pk))

@@ -213,7 +213,19 @@ class BatchPartialStore:
         re-encode of another store's rows) and commits it atomically via
         the meta pointer. A crash before the pointer write leaves any
         previous state authoritative; stale partials at or below the
-        watermark are ignored by the read path."""
+        watermark are ignored by the read path. The watermark must cover
+        every batch already absorbed (asserted, r8 advice): a LOWER one
+        would leave live partials above it visible through rows() in the
+        replaced store, silently violating the REPLACE contract."""
+        existing = self.max_batch_id()
+        if existing is not None and (
+            max_compacted is None or int(max_compacted) < existing
+        ):
+            raise ValueError(
+                f"bootstrap watermark {max_compacted} below the store's "
+                f"absorbed max batch id {existing}: partials above the "
+                "watermark would stay visible in the replaced store"
+            )
         meta = self._meta()
         new_gen = (meta["base_gen"] or 0) + 1
         df.write.format("parquet").mode("overwrite").save(self._base_path(new_gen))

@@ -61,8 +61,18 @@ def compress(weighted: DataFrame, n_strata: int = N_STRATA) -> DataFrame:
     compressor and the merge."""
     # The ordering includes w so it is TOTAL up to fully-identical rows:
     # identical rows are interchangeable, so the cumulative-weight cuts
-    # (and hence the sketch bytes) are partition-order-proof.
-    ww = Window.partitionBy("key").orderBy("v", "lo", "hi", "w")
+    # (and hence the sketch bytes) are partition-order-proof. The ROWS
+    # frame is load-bearing (r8 advice): orderBy without a frame defaults
+    # to RANGE, where rows tied on (v, lo, hi, w) are PEERS sharing one
+    # cumulative sum — k identical unit-weight rows would all land in a
+    # single stratum of weight k instead of spreading across equi-depth
+    # cuts, violating the documented ≤ ⌈W/C⌉ + max-input-stratum bound
+    # under heavy value duplication.
+    ww = (
+        Window.partitionBy("key")
+        .orderBy("v", "lo", "hi", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     tot = Window.partitionBy("key")
     rows = weighted.select(
         "key",
@@ -135,7 +145,13 @@ class IncrementalQuantileSketch:
         its centroid (rounded to the bigint domain), [lo, hi] the true
         value bounds of that stratum's constituents."""
         s = self.summary()
-        ww = Window.partitionBy("key").orderBy("v", "lo", "hi", "w")
+        # ROWS frame for the same reason as compress(): tied strata must
+        # accumulate individually, not share one peer-group sum.
+        ww = (
+            Window.partitionBy("key")
+            .orderBy("v", "lo", "hi", "w")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
         tot = Window.partitionBy("key")
         ranked = (
             s.withColumn("cum", F.sum("w").over(ww))
