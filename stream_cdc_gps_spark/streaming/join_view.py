@@ -1,8 +1,8 @@
-"""Incremental materialized JOIN view (delta-join maintenance).
+"""Incremental materialized views (delta-join / Z-set maintenance).
 
 The sixth mergeable-state family in streaming/, and the one the others
 don't cover: CMS/HLL/rollup maintain AGGREGATES, the LSH/vector indexes
-maintain per-row DERIVATIONS — this maintains a relation DERIVED FROM TWO
+maintain per-row DERIVATIONS — this maintains relations DERIVED FROM
 GROWING INPUTS, the classic incremental-view-maintenance problem. For an
 insert-only equi join M = A ⋈ B, the standard delta algebra gives the
 per-batch increment exactly:
@@ -15,24 +15,52 @@ At 100 TB this is the whole point: batch work is O(|Δ| × matched state),
 looked up by an equi join on the key, while a recompute would be
 O(|A| × |B|) every trigger.
 
-Replay safety WITHOUT cross-store transactions: all three stores (A rows,
-B rows, M deltas) are ``partial_store.BatchPartialStore`` batch-id
-partitions, and the merge reads state via ``rows_before(t)`` — which
-EXCLUDES partition t by construction. A crash that lands some of the
-three partitions and not others is healed by Structured Streaming's
-re-delivery: the replayed merge recomputes ΔM_t against exactly the
-pre-t state and overwrites all three t-partitions with the same bytes
-(pytest-pinned, including the torn-write crash state). Compaction folds
-each store independently (append-only: the fold is the identity);
-``land``'s watermark then refuses folded-batch replays as everywhere.
+**Partition-pruned state reads (r10 — the r9 verdict's #1 task).** Every
+store a merge reads is key-hash bucketed (``BatchPartialStore``'s
+``bucket_cols``), and every read names the buckets the micro-batch
+touches, so per-merge I/O is O(touched shards), not O(|state|):
 
-Parity contract (driver-checked by q193): after any prefix of batches,
-``snapshot()`` — the union of the ΔM partitions — equals the all-at-once
-batch join of everything delivered so far.
+- **changelog stores** bucket by the side's PRIMARY KEY: the only
+  per-merge read against them is the pre-batch latest-image snapshot of
+  the pks the batch names (``cdc_state(..., prune=batch)``) — a pk-hash
+  partition filter. Latest-per-pk within a pk bucket is exact because a
+  pk's rows always hash to the same shard.
+- **image arrangements** (``ak_store``/``bk_store``/``i_store``) bucket
+  by the VIEW KEY: the join/left-join/min-max state sides need alive
+  rows looked up BY KEY, which a pk-bucketed changelog cannot prune —
+  the same reason Materialize/DBSP maintain per-view "arrangements"
+  (indexed copies of a relation). The arrangement stores the ±1-weighted
+  IMAGE DELTA of each batch (weight column ``_iw``); its net-positive
+  fold equals the alive image set, and a key-bucket filter makes the
+  fold O(touched keys' shards). Landing the delta is O(|Δ|) — the
+  arrangement is an indexed Z-set, never a second full copy rewritten.
+- **support stores** (distinct-count / top-k level 1) bucket by the view
+  key; the level-2 transition/rerank reads prune to the batch's touched
+  key buckets.
+- **view-delta stores** bucket by the view key too: no merge reads them,
+  but the layout makes selective snapshot reads (one key's history)
+  partition-local at scale.
 
-Reference parity note: the reference (cmd/main.go) enriches rows against
-nothing; this extends SURVEY.md §2B's join family to the streaming
-column the way q86 extended upsert.
+Replay safety WITHOUT cross-store transactions: all stores are
+``partial_store.BatchPartialStore`` batch-id partitions, and every merge
+reads state via ``rows_before(t)`` — which EXCLUDES partition t by
+construction. A crash that lands some of a merge's partitions and not
+others is healed by Structured Streaming's re-delivery: the replayed
+merge recomputes against exactly the pre-t state and overwrites its own
+t-partitions with the same rows (pytest-pinned, including torn-write
+crash states). Compaction folds each store by its own algebra, in
+dependency order — every VIEW store first, then support/arrangements,
+then changelogs — so any crash prefix of the pointer commits leaves a
+state replay heals (r8 advice; see ``CdcJoinView.compact_view_stores``).
+
+Parity contract (driver-checked by q193/q194/q196-q201/q203): after any
+prefix of batches, ``snapshot()`` equals the all-at-once batch
+recompute over the CDC-upserted final tables.
+
+Reference parity note: the reference (cmd/main.go) consumes a Debezium
+CDC changelog (connector.json:4-17) and upserts a table; this family
+extends that exact domain to maintained derived views, the way q86
+extended the upsert itself.
 """
 
 from __future__ import annotations
@@ -42,24 +70,175 @@ from pyspark.sql import functions as F
 
 from stream_cdc_gps_spark.streaming.partial_store import BatchPartialStore
 
+# Weight column of the ±1 image deltas landed in arrangement stores.
+IMG_W = "_iw"
+
+# Default shard count for every store a view creates. Any value is
+# correct (the bucket id is a pure function of the row); at 100 TB it is
+# the knob that rides state growth. Tests run small batches against it to
+# force multi-bucket churn; the bench's tail-merge probe measures the
+# pruning as bytes.
+N_BUCKETS = 16
+
+
+def pruned_before(
+    store: BatchPartialStore, t: int, prune: DataFrame | None = None
+) -> DataFrame | None:
+    """``store.rows_before(t)`` pruned to the shards ``prune``'s rows hash
+    into, when the store is bucketed and ``prune`` carries the bucket
+    columns — the O(touched-shards) state read. Falls back to the full
+    read for unbucketed stores (pre-r10 layouts keep working)."""
+    if (
+        prune is not None
+        and store.bucket_cols
+        and set(store.bucket_cols) <= set(prune.columns)
+    ):
+        return store.rows_before(t, buckets=store.touched_buckets(prune))
+    return store.rows_before(t)
+
+
+def cdc_latest(rows: DataFrame, pk: str) -> DataFrame:
+    """Last CDC row per pk in seq order (ties impossible: seq is monotone
+    per side)."""
+    w = Window.partitionBy(pk).orderBy(F.desc("seq"))
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cdc_state(
+    store: BatchPartialStore,
+    t: int,
+    pk: str,
+    prune: DataFrame | None = None,
+) -> DataFrame | None:
+    """Pre-batch snapshot of a CDC changelog store: latest image per pk
+    strictly before batch t, deletes excluded. With ``prune`` (typically
+    the micro-batch itself) and a pk-bucketed store, only the shards the
+    batch's pks hash into are scanned — exact, because every row of a pk
+    lives in that pk's shard, so latest-per-pk within the shard is the
+    true latest."""
+    rows = pruned_before(store, t, prune)
+    if rows is None:
+        return None
+    return cdc_latest(rows, pk).filter(F.col("op") != "d").drop("op", "seq")
+
+
+def cdc_delta(
+    batch: DataFrame, state: DataFrame | None, pk: str, wcol: str
+) -> DataFrame:
+    """The ±1-weighted Z-set delta of one CDC micro-batch: +1 · the
+    batch's last image per pk (none when the last op is d — delete wins),
+    −1 · the pre-batch snapshot image of every pk the batch touches."""
+    last = cdc_latest(batch, pk)
+    new = (
+        last.filter(F.col("op") != "d").drop("op", "seq").withColumn(wcol, F.lit(1))
+    )
+    if state is None:
+        return new
+    old = state.join(batch.select(pk).distinct(), pk, "left_semi").withColumn(
+        wcol, F.lit(-1)
+    )
+    return new.unionByName(old)
+
+
+def land_image_delta(
+    store: BatchPartialStore, delta: DataFrame, wcol: str, batch_id: int
+) -> None:
+    """Land one batch's ±1 image delta into an arrangement store (weight
+    renamed to the canonical ``_iw``). O(|Δ|) rows, landed into only the
+    shards the delta's keys touch."""
+    store.land(delta.withColumnRenamed(wcol, IMG_W), batch_id)
+
+
+def alive_images(
+    store: BatchPartialStore, t: int, prune: DataFrame | None = None
+) -> DataFrame | None:
+    """Alive image set strictly before batch t, from an arrangement
+    store: the net-positive fold of the landed ±1 image deltas. Inductive
+    identity with the changelog's latest-alive-per-pk snapshot: each
+    batch's delta retracts the displaced image (−1) and asserts the new
+    one (+1), so per distinct image row the running sum is 1 while alive
+    and 0 once displaced or deleted. With ``prune`` (any frame carrying
+    the view key) only the touched key shards are scanned — the
+    key-indexed state read the join-side terms need."""
+    rows = pruned_before(store, t, prune)
+    if rows is None:
+        return None
+    cols = [c for c in rows.columns if c != IMG_W]
+    return (
+        rows.groupBy(*cols)
+        .agg(F.sum(IMG_W).alias("_n"))
+        .filter(F.col("_n") > 0)
+        .drop("_n")
+    )
+
+
+def compact_image_store(store: BatchPartialStore) -> None:
+    """Fold an arrangement to net image weights (zeros dropped — a
+    displaced image contributes nothing to any future fold)."""
+    rows = store.rows()
+    if rows is not None:
+        cols = [c for c in rows.columns if c != IMG_W]
+        folded = (
+            rows.groupBy(*cols)
+            .agg(F.sum(IMG_W).cast("int").alias(IMG_W))
+            .filter(F.col(IMG_W) != 0)
+        )
+        store.compact(folded)
+
+
+def support_delta_of(delta: DataFrame, key: str, val: str, wcol: str) -> DataFrame:
+    """±-weighted delta of the (key, val) SUPPORT projection from a
+    precomputed image delta: the net change in alive-row count per
+    (key, val) pair. NULL values are excluded (COUNT(DISTINCT) and top-k
+    semantics both ignore them); pairs whose batch delta nets to zero
+    are dropped — they can cause no transition."""
+    return (
+        delta.filter(F.col(val).isNotNull())
+        .groupBy(key, val)
+        .agg(F.sum(wcol).cast("bigint").alias("dw"))
+        .filter(F.col("dw") != 0)
+    )
+
+
+def cdc_support_delta(
+    cdc: DataFrame, state: DataFrame | None, pk: str, key: str, val: str
+) -> DataFrame:
+    """±-weighted (key, val) support delta of one CDC micro-batch — one
+    |Δ|-keyed partial aggregate over the ±1-weighted image delta."""
+    return support_delta_of(cdc_delta(cdc, state, pk, "_w"), key, val, "_w")
+
 
 class IncrementalJoinView:
     """foreachBatch-style body maintaining M = A ⋈ B (inner equi join on
     ``key``) over two insert-only inputs delivered in lock-step batches.
-    ``merge`` is the batch handler; ``snapshot()`` the materialized view."""
+    ``merge`` is the batch handler; ``snapshot()`` the materialized view.
 
-    def __init__(self, spark: SparkSession, base: str, key: str):
+    All three stores bucket by the JOIN KEY: the only state reads are the
+    two cross terms (ΔA ⋈ B_old, A_old ⋈ ΔB), each pruned to the key
+    shards the OTHER side's delta touches — per-merge I/O O(touched
+    shards), never O(|state|)."""
+
+    def __init__(
+        self, spark: SparkSession, base: str, key: str, *, n_buckets: int = N_BUCKETS
+    ):
         self.spark = spark
         self.key = key
-        self.a_store = BatchPartialStore(spark, f"{base}/a")
-        self.b_store = BatchPartialStore(spark, f"{base}/b")
-        self.m_store = BatchPartialStore(spark, f"{base}/m")
+        kw = {"bucket_cols": [key], "n_buckets": n_buckets}
+        self.a_store = BatchPartialStore(spark, f"{base}/a", **kw)
+        self.b_store = BatchPartialStore(spark, f"{base}/b", **kw)
+        self.m_store = BatchPartialStore(spark, f"{base}/m", **kw)
 
     def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
-        a_old = self.a_store.rows_before(batch_id)
-        b_old = self.b_store.rows_before(batch_id)
         da = a_batch.localCheckpoint()
         db = b_batch.localCheckpoint()
+        # State sides pruned to the shards the OTHER side's delta keys
+        # hash into — the only rows the equi join can match.
+        a_old = pruned_before(self.a_store, batch_id, prune=db)
+        b_old = pruned_before(self.b_store, batch_id, prune=da)
         # ΔA⋈ΔB is always present; the two state-side terms only once the
         # other side has history. Every term is an EQUI join on the key.
         dm = da.join(db, self.key)
@@ -102,44 +281,6 @@ class IncrementalJoinView:
                 store.compact(store.rows())
 
 
-def cdc_latest(rows: DataFrame, pk: str) -> DataFrame:
-    """Last CDC row per pk in seq order (ties impossible: seq is monotone
-    per side)."""
-    w = Window.partitionBy(pk).orderBy(F.desc("seq"))
-    return (
-        rows.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-
-
-def cdc_state(store: BatchPartialStore, t: int, pk: str) -> DataFrame | None:
-    """Pre-batch snapshot of a CDC changelog store: latest image per pk
-    strictly before batch t, deletes excluded."""
-    rows = store.rows_before(t)
-    if rows is None:
-        return None
-    return cdc_latest(rows, pk).filter(F.col("op") != "d").drop("op", "seq")
-
-
-def cdc_delta(
-    batch: DataFrame, state: DataFrame | None, pk: str, wcol: str
-) -> DataFrame:
-    """The ±1-weighted Z-set delta of one CDC micro-batch: +1 · the
-    batch's last image per pk (none when the last op is d — delete wins),
-    −1 · the pre-batch snapshot image of every pk the batch touches."""
-    last = cdc_latest(batch, pk)
-    new = (
-        last.filter(F.col("op") != "d").drop("op", "seq").withColumn(wcol, F.lit(1))
-    )
-    if state is None:
-        return new
-    old = state.join(batch.select(pk).distinct(), pk, "left_semi").withColumn(
-        wcol, F.lit(-1)
-    )
-    return new.unionByName(old)
-
-
 class CdcJoinView:
     """CDC-aware incremental materialized JOIN view: M = A ⋈ B where BOTH
     inputs are Debezium-style changelogs (op ∈ {c, u, d}) instead of
@@ -167,25 +308,32 @@ class CdcJoinView:
     keeps net-positive rows — equal to the plain batch join over the
     CDC-upserted final tables (driver-checked by q194).
 
+    State layout (r10): the two changelogs bucket by their pks and serve
+    ONLY the pk-pruned pre-image read inside Δ̂ computation; the state
+    sides A_{<t}/B_{<t} of the bilinear terms come from two KEY-bucketed
+    image arrangements (``ak_store``/``bk_store`` — the Z-fold of the
+    landed Δ̂s), each read pruned to the key shards the other side's
+    delta touches. Per-merge I/O is O(touched shards on both axes);
+    landing the arrangement is O(|Δ̂|) extra write, the standing price of
+    indexed state (a Materialize arrangement in parquet).
+
     Input contract per side: columns (op string, seq bigint, pk, ...),
     ``seq`` globally monotone per side (Debezium's LSN/offset), non-key
-    column names disjoint across sides, and both pks present in the
-    joined output so a view row's identity is determined by its columns.
-    Ops are upsert-lenient like q86: c and u both mean "image is now
-    this"; a u/c for an unseen pk inserts, a d for an unseen pk is a
-    no-op.
+    column names disjoint across sides, the join key present on both
+    sides, and both pks present in the joined output so a view row's
+    identity is determined by its columns. Ops are upsert-lenient like
+    q86: c and u both mean "image is now this"; a u/c for an unseen pk
+    inserts, a d for an unseen pk is a no-op.
 
-    Storage and replay safety are inherited wholesale: the two input
-    changelogs and the weighted view deltas live in three
-    ``BatchPartialStore``s; every merge reads state via ``rows_before(t)``
-    (never its own partition) so a replayed batch recomputes the same
-    ±1-weighted delta and overwrites the same three t-partitions — torn
-    writes heal exactly as the insert-only class's pytest pins. Per-batch
-    work is O(|Δ| × matched state) via key-equi joins; deletes and
-    updates are the SAME cost as inserts (one −1 row each), never a view
-    rescan. Compaction folds each changelog to its latest row per pk
-    (d rows retained as tombstones — dropping one would resurrect a
-    compacted older image) and the view store to net weights."""
+    Storage and replay safety are inherited wholesale: every merge reads
+    state via ``rows_before(t)`` (never its own partition) so a replayed
+    batch recomputes the same ±1-weighted delta and overwrites the same
+    t-partitions — torn writes heal exactly as the insert-only class's
+    pytest pins. Deletes and updates are the SAME cost as inserts (one
+    −1 row each), never a view rescan. Compaction folds each changelog
+    to its latest row per pk (d rows retained as tombstones — dropping
+    one would resurrect a compacted older image), the arrangements to
+    net image weights, and the view store to net weights."""
 
     def __init__(
         self,
@@ -197,31 +345,35 @@ class CdcJoinView:
         *,
         a_store: BatchPartialStore | None = None,
         b_store: BatchPartialStore | None = None,
+        ak_store: BatchPartialStore | None = None,
+        bk_store: BatchPartialStore | None = None,
         land_inputs: bool = True,
+        land_images: bool = True,
+        n_buckets: int = N_BUCKETS,
     ):
         self.spark = spark
         self.key = key
         self.a_pk = a_pk
         self.b_pk = b_pk
-        # Injectable changelog stores + a landing gate so a composed
-        # handler (CdcViewSuite) can SHARE one changelog across the whole
-        # view family and land it exactly once per batch.
-        self.a_store = a_store or BatchPartialStore(spark, f"{base}/a")
-        self.b_store = b_store or BatchPartialStore(spark, f"{base}/b")
+        # Injectable changelog/arrangement stores + landing gates so a
+        # composed handler (CdcViewSuite) can SHARE them across the whole
+        # view family and land each exactly once per batch.
+        kk = {"bucket_cols": [key], "n_buckets": n_buckets}
+        self.a_store = a_store or BatchPartialStore(
+            spark, f"{base}/a", bucket_cols=[a_pk], n_buckets=n_buckets
+        )
+        self.b_store = b_store or BatchPartialStore(
+            spark, f"{base}/b", bucket_cols=[b_pk], n_buckets=n_buckets
+        )
+        self.ak_store = ak_store or BatchPartialStore(spark, f"{base}/ak", **kk)
+        self.bk_store = bk_store or BatchPartialStore(spark, f"{base}/bk", **kk)
         self.land_inputs = land_inputs
-        self.m_store = BatchPartialStore(spark, f"{base}/m")
+        self.land_images = land_images
+        self.m_store = BatchPartialStore(spark, f"{base}/m", **kk)
 
     @staticmethod
     def _latest(rows: DataFrame, pk: str) -> DataFrame:
         return cdc_latest(rows, pk)
-
-    def _state(self, store: BatchPartialStore, t: int, pk: str) -> DataFrame | None:
-        return cdc_state(store, t, pk)
-
-    def _delta(
-        self, batch: DataFrame, state: DataFrame | None, pk: str, wcol: str
-    ) -> DataFrame:
-        return cdc_delta(batch, state, pk, wcol)
 
     def _view_delta(
         self,
@@ -246,17 +398,45 @@ class CdcJoinView:
             )
         return dm.drop("_wa", "_wb")
 
-    def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
-        da_cdc = a_batch.localCheckpoint()
-        db_cdc = b_batch.localCheckpoint()
-        a_old = self._state(self.a_store, batch_id, self.a_pk)
-        b_old = self._state(self.b_store, batch_id, self.b_pk)
-        da = self._delta(da_cdc, a_old, self.a_pk, "_wa")
-        db = self._delta(db_cdc, b_old, self.b_pk, "_wb")
-        dm = self._view_delta(da, db, a_old, b_old)
-        # Land the view DELTA first, then the two changelogs: any torn
-        # combination is healed by replay (rows_before(t) never sees t).
+    def merge(
+        self,
+        a_batch: DataFrame,
+        b_batch: DataFrame,
+        batch_id: int,
+        *,
+        da: DataFrame | None = None,
+        db: DataFrame | None = None,
+    ) -> None:
+        """One micro-batch. ``da``/``db`` accept a precomputed image
+        delta (weight column ``_w``) so a composed handler derives each
+        side's Δ̂ exactly once per batch for the whole family."""
+        da_cdc = a_batch
+        db_cdc = b_batch
+        if da is None:
+            da_cdc = a_batch.localCheckpoint()
+            a_old_pk = cdc_state(self.a_store, batch_id, self.a_pk, prune=da_cdc)
+            da = cdc_delta(da_cdc, a_old_pk, self.a_pk, "_w").localCheckpoint()
+        if db is None:
+            db_cdc = b_batch.localCheckpoint()
+            b_old_pk = cdc_state(self.b_store, batch_id, self.b_pk, prune=db_cdc)
+            db = cdc_delta(db_cdc, b_old_pk, self.b_pk, "_w").localCheckpoint()
+        # State sides BY KEY from the arrangements, each pruned to the
+        # key shards the OTHER side's delta touches.
+        a_by_key = alive_images(self.ak_store, batch_id, prune=db.select(self.key))
+        b_by_key = alive_images(self.bk_store, batch_id, prune=da.select(self.key))
+        dm = self._view_delta(
+            da.withColumnRenamed("_w", "_wa"),
+            db.withColumnRenamed("_w", "_wb"),
+            a_by_key,
+            b_by_key,
+        )
+        # Land the view DELTA first, then the arrangements, then the two
+        # changelogs: any torn combination is healed by replay
+        # (rows_before(t) never sees t).
         self.m_store.land(dm, batch_id)
+        if self.land_images:
+            land_image_delta(self.ak_store, da, "_w", batch_id)
+            land_image_delta(self.bk_store, db, "_w", batch_id)
         if self.land_inputs:
             self.a_store.land(da_cdc, batch_id)
             self.b_store.land(db_cdc, batch_id)
@@ -296,17 +476,26 @@ class CdcJoinView:
             self.m_store.compact(folded)
 
     def compact_source_stores(self) -> None:
-        """Fold the changelogs to latest-per-pk (d tombstones retained —
-        dropping one would resurrect a compacted older image)."""
+        """Fold the arrangements to net image weights, THEN the
+        changelogs to latest-per-pk (d tombstones retained — dropping one
+        would resurrect a compacted older image). Arrangements before
+        changelogs for the same crash-prefix reason as views before
+        sources: once an arrangement's watermark covers t, a replayed t's
+        degenerate Δ̂ (recomputed against a changelog fold that already
+        includes t) is refused at the arrangement land instead of
+        overwriting its live partition."""
+        for store in (self.ak_store, self.bk_store):
+            compact_image_store(store)
         for store, pk in ((self.a_store, self.a_pk), (self.b_store, self.b_pk)):
             rows = store.rows()
             if rows is not None:
                 store.compact(self._latest(rows, pk))
 
     def compact(self) -> None:
-        """View store first, then changelogs — each store commits its own
-        pointer swap independently, and this order is the one where every
-        crash prefix heals on replay (see compact_view_stores)."""
+        """View store first, then arrangements, then changelogs — each
+        store commits its own pointer swap independently, and this order
+        is the one where every crash prefix heals on replay (see
+        compact_view_stores)."""
         self.compact_view_stores()
         self.compact_source_stores()
 
@@ -327,7 +516,9 @@ class CdcAggregateView:
     ``snapshot()`` sums the per-batch partials per key and keeps
     net-positive groups. No history is ever re-aggregated: per-batch
     work is O(|Δ|) map + one |Δ|-keyed partial aggregate (the
-    rollup_index cost shape, retraction included).
+    rollup_index cost shape, retraction included). The changelog buckets
+    by pk (the Δ̂ pre-image read prunes to the batch's pk shards); the
+    view partials bucket by key.
 
     Exactness contract: pass ``val`` as a DECIMAL column (caller casts —
     e.g. DECIMAL(18,2) for money). Decimal sums are associative AND
@@ -335,13 +526,11 @@ class CdcAggregateView:
     residue and the maintained total equals the recompute bit-for-bit —
     the q174/q184 determinism idiom applied to state. Input contract per
     batch: (op string, seq bigint, pk, key, val, ...), seq globally
-    monotone. Storage/replay: the changelog and the view partials live
-    in two ``BatchPartialStore``s; merges read state via
-    ``rows_before(t)`` so a replayed batch overwrites its own partitions
-    with the same bytes (torn writes heal); compaction folds the
-    changelog to latest-per-pk (d tombstones retained) and the view to
-    per-key running sums (zero-count groups dropped — a later re-insert
-    recreates them)."""
+    monotone. Storage/replay: merges read state via ``rows_before(t)``
+    so a replayed batch overwrites its own partitions with the same rows
+    (torn writes heal); compaction folds the changelog to latest-per-pk
+    (d tombstones retained) and the view to per-key running sums
+    (zero-count groups dropped — a later re-insert recreates them)."""
 
     def __init__(
         self,
@@ -353,19 +542,28 @@ class CdcAggregateView:
         *,
         a_store: BatchPartialStore | None = None,
         land_inputs: bool = True,
+        n_buckets: int = N_BUCKETS,
     ):
         self.spark = spark
         self.key = key
         self.pk = pk
         self.val = val
-        self.a_store = a_store or BatchPartialStore(spark, f"{base}/a")
+        self.a_store = a_store or BatchPartialStore(
+            spark, f"{base}/a", bucket_cols=[pk], n_buckets=n_buckets
+        )
         self.land_inputs = land_inputs
-        self.v_store = BatchPartialStore(spark, f"{base}/v")
+        self.v_store = BatchPartialStore(
+            spark, f"{base}/v", bucket_cols=[key], n_buckets=n_buckets
+        )
 
-    def merge(self, batch: DataFrame, batch_id: int) -> None:
-        cdc = batch.localCheckpoint()
-        state = cdc_state(self.a_store, batch_id, self.pk)
-        delta = cdc_delta(cdc, state, self.pk, "_w")
+    def merge(
+        self, batch: DataFrame, batch_id: int, *, delta: DataFrame | None = None
+    ) -> None:
+        cdc = batch
+        if delta is None:
+            cdc = batch.localCheckpoint()
+            state = cdc_state(self.a_store, batch_id, self.pk, prune=cdc)
+            delta = cdc_delta(cdc, state, self.pk, "_w")
         dv = delta.groupBy(self.key).agg(
             F.sum("_w").cast("bigint").alias("dn"),
             F.sum(F.col("_w") * F.col(self.val)).alias("dtotal"),
@@ -438,14 +636,19 @@ class CdcLeftJoinView:
     (bseq = batch id) plus its recomputed rows; ``snapshot()`` takes,
     per key, the rows of the latest batch that recomputed it — so a key
     whose recompute produced zero rows (all its A rows deleted) is
-    superseded to empty rather than left stale. Work is O(touched keys'
-    state on both sides); post-batch snapshots derive from the
-    pre-batch state (never a history re-window); every join is
-    key-equi. Torn view/changelog writes heal on replay (rows_before(t)
-    never sees t); compaction folds the changelogs to latest-per-pk and
-    the view to each key's latest recompute. Input contract as the
-    siblings: (op string, seq bigint, pk, ...), seq globally monotone,
-    non-key columns disjoint, join key present on both sides."""
+    superseded to empty rather than left stale.
+
+    State reads (r10): the touched keys' pre-batch alive rows come from
+    the two KEY-bucketed image arrangements, pruned to the touched key
+    shards — O(touched keys' state on both sides), with the post-batch
+    snapshot derived as (pruned pre-images − batch pks) ∪ new images,
+    never a history re-window; every join is key-equi. Torn
+    view/changelog writes heal on replay (rows_before(t) never sees t);
+    compaction folds the changelogs to latest-per-pk, the arrangements
+    to net weights, and the view to each key's latest recompute. Input
+    contract as the siblings: (op string, seq bigint, pk, ...), seq
+    globally monotone, non-key columns disjoint, join key present on
+    both sides."""
 
     def __init__(
         self,
@@ -457,54 +660,86 @@ class CdcLeftJoinView:
         *,
         a_store: BatchPartialStore | None = None,
         b_store: BatchPartialStore | None = None,
+        ak_store: BatchPartialStore | None = None,
+        bk_store: BatchPartialStore | None = None,
         land_inputs: bool = True,
+        land_images: bool = True,
+        n_buckets: int = N_BUCKETS,
     ):
         self.spark = spark
         self.key = key
         self.a_pk = a_pk
         self.b_pk = b_pk
-        self.a_store = a_store or BatchPartialStore(spark, f"{base}/a")
-        self.b_store = b_store or BatchPartialStore(spark, f"{base}/b")
+        kk = {"bucket_cols": [key], "n_buckets": n_buckets}
+        self.a_store = a_store or BatchPartialStore(
+            spark, f"{base}/a", bucket_cols=[a_pk], n_buckets=n_buckets
+        )
+        self.b_store = b_store or BatchPartialStore(
+            spark, f"{base}/b", bucket_cols=[b_pk], n_buckets=n_buckets
+        )
+        self.ak_store = ak_store or BatchPartialStore(spark, f"{base}/ak", **kk)
+        self.bk_store = bk_store or BatchPartialStore(spark, f"{base}/bk", **kk)
         self.land_inputs = land_inputs
-        self.v_store = BatchPartialStore(spark, f"{base}/v")
+        self.land_images = land_images
+        self.v_store = BatchPartialStore(spark, f"{base}/v", **kk)
 
-    @staticmethod
-    def _after(
-        cdc: DataFrame, state: DataFrame | None, pk: str
-    ) -> tuple[DataFrame, DataFrame]:
-        """(post-batch alive images, keys this batch touches on this
-        side) — both derived from the pre-batch snapshot plus the
-        batch's last image per pk."""
-        new_alive = (
-            cdc_latest(cdc, pk).filter(F.col("op") != "d").drop("op", "seq")
+    def _after_touched(
+        self,
+        store: BatchPartialStore,
+        delta: DataFrame,
+        cdc: DataFrame,
+        pk: str,
+        touched: DataFrame,
+        batch_id: int,
+    ) -> DataFrame:
+        """Post-batch alive images restricted to the touched keys: the
+        arrangement's pruned pre-images on those keys, minus the batch's
+        pks, plus the batch's new images (whose keys are all touched by
+        construction)."""
+        new_alive = delta.filter(F.col("_w") > 0).drop("_w")
+        pre = alive_images(store, batch_id, prune=touched)
+        if pre is None:
+            return new_alive
+        return (
+            pre.join(touched, self.key, "left_semi")
+            .join(cdc.select(pk).distinct(), pk, "left_anti")
+            .unionByName(new_alive)
         )
-        if state is None:
-            return new_alive, new_alive
-        batch_pks = cdc.select(pk).distinct()
-        after = state.join(batch_pks, pk, "left_anti").unionByName(new_alive)
-        touched = new_alive.unionByName(
-            state.join(batch_pks, pk, "left_semi"), allowMissingColumns=True
-        )
-        return after, touched
 
-    def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
-        da_cdc = a_batch.localCheckpoint()
-        db_cdc = b_batch.localCheckpoint()
-        a_after, a_touch = self._after(
-            da_cdc, cdc_state(self.a_store, batch_id, self.a_pk), self.a_pk
-        )
-        b_after, b_touch = self._after(
-            db_cdc, cdc_state(self.b_store, batch_id, self.b_pk), self.b_pk
-        )
+    def merge(
+        self,
+        a_batch: DataFrame,
+        b_batch: DataFrame,
+        batch_id: int,
+        *,
+        da: DataFrame | None = None,
+        db: DataFrame | None = None,
+    ) -> None:
+        da_cdc = a_batch
+        db_cdc = b_batch
+        if da is None:
+            da_cdc = a_batch.localCheckpoint()
+            a_state = cdc_state(self.a_store, batch_id, self.a_pk, prune=da_cdc)
+            da = cdc_delta(da_cdc, a_state, self.a_pk, "_w").localCheckpoint()
+        if db is None:
+            db_cdc = b_batch.localCheckpoint()
+            b_state = cdc_state(self.b_store, batch_id, self.b_pk, prune=db_cdc)
+            db = cdc_delta(db_cdc, b_state, self.b_pk, "_w").localCheckpoint()
+        # touched keys: every key either side's old or new images name —
+        # exactly the deltas' key sets (a −1 row carries the OLD key)
         touched = (
-            a_touch.select(self.key)
-            .unionByName(b_touch.select(self.key))
+            da.select(self.key)
+            .unionByName(db.select(self.key))
             .distinct()
             .localCheckpoint()
         )
-        lj = a_after.join(touched, self.key, "left_semi").join(
-            b_after.join(touched, self.key, "left_semi"), self.key, "left"
+        a_after = self._after_touched(
+            self.ak_store, da, da_cdc, self.a_pk, touched, batch_id
         )
+        b_after = self._after_touched(
+            self.bk_store, db, db_cdc, self.b_pk, touched, batch_id
+        )
+        lj = a_after.join(b_after, self.key, "left")
         data = lj.select(
             F.lit(False).alias("is_marker"), F.lit(int(batch_id)).alias("bseq"), "*"
         )
@@ -519,6 +754,9 @@ class CdcLeftJoinView:
             ],
         )
         self.v_store.land(data.unionByName(markers), batch_id)
+        if self.land_images:
+            land_image_delta(self.ak_store, da, "_w", batch_id)
+            land_image_delta(self.bk_store, db, "_w", batch_id)
         if self.land_inputs:
             self.a_store.land(da_cdc, batch_id)
             self.b_store.land(db_cdc, batch_id)
@@ -556,14 +794,17 @@ class CdcLeftJoinView:
             self.v_store.compact(folded)
 
     def compact_source_stores(self) -> None:
+        # Arrangements before changelogs — see CdcJoinView.
+        for store in (self.ak_store, self.bk_store):
+            compact_image_store(store)
         for store, pk in ((self.a_store, self.a_pk), (self.b_store, self.b_pk)):
             rows = store.rows()
             if rows is not None:
                 store.compact(cdc_latest(rows, pk))
 
     def compact(self) -> None:
-        # View store first, then changelogs (dependency order, r8 advice)
-        # — see CdcJoinView.compact_view_stores for the crash argument.
+        # View store first, then arrangements, then changelogs
+        # (dependency order, r8 advice) — see CdcJoinView.
         self.compact_view_stores()
         self.compact_source_stores()
 
@@ -581,18 +822,16 @@ class CdcMinMaxView:
 
         touched = keys of the batch's old ∪ new images
         ΔV_t    = SELECT key, count(*), min(val), max(val)
-                  FROM state_after SEMI JOIN touched GROUP BY key
+                  FROM after(touched) GROUP BY key
                   (keys touched but left empty land an n = 0 row)
 
     and the view store keeps the LATEST row per key (``bseq`` =
-    batch id; ``snapshot()`` is latest-per-key, n > 0). Aggregate work
-    is O(touched keys' state): post-batch images derive from the
-    pre-batch snapshot (state minus batch pks, plus the batch's alive
-    images) — never a re-window of history — and only touched keys
-    reach the GROUP BY; compacting the changelog to latest-per-pk makes
-    the snapshot read itself the base-table scan, which a key-bucketed
-    layout prunes at scale. Replay lands the same recomputed rows in
-    the same batch partition (idempotent overwrite); a torn
+    batch id; ``snapshot()`` is latest-per-key, n > 0). The touched
+    keys' alive rows come from a KEY-bucketed image arrangement
+    (``i_store``), read pruned to the touched key shards — aggregate
+    work is O(touched keys' state), never a re-window of history, and
+    never a full state scan (r10). Replay lands the same recomputed
+    rows in the same batch partition (idempotent overwrite); a torn
     view/changelog write heals on replay like the siblings. Input
     contract: (op string, seq bigint, pk, key, val, ...), seq globally
     monotone."""
@@ -606,46 +845,54 @@ class CdcMinMaxView:
         val: str,
         *,
         a_store: BatchPartialStore | None = None,
+        i_store: BatchPartialStore | None = None,
         land_inputs: bool = True,
+        land_images: bool = True,
+        n_buckets: int = N_BUCKETS,
     ):
         self.spark = spark
         self.key = key
         self.pk = pk
         self.val = val
-        self.a_store = a_store or BatchPartialStore(spark, f"{base}/a")
-        self.land_inputs = land_inputs
-        self.v_store = BatchPartialStore(spark, f"{base}/v")
-
-    def merge(self, batch: DataFrame, batch_id: int) -> None:
-        cdc = batch.localCheckpoint()
-        state = cdc_state(self.a_store, batch_id, self.pk)
-        # post-batch alive images: the batch's last image per pk wins
-        # over the pre-batch snapshot (delete-wins within the batch)
-        new_alive = (
-            cdc_latest(cdc, self.pk).filter(F.col("op") != "d").drop("op", "seq")
+        self.a_store = a_store or BatchPartialStore(
+            spark, f"{base}/a", bucket_cols=[pk], n_buckets=n_buckets
         )
-        batch_pks = cdc.select(self.pk).distinct()
-        if state is None:
+        self.i_store = i_store or BatchPartialStore(
+            spark, f"{base}/i", bucket_cols=[key], n_buckets=n_buckets
+        )
+        self.land_inputs = land_inputs
+        self.land_images = land_images
+        self.v_store = BatchPartialStore(
+            spark, f"{base}/v", bucket_cols=[key], n_buckets=n_buckets
+        )
+
+    def merge(
+        self, batch: DataFrame, batch_id: int, *, delta: DataFrame | None = None
+    ) -> None:
+        cdc = batch
+        if delta is None:
+            cdc = batch.localCheckpoint()
+            state = cdc_state(self.a_store, batch_id, self.pk, prune=cdc)
+            delta = cdc_delta(cdc, state, self.pk, "_w").localCheckpoint()
+        # touched keys: every key an old or new image of this batch names
+        # (a key-moving update touches both)
+        touched = delta.select(self.key).distinct().localCheckpoint()
+        new_alive = delta.filter(F.col("_w") > 0).drop("_w")
+        pre = alive_images(self.i_store, batch_id, prune=touched)
+        if pre is None:
             after = new_alive
-            touched = new_alive.select(self.key)
         else:
-            after = state.join(batch_pks, self.pk, "left_anti").unionByName(
-                new_alive
+            # post-batch alive images on the touched keys: pruned
+            # pre-images minus the batch's pks, plus the new images
+            after = (
+                pre.join(touched, self.key, "left_semi")
+                .join(cdc.select(self.pk).distinct(), self.pk, "left_anti")
+                .unionByName(new_alive)
             )
-            # touched keys: every key an old or new image of this batch
-            # names (a key-moving update touches both)
-            touched = new_alive.select(self.key).unionByName(
-                state.join(batch_pks, self.pk, "left_semi").select(self.key)
-            )
-        touched = touched.distinct().localCheckpoint()
-        recomputed = (
-            after.join(touched, self.key, "left_semi")
-            .groupBy(self.key)
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-                F.min(self.val).alias("vmin"),
-                F.max(self.val).alias("vmax"),
-            )
+        recomputed = after.groupBy(self.key).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(self.val).alias("vmin"),
+            F.max(self.val).alias("vmax"),
         )
         # keys touched but now EMPTY must land an n=0 row — the latest-
         # per-key read otherwise resurrects their previous aggregate
@@ -659,6 +906,8 @@ class CdcMinMaxView:
             "bseq", F.lit(int(batch_id))
         )
         self.v_store.land(dv, batch_id)
+        if self.land_images:
+            land_image_delta(self.i_store, delta, "_w", batch_id)
         if self.land_inputs:
             self.a_store.land(cdc, batch_id)
 
@@ -690,32 +939,17 @@ class CdcMinMaxView:
             self.v_store.compact(folded)
 
     def compact_source_stores(self) -> None:
+        # Arrangement before the changelog — see CdcJoinView.
+        compact_image_store(self.i_store)
         rows = self.a_store.rows()
         if rows is not None:
             self.a_store.compact(cdc_latest(rows, self.pk))
 
     def compact(self) -> None:
-        # View store first, then the changelog (dependency order, r8
-        # advice) — see CdcJoinView.compact_view_stores.
+        # View store first, then arrangement, then the changelog
+        # (dependency order, r8 advice) — see CdcJoinView.
         self.compact_view_stores()
         self.compact_source_stores()
-
-
-def cdc_support_delta(
-    cdc: DataFrame, state: DataFrame | None, pk: str, key: str, val: str
-) -> DataFrame:
-    """±-weighted delta of the (key, val) SUPPORT projection: the net
-    change in alive-row count per (key, val) pair contributed by one CDC
-    micro-batch. NULL values are excluded (COUNT(DISTINCT) and top-k
-    semantics both ignore them); pairs whose batch delta nets to zero
-    (a row moves off a value while another moves on) are dropped — they
-    can cause no transition. One |Δ|-keyed partial aggregate."""
-    delta = cdc_delta(cdc, state, pk, "_w").filter(F.col(val).isNotNull())
-    return (
-        delta.groupBy(key, val)
-        .agg(F.sum("_w").cast("bigint").alias("dw"))
-        .filter(F.col("dw") != 0)
-    )
 
 
 class CdcDistinctCountView:
@@ -734,8 +968,9 @@ class CdcDistinctCountView:
         when a pair's net weight transitions 0 → positive and by −1 on
         positive → 0, so the view delta needs each touched pair's
         PRE-BATCH net weight — an equi join of the batch's support
-        delta against S (O(|Δ| × touched pairs' partials), never a
-        rescan of the support).
+        delta against S, read pruned to the touched KEY shards (the
+        support store buckets by key, r10) — O(|Δ| × touched pairs'
+        partials), never a rescan of the support.
 
     ``snapshot()`` sums the per-batch transition partials per key and
     keeps positive groups — equal to the plain COUNT(DISTINCT) over the
@@ -744,7 +979,7 @@ class CdcDistinctCountView:
     globally monotone per side. Storage/replay: changelog, support, and
     view partials live in three ``BatchPartialStore``s; every merge
     reads all three via ``rows_before(t)`` so a replayed batch lands
-    identical bytes in its own partitions and torn writes heal;
+    identical rows in its own partitions and torn writes heal;
     compaction folds the changelog to latest-per-pk (d tombstones
     retained), the support to net weights (zeros dropped), and the view
     to per-key running counts."""
@@ -761,16 +996,23 @@ class CdcDistinctCountView:
         s_store: BatchPartialStore | None = None,
         land_inputs: bool = True,
         land_support: bool = True,
+        n_buckets: int = N_BUCKETS,
     ):
         self.spark = spark
         self.key = key
         self.pk = pk
         self.val = val
-        self.a_store = a_store or BatchPartialStore(spark, f"{base}/a")
-        self.s_store = s_store or BatchPartialStore(spark, f"{base}/s")
+        self.a_store = a_store or BatchPartialStore(
+            spark, f"{base}/a", bucket_cols=[pk], n_buckets=n_buckets
+        )
+        self.s_store = s_store or BatchPartialStore(
+            spark, f"{base}/s", bucket_cols=[key], n_buckets=n_buckets
+        )
         self.land_inputs = land_inputs
         self.land_support = land_support
-        self.v_store = BatchPartialStore(spark, f"{base}/v")
+        self.v_store = BatchPartialStore(
+            spark, f"{base}/v", bucket_cols=[key], n_buckets=n_buckets
+        )
 
     def _transitions(self, ds: DataFrame, s_pre: DataFrame | None) -> DataFrame:
         """Per-key distinct-count delta from the batch's support delta:
@@ -805,13 +1047,26 @@ class CdcDistinctCountView:
             .agg(F.sum("dd").cast("bigint").alias("ddc"))
         )
 
-    def merge(self, batch: DataFrame, batch_id: int) -> None:
-        cdc = batch.localCheckpoint()
-        state = cdc_state(self.a_store, batch_id, self.pk)
-        ds = cdc_support_delta(
-            cdc, state, self.pk, self.key, self.val
-        ).localCheckpoint()
-        dv = self._transitions(ds, self.s_store.rows_before(batch_id))
+    def merge(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        *,
+        delta: DataFrame | None = None,
+        support_delta: DataFrame | None = None,
+    ) -> None:
+        cdc = batch
+        if support_delta is None:
+            if delta is None:
+                cdc = batch.localCheckpoint()
+                state = cdc_state(self.a_store, batch_id, self.pk, prune=cdc)
+                delta = cdc_delta(cdc, state, self.pk, "_w")
+            support_delta = support_delta_of(
+                delta, self.key, self.val, "_w"
+            ).localCheckpoint()
+        ds = support_delta
+        # support read pruned to the touched key shards
+        dv = self._transitions(ds, pruned_before(self.s_store, batch_id, prune=ds))
         # View partials first, then support, then changelog: any torn
         # combination heals on replay (rows_before(t) never sees t).
         self.v_store.land(dv, batch_id)
@@ -883,8 +1138,9 @@ class CdcTopKView:
         support — not linear (evicting the current #k promotes whatever
         ranks next), so like MIN/MAX the merge recomputes it ONLY for
         the touched keys, reading those keys' post-batch net support
-        from S (pre-batch partials ⋈ touched keys, plus the batch's
-        own delta — an equi semi join, never a support rescan).
+        from S (pre-batch partials ⋈ touched keys, pruned to the
+        touched KEY shards, plus the batch's own delta — an equi semi
+        join, never a support rescan).
 
     The view store versions BY KEY with marker rows (the
     ``CdcLeftJoinView`` idiom, since a key's recompute is a row SET):
@@ -908,17 +1164,24 @@ class CdcTopKView:
         s_store: BatchPartialStore | None = None,
         land_inputs: bool = True,
         land_support: bool = True,
+        n_buckets: int = N_BUCKETS,
     ):
         self.spark = spark
         self.key = key
         self.pk = pk
         self.val = val
         self.k = int(k)
-        self.a_store = a_store or BatchPartialStore(spark, f"{base}/a")
-        self.s_store = s_store or BatchPartialStore(spark, f"{base}/s")
+        self.a_store = a_store or BatchPartialStore(
+            spark, f"{base}/a", bucket_cols=[pk], n_buckets=n_buckets
+        )
+        self.s_store = s_store or BatchPartialStore(
+            spark, f"{base}/s", bucket_cols=[key], n_buckets=n_buckets
+        )
         self.land_inputs = land_inputs
         self.land_support = land_support
-        self.v_store = BatchPartialStore(spark, f"{base}/v")
+        self.v_store = BatchPartialStore(
+            spark, f"{base}/v", bucket_cols=[key], n_buckets=n_buckets
+        )
 
     def _topk(
         self, ds: DataFrame, touched: DataFrame, s_pre: DataFrame | None
@@ -944,14 +1207,29 @@ class CdcTopKView:
             .drop("_rn")
         )
 
-    def merge(self, batch: DataFrame, batch_id: int) -> None:
-        cdc = batch.localCheckpoint()
-        state = cdc_state(self.a_store, batch_id, self.pk)
-        ds = cdc_support_delta(
-            cdc, state, self.pk, self.key, self.val
-        ).localCheckpoint()
+    def merge(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        *,
+        delta: DataFrame | None = None,
+        support_delta: DataFrame | None = None,
+    ) -> None:
+        cdc = batch
+        if support_delta is None:
+            if delta is None:
+                cdc = batch.localCheckpoint()
+                state = cdc_state(self.a_store, batch_id, self.pk, prune=cdc)
+                delta = cdc_delta(cdc, state, self.pk, "_w")
+            support_delta = support_delta_of(
+                delta, self.key, self.val, "_w"
+            ).localCheckpoint()
+        ds = support_delta
         touched = ds.select(self.key).distinct().localCheckpoint()
-        topk = self._topk(ds, touched, self.s_store.rows_before(batch_id))
+        # support read pruned to the touched key shards
+        topk = self._topk(
+            ds, touched, pruned_before(self.s_store, batch_id, prune=touched)
+        )
         data = topk.select(
             F.lit(False).alias("is_marker"),
             F.lit(int(batch_id)).alias("bseq"),
@@ -1029,30 +1307,38 @@ class CdcViewSuite:
     (streaming/corpus_ingest.py) applied to incremental view
     maintenance, with the state-sharing a 100 TB deployment requires:
 
-        shared: one A changelog store, one B changelog store, one
-        (key, cat_val) support store — landed ONCE per batch, however
-        many views read them (the naive composition persists the same
+        shared: one A changelog store + one B changelog store (bucketed
+        by pk), one (key, cat_val) support store and two KEY-bucketed
+        image arrangements — each landed ONCE per batch, however many
+        views read them (the naive composition persists the same
         changelog per view: 6× the write volume and 6× the state);
         per view: only each view's own delta partitions.
+
+    The suite also computes each side's ±1-weighted IMAGE DELTA exactly
+    once per batch (one pk-pruned changelog read + one window per side,
+    r10 — the standalone composition repeats that six times for the A
+    side) and hands it to every member, so per-batch derivation work is
+    O(|Δ|) once plus each member's own delta algebra.
 
     Members: the inner-join view M = A ⋈ B, the left-join view A ⟕ B,
     the linear aggregate (count + DECIMAL-exact sum of ``num_val``),
     min/max of ``num_val``, COUNT(DISTINCT ``cat_val``), and the top-k
     most frequent ``cat_val`` — every maintenance strategy the family
-    implements, fed by one batch image-delta computation per store.
+    implements. The min/max view's arrangement IS the shared A-side
+    key arrangement (same content, one landing).
 
     ``merge`` runs every view's delta against the SHARED pre-batch
     state (each reads ``rows_before(t)``, so landing order within the
-    batch is free), then lands the two changelogs last — the
-    torn-write-safe direction for all six views at once: a crash
-    leaving any prefix of the nine landings is healed by Structured
-    Streaming's re-delivery exactly as for the single views
+    batch is free), then lands the arrangements/support and the two
+    changelogs last — the torn-write-safe direction for all six views
+    at once: a crash leaving any prefix of the landings is healed by
+    Structured Streaming's re-delivery exactly as for the single views
     (pytest-pinned). ``snapshot_dashboard()`` joins the per-key views
     into one row per key — equal to the single GROUP BY + join over
     the CDC-upserted final tables (driver-checked by q201).
-    ``compact()`` folds the shared stores once and each view store by
-    its own algebra (the per-view compacts skip stores another view
-    already folded — a folded store has no live partials)."""
+    ``compact()`` folds every member's view store first, then the
+    shared support/arrangements, then the changelogs (the cross-member
+    dependency order, r8 advice)."""
 
     def __init__(
         self,
@@ -1064,21 +1350,43 @@ class CdcViewSuite:
         num_val: str,
         cat_val: str,
         k: int = 2,
+        *,
+        n_buckets: int = N_BUCKETS,
     ):
         self.spark = spark
         self.key = key
-        self.a_store = BatchPartialStore(spark, f"{base}/a")
-        self.b_store = BatchPartialStore(spark, f"{base}/b")
-        self.s_store = BatchPartialStore(spark, f"{base}/s")
+        self.a_pk = a_pk
+        self.b_pk = b_pk
+        self.cat_val = cat_val
+        kk = {"bucket_cols": [key], "n_buckets": n_buckets}
+        self.a_store = BatchPartialStore(
+            spark, f"{base}/a", bucket_cols=[a_pk], n_buckets=n_buckets
+        )
+        self.b_store = BatchPartialStore(
+            spark, f"{base}/b", bucket_cols=[b_pk], n_buckets=n_buckets
+        )
+        self.s_store = BatchPartialStore(spark, f"{base}/s", **kk)
+        self.ak_store = BatchPartialStore(spark, f"{base}/ak", **kk)
+        self.bk_store = BatchPartialStore(spark, f"{base}/bk", **kk)
         share = {"a_store": self.a_store, "land_inputs": False}
+        img = {
+            "ak_store": self.ak_store,
+            "bk_store": self.bk_store,
+            "land_images": False,
+        }
         self.join = CdcJoinView(
-            spark, f"{base}/join", key, a_pk, b_pk, b_store=self.b_store, **share
+            spark, f"{base}/join", key, a_pk, b_pk,
+            b_store=self.b_store, **share, **img,
         )
         self.left = CdcLeftJoinView(
-            spark, f"{base}/left", key, a_pk, b_pk, b_store=self.b_store, **share
+            spark, f"{base}/left", key, a_pk, b_pk,
+            b_store=self.b_store, **share, **img,
         )
         self.agg = CdcAggregateView(spark, f"{base}/agg", key, a_pk, num_val, **share)
-        self.minmax = CdcMinMaxView(spark, f"{base}/mm", key, a_pk, num_val, **share)
+        self.minmax = CdcMinMaxView(
+            spark, f"{base}/mm", key, a_pk, num_val,
+            i_store=self.ak_store, land_images=False, **share,
+        )
         self.distinct = CdcDistinctCountView(
             spark, f"{base}/dc", key, a_pk, cat_val, s_store=self.s_store, **share
         )
@@ -1095,19 +1403,31 @@ class CdcViewSuite:
         )
 
     def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
-        da = a_batch.localCheckpoint()
-        db = b_batch.localCheckpoint()
-        self.join.merge(da, db, batch_id)
-        self.left.merge(da, db, batch_id)
-        self.agg.merge(da, batch_id)
-        self.minmax.merge(da, batch_id)
-        self.distinct.merge(da, batch_id)  # lands the shared support delta
-        self.topk.merge(da, batch_id)
-        # The shared changelogs land LAST — every view's delta for any
-        # replayed batch recomputes against rows_before(t), so a crash
-        # after any prefix of the landings re-lands identical bytes.
-        self.a_store.land(da, batch_id)
-        self.b_store.land(db, batch_id)
+        da_cdc = a_batch.localCheckpoint()
+        db_cdc = b_batch.localCheckpoint()
+        # ONE pk-pruned state read + ONE image delta per side, shared by
+        # every member (the standalone composition derives the A-side
+        # delta six times per batch).
+        a_state = cdc_state(self.a_store, batch_id, self.a_pk, prune=da_cdc)
+        b_state = cdc_state(self.b_store, batch_id, self.b_pk, prune=db_cdc)
+        da = cdc_delta(da_cdc, a_state, self.a_pk, "_w").localCheckpoint()
+        db = cdc_delta(db_cdc, b_state, self.b_pk, "_w").localCheckpoint()
+        # ONE (key, cat_val) support delta, shared by distinct + top-k.
+        ds = support_delta_of(da, self.key, self.cat_val, "_w").localCheckpoint()
+        self.join.merge(da_cdc, db_cdc, batch_id, da=da, db=db)
+        self.left.merge(da_cdc, db_cdc, batch_id, da=da, db=db)
+        self.agg.merge(da_cdc, batch_id, delta=da)
+        self.minmax.merge(da_cdc, batch_id, delta=da)
+        self.distinct.merge(da_cdc, batch_id, support_delta=ds)  # lands support
+        self.topk.merge(da_cdc, batch_id, support_delta=ds)
+        # Shared arrangements, then the changelogs LAST — every view's
+        # delta for any replayed batch recomputes against rows_before(t),
+        # so a crash after any prefix of the landings re-lands identical
+        # rows.
+        land_image_delta(self.ak_store, da, "_w", batch_id)
+        land_image_delta(self.bk_store, db, "_w", batch_id)
+        self.a_store.land(da_cdc, batch_id)
+        self.b_store.land(db_cdc, batch_id)
 
     def snapshot_dashboard(self) -> DataFrame:
         """One row per net-present key: (key, n, total, vmin, vmax,
@@ -1148,7 +1468,8 @@ class CdcViewSuite:
         shared stores in the right order individually, but interleaved
         (join folds the changelog before left folds its view) the
         cross-member prefix is unsafe — so the suite sequences all view
-        folds first, then the shared support, then the changelogs."""
+        folds first, then the shared support + arrangements, then the
+        changelogs."""
         members = (self.join, self.left, self.agg, self.minmax, self.distinct, self.topk)
         for view in members:
             view.compact_view_stores()
@@ -1160,7 +1481,9 @@ class CdcViewSuite:
                 .filter(F.col("dw") != 0)
             )
             self.s_store.compact(folded)
-        for store, pk in ((self.a_store, self.join.a_pk), (self.b_store, self.join.b_pk)):
+        for store in (self.ak_store, self.bk_store):
+            compact_image_store(store)
+        for store, pk in ((self.a_store, self.a_pk), (self.b_store, self.b_pk)):
             rows = store.rows()
             if rows is not None:
                 store.compact(cdc_latest(rows, pk))

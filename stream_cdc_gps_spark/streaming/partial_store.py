@@ -149,6 +149,21 @@ class BatchPartialStore:
     def _base_path(self, gen: int) -> str:
         return f"{self.base_dir}/base/v{gen}"
 
+    def _base_rows(self, gen: int) -> DataFrame | None:
+        """The committed base generation's rows, or None when the fold was
+        EMPTY: a bucketed empty fold writes no partition directories at all
+        (partitionBy emits nothing for zero rows), so the committed base
+        directory holds only writer markers and schema inference fails —
+        that is an empty base, not corruption (a corrupt footer raises at
+        read time, not at analysis)."""
+        try:
+            return _read_parquet_or_none(self.spark, self._base_path(gen))
+        except AnalysisException as e:
+            cond = getattr(e, "getCondition", e.getErrorClass)()
+            if cond == "UNABLE_TO_INFER_SCHEMA":
+                return None
+            raise
+
     # -- landing partials --------------------------------------------------
     def land(self, partial_df: DataFrame, batch_id: int) -> bool:
         """Land one micro-batch's partial rows. Returns False (no write)
@@ -201,6 +216,8 @@ class BatchPartialStore:
         if df is None or buckets is None:
             return df
         assert self.bucket_cols, "buckets pruning requires a bucketed store"
+        if "kbucket" not in df.columns:
+            return df  # empty unpartitioned base: zero rows, nothing to prune
         return df.filter(F.col("kbucket").isin([int(b) for b in buckets]))
 
     def rows(self, buckets: list[int] | None = None) -> DataFrame | None:
@@ -210,7 +227,7 @@ class BatchPartialStore:
         ``buckets``, only those shards are scanned."""
         meta = self._meta()
         base = (
-            _read_parquet_or_none(self.spark, self._base_path(meta["base_gen"]))
+            self._base_rows(meta["base_gen"])
             if meta["base_gen"] is not None
             else None
         )
@@ -218,13 +235,17 @@ class BatchPartialStore:
         live = self._prune(self._live_partials(), buckets)
         if live is not None:
             live = live.drop("batch_id")
+        if self.bucket_cols:
+            # the shard column is layout, not data — and an EMPTY base is
+            # written unpartitioned (no kbucket at all), so drop per side
+            # before the union (drop of a missing column is a no-op)
+            base = base.drop("kbucket") if base is not None else None
+            live = live.drop("kbucket") if live is not None else None
         if base is None:
-            out = live
-        elif live is None:
-            out = base
-        else:
-            out = base.unionByName(live)
-        return out.drop("kbucket") if (out is not None and self.bucket_cols) else out
+            return live
+        if live is None:
+            return base
+        return base.unionByName(live)
 
     def rows_before(
         self, batch_id: int, buckets: list[int] | None = None
@@ -242,7 +263,7 @@ class BatchPartialStore:
         read: per-merge cost O(touched shards), not O(|state|)."""
         meta = self._meta()
         base = (
-            _read_parquet_or_none(self.spark, self._base_path(meta["base_gen"]))
+            self._base_rows(meta["base_gen"])
             if meta["base_gen"] is not None
             else None
         )
@@ -250,13 +271,17 @@ class BatchPartialStore:
         live = self._prune(self._live_partials(), buckets)
         if live is not None:
             live = live.filter(F.col("batch_id") < int(batch_id)).drop("batch_id")
+        if self.bucket_cols:
+            # the shard column is layout, not data — and an EMPTY base is
+            # written unpartitioned (no kbucket at all), so drop per side
+            # before the union (drop of a missing column is a no-op)
+            base = base.drop("kbucket") if base is not None else None
+            live = live.drop("kbucket") if live is not None else None
         if base is None:
-            out = live
-        elif live is None:
-            out = base
-        else:
-            out = base.unionByName(live)
-        return out.drop("kbucket") if (out is not None and self.bucket_cols) else out
+            return live
+        if live is None:
+            return base
+        return base.unionByName(live)
 
     def n_partials(self) -> int:
         """Live partial partitions + the compacted base (if any) — the
@@ -310,9 +335,14 @@ class BatchPartialStore:
     def _write_base(self, df: DataFrame, gen: int) -> None:
         """Write one base generation — kbucket-partitioned when the store
         is bucketed (the shard id is recomputed from the rows: it is a
-        pure function of bucket_cols, so the fold preserves it)."""
+        pure function of bucket_cols, so the fold preserves it). An EMPTY
+        fold is written unpartitioned: a partitioned write of zero rows
+        emits no files at all, which would leave the committed base
+        unreadable — the unpartitioned empty frame keeps a schema on
+        disk, and the pruned read treats its missing kbucket column as
+        nothing-to-prune."""
         w = df.write.format("parquet").mode("overwrite")
-        if self.bucket_cols:
+        if self.bucket_cols and not df.isEmpty():
             w = (
                 self._with_bucket(df)
                 .repartition("kbucket")

@@ -1,0 +1,156 @@
+"""r10: bucketed, partition-pruned state reads wired into the CDC/IVM
+views (the r9 verdict's #1 task — the store primitive existed, nothing
+used it). Pins, per claim:
+
+1. the two state reads a CdcJoinView merge performs — the pk-pruned
+   changelog snapshot feeding Δ̂, and the key-pruned arrangement fold
+   feeding the bilinear state sides — reach the scan as PARTITION
+   filters on kbucket (only touched shard directories are read at all);
+2. the arrangement's net-positive fold equals the changelog's
+   latest-alive-per-pk snapshot (the inductive identity the key-indexed
+   read path rests on), including after a key-moving update and a
+   delete;
+3. a narrow merge into wide accumulated state rewrites NO pre-existing
+   file in ANY of the view's six stores — per-merge write cost is the
+   batch's own shards (the LSH untouched-partitions pin, view-level);
+4. the maintained snapshot stays equal to the batch recompute through
+   the narrow merges (bucket pruning is a superset read — correctness
+   must be unaffected).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from stream_cdc_gps_spark.plans.inspect import plan_string
+from stream_cdc_gps_spark.streaming.join_view import (
+    CdcJoinView,
+    alive_images,
+    cdc_state,
+)
+
+A_SCHEMA = "op string, seq long, oid long, k long, a_val string"
+B_SCHEMA = "op string, seq long, k long, b_name string"
+
+
+def _a_rows(pks, tag, op="c", seq0=0, kof=lambda p: p % 7):
+    return [(op, seq0 + p, p, kof(p), f"{tag}{p}") for p in pks]
+
+
+def _b_rows(ks, tag, op="c", seq0=0):
+    return [(op, seq0 + k, k, f"{tag}{k}") for k in ks]
+
+
+def _file_digests(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def _mk_view(spark, tmp_path):
+    view = CdcJoinView(
+        spark, str(tmp_path / "v"), key="k", a_pk="oid", b_pk="k", n_buckets=8
+    )
+    a0 = spark.createDataFrame(_a_rows(range(60), "a"), A_SCHEMA)
+    b0 = spark.createDataFrame(_b_rows(range(7), "B"), B_SCHEMA)
+    view.merge(a0, b0, 0)
+    return view
+
+
+def test_merge_state_reads_are_partition_pruned(spark, tmp_path):
+    view = _mk_view(spark, tmp_path)
+    narrow = spark.createDataFrame(
+        [("u", 100, 5, 6, "a5x")], A_SCHEMA
+    ).localCheckpoint()
+
+    # (1a) pk-pruned changelog snapshot: one pk -> one shard scanned
+    st = cdc_state(view.a_store, 1, "oid", prune=narrow)
+    p = plan_string(st)
+    assert "PartitionFilters" in p
+    assert "kbucket" in p.split("PartitionFilters", 1)[1][:200]
+    assert [r.oid for r in st.collect() if r.oid == 5] == [5]
+
+    # (1b) key-pruned arrangement fold: the B-side state the bilinear
+    # term joins is read through a kbucket partition filter too
+    img = alive_images(view.bk_store, 1, prune=narrow.select("k"))
+    p = plan_string(img)
+    assert "PartitionFilters" in p
+    assert "kbucket" in p.split("PartitionFilters", 1)[1][:200]
+    assert 6 in {r.k for r in img.collect()}
+
+
+def test_arrangement_fold_equals_changelog_snapshot(spark, tmp_path):
+    view = _mk_view(spark, tmp_path)
+    # batch 1: key-moving update, in-place update, delete, same-image u
+    a1 = spark.createDataFrame(
+        [
+            ("u", 100, 5, 6, "a5x"),   # key 5%7=5 -> 6 (moves)
+            ("u", 101, 8, 1, "a8"),    # same image as create
+            ("d", 102, 10, 3, "a10"),
+        ],
+        A_SCHEMA,
+    )
+    view.merge(a1, spark.createDataFrame([], B_SCHEMA), 1)
+
+    snap = cdc_state(view.a_store, 2, "oid")
+    fold = alive_images(view.ak_store, 2)
+    assert sorted(map(tuple, snap.select("oid", "k", "a_val").collect())) == sorted(
+        map(tuple, fold.select("oid", "k", "a_val").collect())
+    )
+    got = {r.oid: (r.k, r.a_val) for r in fold.collect()}
+    assert got[5] == (6, "a5x") and got[8] == (1, "a8") and 10 not in got
+
+
+def test_narrow_merge_rewrites_no_preexisting_file(spark, tmp_path):
+    view = _mk_view(spark, tmp_path)
+    root = str(tmp_path / "v")
+    before = _file_digests(root)
+    view.merge(
+        spark.createDataFrame([("u", 100, 5, 6, "a5x")], A_SCHEMA),
+        spark.createDataFrame([("u", 100, 6, "B6x")], B_SCHEMA),
+        1,
+    )
+    after = _file_digests(root)
+    for path, digest in before.items():
+        assert after.get(path) == digest, f"pre-existing file rewritten: {path}"
+    # and the merge landed strictly fewer A-changelog shards than exist
+    b1_dir = os.path.join(root, "a", "partials", "batch_id=1")
+    b0_dir = os.path.join(root, "a", "partials", "batch_id=0")
+    assert len(os.listdir(b1_dir)) < len(os.listdir(b0_dir))
+
+
+def test_snapshot_parity_through_narrow_merges(spark, tmp_path):
+    view = _mk_view(spark, tmp_path)
+    view.merge(
+        spark.createDataFrame([("u", 100, 5, 6, "a5x")], A_SCHEMA),
+        spark.createDataFrame([("d", 100, 3, "B3")], B_SCHEMA),
+        1,
+    )
+    view.merge(
+        spark.createDataFrame([("d", 200, 20, 6, "a20")], A_SCHEMA),
+        spark.createDataFrame([("u", 200, 0, "B0x")], B_SCHEMA),
+        2,
+    )
+    # batch recompute over the upserted final tables
+    a_final = {p: (p % 7, f"a{p}") for p in range(60)}
+    a_final[5] = (6, "a5x")
+    del a_final[20]
+    b_final = {k: f"B{k}" for k in range(7)}
+    del b_final[3]
+    b_final[0] = "B0x"
+    golden = sorted(
+        (oid, k, v, b_final[k]) for oid, (k, v) in a_final.items() if k in b_final
+    )
+    got = sorted(
+        map(tuple, view.snapshot().select("oid", "k", "a_val", "b_name").collect())
+    )
+    assert got == golden
