@@ -22,6 +22,15 @@ multi-second stateful pipelines:
    changelog/support stores land once per batch in the suite, while the
    standalone views each persist their own copy; the bytes ratio is the
    suite's storage claim as a number.
+5. The CDC tail-merge probe (r10 — the bucketed-view wiring as a
+   number): ONE order updated against the full accumulated CdcJoinView
+   state, n_buckets=64 vs n_buckets=1 (the collapsed layout reproduces
+   the pre-r10 whole-state read exactly). Records WALL and, for the
+   bucketed layout, STATE BYTES ELIGIBLE FOR SCAN per store (sum of
+   file sizes under the touched kbucket partitions — partition pruning
+   means only those files are opened) vs the store's total bytes: the
+   bytes ratio is the per-merge read cost the r9 verdict flagged,
+   fixed, as a number.
 
 Usage: python scripts/bench_streaming_stores.py [sf_dir] [n_batches]
 """
@@ -227,6 +236,83 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+    # 5. CDC tail-merge probe: one updated order vs full accumulated state
+    import os
+
+    def _store_bytes(store, buckets=None):
+        """Total data-file bytes of a store, or only the bytes under the
+        named kbucket partitions (what a pruned scan can open at all).
+        Files outside any kbucket dir (unpartitioned empty base) count
+        fully in both modes."""
+        total = 0
+        for dirpath, _, files in os.walk(store.base_dir):
+            parts = dirpath.split(os.sep)
+            kb = next(
+                (int(p.split("=", 1)[1]) for p in parts if p.startswith("kbucket=")),
+                None,
+            )
+            if buckets is not None and kb is not None and kb not in buckets:
+                continue
+            for fname in files:
+                if fname.startswith(("_", ".")):
+                    continue
+                total += os.stat(os.path.join(dirpath, fname)).st_size
+        return total
+
+    one_upd = (
+        o.orderBy("oid")
+        .limit(1)
+        .select(
+            F.lit("u").alias("op"),
+            (F.lit(5_000_000_000) + ok).alias("seq"),
+            ok,
+            F.col("k"),
+            (F.col("v") + F.lit(2.0e0)).cast("decimal(18,2)").alias("v"),
+            F.lit("0-TAIL").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    empty_b = b0.limit(0).localCheckpoint()
+    from stream_cdc_gps_spark.streaming.join_view import cdc_state  # noqa: F401
+
+    for nb, tag in ((64, "n64"), (1, "n1")):
+        base = tempfile.mkdtemp(prefix=f"cdc_tail_{tag}_")
+        try:
+            jv = CdcJoinView(
+                spark, base, key="k", a_pk="oid", b_pk="k", n_buckets=nb
+            )
+            jv.merge(a0, b0, 0)
+            jv.merge(a1, b1, 1)
+            t0 = time.perf_counter()
+            jv.merge(one_upd, empty_b, 2)
+            out[f"cdc_tail_merge_sec_{tag}"] = round(time.perf_counter() - t0, 2)
+            if nb > 1:
+                # the three state stores the tail merge reads, each with
+                # the shards the probe batch actually touches
+                a_kb = jv.a_store.touched_buckets(one_upd)
+                ak_kb = jv.ak_store.touched_buckets(one_upd.select("k"))
+                reads = {
+                    "a": (_store_bytes(jv.a_store, a_kb), _store_bytes(jv.a_store)),
+                    "ak": (
+                        _store_bytes(jv.ak_store, ak_kb),
+                        _store_bytes(jv.ak_store),
+                    ),
+                    # bk is pruned by the (empty) B delta's keys + the A
+                    # delta's key for the bilinear term
+                    "bk": (
+                        _store_bytes(jv.bk_store, ak_kb),
+                        _store_bytes(jv.bk_store),
+                    ),
+                }
+                out["cdc_tail_state_read_bytes_n64"] = sum(
+                    p for p, _ in reads.values()
+                )
+                out["cdc_tail_state_total_bytes_n64"] = sum(
+                    t for _, t in reads.values()
+                )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
 
     print(json.dumps(out))
 

@@ -37,9 +37,12 @@ touches, so per-merge I/O is O(touched shards), not O(|state|):
 - **support stores** (distinct-count / top-k level 1) bucket by the view
   key; the level-2 transition/rerank reads prune to the batch's touched
   key buckets.
-- **view-delta stores** bucket by the view key too: no merge reads them,
-  but the layout makes selective snapshot reads (one key's history)
-  partition-local at scale.
+- **view-delta stores** stay UNBUCKETED, deliberately: no merge ever
+  reads them and ``snapshot()`` folds the whole store regardless, so
+  bucketing them bought nothing per merge while its repartition-per-land
+  was the single largest cost in the merge profile; a selective
+  one-key read at scale is served by the arrangements/support stores,
+  which ARE key-bucketed.
 
 Replay safety WITHOUT cross-store transactions: all stores are
 ``partial_store.BatchPartialStore`` batch-id partitions, and every merge
@@ -88,6 +91,8 @@ def pruned_before(
     into, when the store is bucketed and ``prune`` carries the bucket
     columns — the O(touched-shards) state read. Falls back to the full
     read for unbucketed stores (pre-r10 layouts keep working)."""
+    if not store.has_state():
+        return None  # first batch: no collect, no read attempt
     if (
         prune is not None
         and store.bucket_cols
@@ -230,7 +235,7 @@ class IncrementalJoinView:
         kw = {"bucket_cols": [key], "n_buckets": n_buckets}
         self.a_store = BatchPartialStore(spark, f"{base}/a", **kw)
         self.b_store = BatchPartialStore(spark, f"{base}/b", **kw)
-        self.m_store = BatchPartialStore(spark, f"{base}/m", **kw)
+        self.m_store = BatchPartialStore(spark, f"{base}/m")
 
     def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
         da = a_batch.localCheckpoint()
@@ -369,7 +374,7 @@ class CdcJoinView:
         self.bk_store = bk_store or BatchPartialStore(spark, f"{base}/bk", **kk)
         self.land_inputs = land_inputs
         self.land_images = land_images
-        self.m_store = BatchPartialStore(spark, f"{base}/m", **kk)
+        self.m_store = BatchPartialStore(spark, f"{base}/m")
 
     @staticmethod
     def _latest(rows: DataFrame, pk: str) -> DataFrame:
@@ -552,9 +557,7 @@ class CdcAggregateView:
             spark, f"{base}/a", bucket_cols=[pk], n_buckets=n_buckets
         )
         self.land_inputs = land_inputs
-        self.v_store = BatchPartialStore(
-            spark, f"{base}/v", bucket_cols=[key], n_buckets=n_buckets
-        )
+        self.v_store = BatchPartialStore(spark, f"{base}/v")
 
     def merge(
         self, batch: DataFrame, batch_id: int, *, delta: DataFrame | None = None
@@ -681,7 +684,7 @@ class CdcLeftJoinView:
         self.bk_store = bk_store or BatchPartialStore(spark, f"{base}/bk", **kk)
         self.land_inputs = land_inputs
         self.land_images = land_images
-        self.v_store = BatchPartialStore(spark, f"{base}/v", **kk)
+        self.v_store = BatchPartialStore(spark, f"{base}/v")
 
     def _after_touched(
         self,
@@ -862,9 +865,7 @@ class CdcMinMaxView:
         )
         self.land_inputs = land_inputs
         self.land_images = land_images
-        self.v_store = BatchPartialStore(
-            spark, f"{base}/v", bucket_cols=[key], n_buckets=n_buckets
-        )
+        self.v_store = BatchPartialStore(spark, f"{base}/v")
 
     def merge(
         self, batch: DataFrame, batch_id: int, *, delta: DataFrame | None = None
@@ -1010,9 +1011,7 @@ class CdcDistinctCountView:
         )
         self.land_inputs = land_inputs
         self.land_support = land_support
-        self.v_store = BatchPartialStore(
-            spark, f"{base}/v", bucket_cols=[key], n_buckets=n_buckets
-        )
+        self.v_store = BatchPartialStore(spark, f"{base}/v")
 
     def _transitions(self, ds: DataFrame, s_pre: DataFrame | None) -> DataFrame:
         """Per-key distinct-count delta from the batch's support delta:
@@ -1179,9 +1178,7 @@ class CdcTopKView:
         )
         self.land_inputs = land_inputs
         self.land_support = land_support
-        self.v_store = BatchPartialStore(
-            spark, f"{base}/v", bucket_cols=[key], n_buckets=n_buckets
-        )
+        self.v_store = BatchPartialStore(spark, f"{base}/v")
 
     def _topk(
         self, ds: DataFrame, touched: DataFrame, s_pre: DataFrame | None

@@ -114,6 +114,12 @@ class BatchPartialStore:
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn("kbucket", self.bucket_expr())
 
+    def has_state(self) -> bool:
+        """Cheap (no Spark job) test for "anything ever landed or was
+        folded here": the fast path that lets a first-batch merge skip
+        the touched-bucket collect and the read attempt entirely."""
+        return os.path.isdir(self.partials_path) or self._meta()["base_gen"] is not None
+
     # -- meta pointer ------------------------------------------------------
     def _meta(self) -> dict:
         try:
