@@ -1915,6 +1915,32 @@ def _ivfadc_query(
     )
 
 
+def _probe_cells(
+    qv: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int = _IVFPQ_NPROBE,
+) -> list[int]:
+    """The distinct coarse cells a query set probes — a bounded literal
+    collect (≤ |queries| × nprobe ints, the codebook-collect idiom). At
+    serving scale these literals prune the CELL-BUCKETED incremental
+    index store (streaming/vector_index.base_table(cells=...)) to the
+    probed posting lists before the equi join runs — the search reads
+    O(probed cells), not the corpus."""
+    return sorted(
+        r["c"]
+        for r in qv.select(
+            F.explode(
+                F.transform(
+                    F.slice(_l2_ranked_cells(F.col("emb"), cents), 1, nprobe),
+                    lambda s: s["code"],
+                )
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+
+
 def _ivfadc_sql(p: str, cents: str, cb: str) -> str:
     """IVFADC as CTE text over codebook CTEs ``cents``/``cb`` (needs ``e``,
     ``q``, ``sub`` in scope): L2 cell assignment, per-subspace code argmin,
@@ -2165,7 +2191,11 @@ def q190_ivfpq_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.merge(e.filter(F.col("vec_id") % 2 == 0), 0)
         idx.merge(e.filter(F.col("vec_id") % 2 == 1), 1)
         qv = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
-        out = _ivfadc_query(idx.base_table(), qv, cents, cbs)
+        # the probed cells as literals prune the cell-bucketed store to
+        # the probed posting lists (partition filter, r10)
+        out = _ivfadc_query(
+            idx.base_table(cells=_probe_cells(qv, cents)), qv, cents, cbs
+        )
         # materialize before the temp state dir is removed
         return out.localCheckpoint()
     finally:
@@ -2339,14 +2369,18 @@ def q195_vector_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.merge(e.filter(F.col("vec_id") % 2 == 1), 1)
         g0, c0, cb0 = idx.generation()
         frozen = (
-            _ivfadc_query(idx.base_table(g0), qv, c0, cb0)
+            _ivfadc_query(
+                idx.base_table(g0, cells=_probe_cells(qv, c0)), qv, c0, cb0
+            )
             .select("query_id", "candidate_id")
             .withColumn("hf", F.lit(1))
         )
         idx.retrain()
         g1, c1, cb1 = idx.generation()
         refreshed = (
-            _ivfadc_query(idx.base_table(g1), qv, c1, cb1)
+            _ivfadc_query(
+                idx.base_table(g1, cells=_probe_cells(qv, c1)), qv, c1, cb1
+            )
             .select("query_id", "candidate_id")
             .withColumn("hr", F.lit(1))
         )

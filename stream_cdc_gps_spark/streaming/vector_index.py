@@ -36,9 +36,12 @@ generation created by ``retrain()`` adopts the vector store's batch
 watermark, so a replay of an already-folded batch is refused by the new
 generation's store exactly as compaction refuses it everywhere else. At
 serving scale the base table is exactly the FAISS IVF layout: the
-searcher (``_ivfadc_query``) meets it with an EQUI join on cell id, so a
-store re-partitioned/bucketed by ``cell`` turns probes into
-partition-pruned posting-list scans — the 10⁹-vector shape.
+searcher (``_ivfadc_query``) meets it with an EQUI join on cell id, and
+the code store is BUCKETED BY CELL (r10): ``base_table(cells=...)`` takes
+the probed cell ids (a bounded literal collect —
+``operators/similarity._probe_cells``) and reads only those cells'
+shard directories, so a 2-probe search opens 2 posting lists, not the
+corpus — the 10⁹-vector shape, now the actual layout.
 
 Reference parity note: the reference (cmd/main.go) has no vector
 surface; this extends SURVEY.md §2B's IVFADC rows (q186, q187) to the
@@ -74,10 +77,15 @@ class IncrementalVectorIndex:
         base: str,
         cents: Cents,
         cbs: Cbs,
+        *,
+        n_cell_buckets: int = 64,
     ):
         self.spark = spark
         self.base = base
+        # raw vectors stay unbucketed: their only reader is the retrain,
+        # which is a deliberate full scan by definition
         self.vec_store = BatchPartialStore(spark, f"{base}/vecs")
+        self.n_cell_buckets = int(n_cell_buckets)
         self._cb_cache: dict[int, tuple[Cents, Cbs]] = {0: (cents, cbs)}
         self.store = self._store_of(self.gen())  # current-gen code store
         self.path = self.store.partials_path  # live-partials dir (crash tests)
@@ -112,7 +120,14 @@ class IncrementalVectorIndex:
             os.close(dfd)
 
     def _store_of(self, gen: int) -> BatchPartialStore:
-        return BatchPartialStore(self.spark, f"{self.base}/gen/v{gen}/codes")
+        # cell-bucketed: a search pruned by its probe cells reads only
+        # those posting lists' shards (every generation, same layout)
+        return BatchPartialStore(
+            self.spark,
+            f"{self.base}/gen/v{gen}/codes",
+            bucket_cols=["cell"],
+            n_buckets=self.n_cell_buckets,
+        )
 
     def _codebooks_of(self, gen: int) -> tuple[Cents, Cbs]:
         if gen not in self._cb_cache:
@@ -191,10 +206,27 @@ class IncrementalVectorIndex:
         return new_gen
 
     # -- reading ---------------------------------------------------------------
-    def base_table(self, gen: int | None = None) -> DataFrame:
+    def base_table(
+        self, gen: int | None = None, cells: list[int] | None = None
+    ) -> DataFrame:
         """Every (vec_id, cell, code…) of one generation (current when
-        unspecified) — the IVF base the searcher equi-joins on cell id."""
-        rows = self._store_of(self.gen() if gen is None else gen).rows()
+        unspecified) — the IVF base the searcher equi-joins on cell id.
+        With ``cells`` (the search's probe list), only those cells'
+        shard directories are scanned — a PARTITION filter, so the
+        search cost is the probed posting lists, not the corpus. The
+        pruned read is a superset by bucket (co-resident cells appear);
+        the searcher's cell equi join filters exactly, so results are
+        identical to the unpruned read."""
+        store = self._store_of(self.gen() if gen is None else gen)
+        buckets = None
+        if cells is not None and store.bucket_cols:
+            # literal probe cells -> their shard ids; INT on both sides
+            # (the encode's cell comes from an int literal struct)
+            lit = self.spark.createDataFrame(
+                [(int(c),) for c in cells], "cell int"
+            )
+            buckets = store.touched_buckets(lit)
+        rows = store.rows(buckets=buckets)
         if rows is None:
             raise ValueError("no batches have landed yet")
         return rows

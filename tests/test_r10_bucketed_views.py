@@ -128,6 +128,56 @@ def test_narrow_merge_rewrites_no_preexisting_file(spark, tmp_path):
     assert len(os.listdir(b1_dir)) < len(os.listdir(b0_dir))
 
 
+def test_vector_index_probe_prunes_to_probed_cells(spark, tmp_path):
+    """r10 task #2: the incremental vector index's code store is bucketed
+    by cell, and base_table(cells=probes) reaches the scan as a kbucket
+    PARTITION filter naming no more shards than probe cells — a 2-probe
+    search opens 2 posting lists, not the corpus. Pruned and unpruned
+    searches must return identical rows (the prune is a superset; the
+    cell equi join filters exactly)."""
+    from stream_cdc_gps_spark.operators.similarity import (
+        _ivfadc_query,
+        _lloyd_train_pq,
+        _probe_cells,
+        _seed_centroids,
+        as_double,
+    )
+    from stream_cdc_gps_spark.operators.common import t
+    from stream_cdc_gps_spark.streaming.vector_index import IncrementalVectorIndex
+
+    e = t(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cents = _seed_centroids(e)
+    cbs = _lloyd_train_pq(e, iters=0)
+    idx = IncrementalVectorIndex(spark, str(tmp_path / "vi"), cents, cbs)
+    idx.merge(e.filter(F.col("vec_id") % 2 == 0), 0)
+    idx.merge(e.filter(F.col("vec_id") % 2 == 1), 1)
+
+    qv = e.filter(F.col("vec_id") < 3)
+    cells = _probe_cells(qv, cents, nprobe=2)
+    assert cells  # the sample probes at least one cell
+
+    pruned = idx.base_table(cells=cells)
+    p = plan_string(pruned)
+    assert "PartitionFilters" in p
+    tail = p.split("PartitionFilters", 1)[1][:300]
+    assert "kbucket" in tail
+    # no more shards named than probe cells (hash may collide two cells
+    # into one shard, never the reverse)
+    n_shards = tail.count("kbucket#") or tail.count("kbucket")
+    lit = spark.createDataFrame([(int(c),) for c in cells], "cell int")
+    assert len(idx.store.touched_buckets(lit)) <= len(cells)
+
+    got = sorted(
+        map(tuple, _ivfadc_query(pruned, qv, cents, cbs).collect())
+    )
+    full = sorted(
+        map(tuple, _ivfadc_query(idx.base_table(), qv, cents, cbs).collect())
+    )
+    assert got == full
+
+
 def test_snapshot_parity_through_narrow_merges(spark, tmp_path):
     view = _mk_view(spark, tmp_path)
     view.merge(
