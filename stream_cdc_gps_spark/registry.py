@@ -68,79 +68,64 @@ DRIVER_WINDOW = 50
 # instead require a committed full driver-sim artifact
 # (artifacts/driver_sim_full.json certifying a 0-fail run from this round).
 #
-# Round 8 front-loads, in order (r7 judge mandate #3: after the
-# staleness-forced changed queries, finish rotating the r3-era official
-# rows, then start on the oldest r4 rows):
-# (a) queries changed or ADDED in r8 — the staleness gate forces these:
-#     the CDC-aware join view (new q194) and the codebook-refresh
-#     ship-gate (new q195), the late-r8 IVM completions (new
-#     q196/q197/q198/q199/q200), plus the rows reaching this round's
-#     edited symbols: q177/q189 (dead-bucket tombstones in
-#     streaming/dedup_index.merge), q190 (generation-aware
-#     vector_index + partial_store.bootstrap), q192 (DECIMAL-quantized
-#     sqrt-weight sum), q193 (join_view module shared with the CDC
-#     views);
-# (b) the 24 remaining r3-era official rows (q106/q107/q108/q136 first —
-#     they were bumped from the r7 window by the late q190-q193
-#     additions) — after this round no query's newest official row
-#     predates r4;
-# (c) the 9 oldest r4-era rows in registration order (q01/q82/q80
-#     trimmed as q196/q197/q198 joined group (a), then q157/q158/q156/
-#     q143/q46 as q199-q203 joined — the 48-entry cap). All rows
-#     outside the window remain covered by the clean-tree full-sim
-#     certificates at both scale factors.
+# Round 10 front-loads, in order:
+# (a) queries stale from this round's symbol changes — the staleness
+#     gate forces these: the whole CDC/IVM view family q193-q203 (the
+#     bucketed-store wiring rewrote streaming/join_view.py and touched
+#     partial_store's read/write paths), q189/q202 (corpus-ingest and
+#     quantile sketch reach partial_store), q190/q195 (cell-bucketed
+#     vector_index + the _probe_cells pruning in similarity.py), and
+#     the NEW q204 GPS×CDC trip rollup (never driver-checked);
+# (b) ALL 29 remaining r4-era official rows, registration order —
+#     after this round no query's newest official row predates r5
+#     (43 entries total, under the 48 cap). Rows outside the window
+#     remain covered by the clean-tree tri-scale full-sim certificates.
 _PRIORITY: list[str] = [
-    # (a) changed or added in r8
+    # (a) changed or added in r10
+    "q204_gps_cdc_trip_rollup",
     "q194_cdc_join_view",
-    "q195_vector_index_retrain",
     "q196_cdc_aggregate_view",
     "q197_cdc_minmax_view",
     "q198_cdc_left_join_view",
     "q199_cdc_distinct_view",
     "q200_cdc_topk_view",
     "q201_cdc_view_suite",
-    "q202_quantile_sketch",
     "q203_cdc_window_rollup",
-    "q177_lsh_incremental_parity",
-    "q189_corpus_ingest_parity",
-    "q190_ivfpq_incremental_index",
-    "q192_mixture_materialize",
     "q193_incremental_join_view",
-    # (b) r3-era official rows, bumped-from-r7 first, then judge order
-    "q106_shared_passages",
-    "q107_zipf_fit",
-    "q108_mixture_weights",
-    "q136_asof_tolerance",
-    "q113_heavy_hitters_cms",
-    "q55_simhash",
-    "q100_geofence_join",
-    "q101_spatial_grid",
-    "q81_media_features",
-    "q102_media_resize",
-    "q109_lateral_topk",
-    "q127_variant_extract",
-    "q128_recursive_cte",
-    "q129_collation_group",
-    "q130_sql_scripting",
-    "q131_hll_partition_merge",
-    "q83_gps_rejects",
-    "q68_embedding_quantize",
-    "q78_tfidf",
-    "q66_quality_filter",
-    "q67_stratified_sample",
-    "q69_token_pmi",
-    "q103_sequence_packing",
-    "q104_repetition_stats",
-    # (c) oldest r4-era official rows, registration order
-    "q133_equidepth_histogram",
-    "q145_equidepth_histogram_approx",
-    "q140_mad_robust",
-    "q152_shingle_novelty",
-    "q40_wkt_points",
-    "q41_derived_motion",
-    "q42_trip_sessions",
-    "q44_cdc_roundtrip",
-    "q45_cdc_dedup",
+    "q190_ivfpq_incremental_index",
+    "q195_vector_index_retrain",
+    "q202_quantile_sketch",
+    "q189_corpus_ingest_parity",
+    # (b) the 29 r4-era official rows, registration order
+    "q01_pricing_summary",
+    "q02_filter_predicates",
+    "q03_top_revenue_orders",
+    "q04_left_join_counts",
+    "q05_semi_join",
+    "q06_anti_join",
+    "q07_full_outer_join",
+    "q08_regional_revenue",
+    "q09_range_join",
+    "q10_agg_stats",
+    "q11_count_distinct",
+    "q12_rollup",
+    "q13_cube",
+    "q46_session_window_native",
+    "q80_media_metadata",
+    "q82_media_frames",
+    "q132_fixed_k_sample",
+    "q139_token_entropy",
+    "q141_bm25",
+    "q142_bigram_lm_score",
+    "q143_spatial_knn",
+    "q144_corpus_pipeline",
+    "q148_hard_negative_mining",
+    "q149_weighted_sample",
+    "q151_split_centroid_drift",
+    "q156_stop_detection",
+    "q157_od_matrix",
+    "q158_zorder_morton",
+    "q159_pq_codes",
 ]
 
 

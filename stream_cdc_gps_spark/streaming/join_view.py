@@ -812,32 +812,34 @@ class CdcLeftJoinView:
         self.compact_source_stores()
 
 
-class CdcMinMaxView:
-    """CDC-aware incremental MIN/MAX view: V = SELECT key, count(*),
-    min(val), max(val) FROM A GROUP BY key under op ∈ {c,u,d} — the
-    NON-LINEAR aggregate case. MIN/MAX are not invertible: deleting the
-    row that held a key's minimum cannot be retracted with a −1 partial
-    (the new minimum is whatever survives — the "support set" problem
-    every IVM paper treats separately from the linear aggregates). The
-    standard answer, and this implementation: per batch, recompute the
-    aggregate ONLY for the keys the batch touches, from those keys'
-    post-batch state:
+class CdcGroupedRecomputeView:
+    """CDC-aware incremental GROUP-BY view for an ARBITRARY NON-LINEAR
+    per-group aggregate: V = recompute(alive rows) per key, under
+    op ∈ {c,u,d} — the support-set maintenance strategy (recompute ONLY
+    the keys a batch touches, from those keys' post-batch alive rows)
+    factored out of the MIN/MAX case so any order-statistic or
+    sequence-dependent aggregate (trip distance over consecutive GPS
+    fixes, medians, first/last) rides the same algebra:
 
         touched = keys of the batch's old ∪ new images
-        ΔV_t    = SELECT key, count(*), min(val), max(val)
-                  FROM after(touched) GROUP BY key
+        ΔV_t    = recompute(after(touched))
                   (keys touched but left empty land an n = 0 row)
 
-    and the view store keeps the LATEST row per key (``bseq`` =
-    batch id; ``snapshot()`` is latest-per-key, n > 0). The touched
-    keys' alive rows come from a KEY-bucketed image arrangement
-    (``i_store``), read pruned to the touched key shards — aggregate
-    work is O(touched keys' state), never a re-window of history, and
-    never a full state scan (r10). Replay lands the same recomputed
-    rows in the same batch partition (idempotent overwrite); a torn
-    view/changelog write heals on replay like the siblings. Input
-    contract: (op string, seq bigint, pk, key, val, ...), seq globally
-    monotone."""
+    ``recompute`` receives the touched keys' post-batch alive image
+    rows and must return ONE row per present key: the group key, a
+    BIGINT ``n`` (the group's row count — the snapshot's liveness
+    filter), plus any aggregate columns. The view store keeps the
+    LATEST row per key (``bseq`` = batch id; ``snapshot()`` is
+    latest-per-key, n > 0); emptied keys land a null-filled n = 0 row
+    so stale aggregates are superseded, never resurrected.
+
+    State reads are partition-pruned like every sibling: the changelog
+    buckets by pk (the Δ̂ pre-image read), and the touched keys' alive
+    rows come from a KEY-bucketed image arrangement (``i_store``) read
+    pruned to the touched key shards — per-batch aggregate work is
+    O(touched keys' state), never a history re-window or a full scan.
+    Replay/torn-write healing and dependency-ordered compaction are the
+    family contract (see the module docstring)."""
 
     def __init__(
         self,
@@ -845,7 +847,7 @@ class CdcMinMaxView:
         base: str,
         key: str,
         pk: str,
-        val: str,
+        recompute,
         *,
         a_store: BatchPartialStore | None = None,
         i_store: BatchPartialStore | None = None,
@@ -856,7 +858,7 @@ class CdcMinMaxView:
         self.spark = spark
         self.key = key
         self.pk = pk
-        self.val = val
+        self.recompute = recompute
         self.a_store = a_store or BatchPartialStore(
             spark, f"{base}/a", bucket_cols=[pk], n_buckets=n_buckets
         )
@@ -890,18 +892,20 @@ class CdcMinMaxView:
                 .join(cdc.select(self.pk).distinct(), self.pk, "left_anti")
                 .unionByName(new_alive)
             )
-        recomputed = after.groupBy(self.key).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.min(self.val).alias("vmin"),
-            F.max(self.val).alias("vmax"),
-        )
+        recomputed = self.recompute(after)
         # keys touched but now EMPTY must land an n=0 row — the latest-
         # per-key read otherwise resurrects their previous aggregate
         emptied = touched.join(recomputed, self.key, "left_anti").select(
             self.key,
-            F.lit(0).cast("bigint").alias("n"),
-            F.lit(None).cast(recomputed.schema["vmin"].dataType).alias("vmin"),
-            F.lit(None).cast(recomputed.schema["vmax"].dataType).alias("vmax"),
+            *[
+                (
+                    F.lit(0).cast("bigint")
+                    if f.name == "n"
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in recomputed.schema.fields
+                if f.name != self.key
+            ],
         )
         dv = recomputed.unionByName(emptied).withColumn(
             "bseq", F.lit(int(batch_id))
@@ -913,8 +917,8 @@ class CdcMinMaxView:
             self.a_store.land(cdc, batch_id)
 
     def snapshot(self) -> DataFrame:
-        """(key, n, vmin, vmax) for every net-present group — equal to
-        the batch GROUP BY over the CDC-upserted final table (q197)."""
+        """One row per net-present group — equal to the batch
+        recompute over the CDC-upserted final table."""
         rows = self.v_store.rows()
         if rows is None:
             raise ValueError("no batches have landed yet")
@@ -951,6 +955,53 @@ class CdcMinMaxView:
         # (dependency order, r8 advice) — see CdcJoinView.
         self.compact_view_stores()
         self.compact_source_stores()
+
+
+class CdcMinMaxView(CdcGroupedRecomputeView):
+    """CDC-aware incremental MIN/MAX view: V = SELECT key, count(*),
+    min(val), max(val) FROM A GROUP BY key under op ∈ {c,u,d} — the
+    canonical NON-LINEAR aggregate (deleting the row that held a key's
+    minimum cannot be retracted with a −1 partial; the new minimum is
+    whatever survives), expressed as ``CdcGroupedRecomputeView`` with
+    the count/min/max aggregate as the recompute. Parity driver-checked
+    by q197; see the base class for the touched-key algebra, pruned
+    reads, and replay/compaction contract."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        key: str,
+        pk: str,
+        val: str,
+        *,
+        a_store: BatchPartialStore | None = None,
+        i_store: BatchPartialStore | None = None,
+        land_inputs: bool = True,
+        land_images: bool = True,
+        n_buckets: int = N_BUCKETS,
+    ):
+        self.val = val
+
+        def _minmax(after: DataFrame) -> DataFrame:
+            return after.groupBy(key).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min(val).alias("vmin"),
+                F.max(val).alias("vmax"),
+            )
+
+        super().__init__(
+            spark,
+            base,
+            key,
+            pk,
+            _minmax,
+            a_store=a_store,
+            i_store=i_store,
+            land_inputs=land_inputs,
+            land_images=land_images,
+            n_buckets=n_buckets,
+        )
 
 
 class CdcDistinctCountView:

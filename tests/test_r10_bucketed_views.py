@@ -178,6 +178,107 @@ def test_vector_index_probe_prunes_to_probed_cells(spark, tmp_path):
     assert got == full
 
 
+def test_suite_restart_resume_from_checkpoint_heals_torn_batch(spark, tmp_path):
+    """r10 task #3 (carried from r8): RESTART ≠ REPLAY. The replay tests
+    re-call merge() in-process; this drives CdcViewSuite through a real
+    checkpointed readStream → foreachBatch (availableNow,
+    maxFilesPerTrigger=1 → one epoch per file), CRASHES the handler
+    mid-epoch-1 after a TORN prefix of the suite's landings (one member
+    merged, nothing else), then starts a NEW query on the SAME
+    checkpoint — the reference's restartable consume loop
+    (cmd/main.go:197-230) under its actual failure mode. Structured
+    Streaming must re-deliver epoch 1 (its offsets never committed), the
+    re-run merge must overwrite the torn prefix idempotently, and the
+    dashboard must equal the batch recompute."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcViewSuite
+
+    src = tmp_path / "in"
+    src.mkdir()
+    a0 = [
+        {"side": "a", "op": "c", "seq": 1, "oid": 10, "k": 1, "v": "5.00", "c": "x"},
+        {"side": "a", "op": "c", "seq": 2, "oid": 11, "k": 1, "v": "3.00", "c": "y"},
+        {"side": "a", "op": "c", "seq": 3, "oid": 12, "k": 2, "v": "7.00", "c": "x"},
+    ]
+    b0 = [{"side": "b", "op": "c", "seq": 1, "k": 1, "b_name": "Alice"}]
+    a1 = [
+        {"side": "a", "op": "u", "seq": 10, "oid": 10, "k": 2, "v": "6.00", "c": "z"},
+        {"side": "a", "op": "d", "seq": 11, "oid": 11, "k": 1, "v": "3.00", "c": "y"},
+    ]
+    b1 = [
+        {"side": "b", "op": "d", "seq": 10, "k": 1, "b_name": "Alice"},
+        {"side": "b", "op": "c", "seq": 11, "k": 2, "b_name": "Bob"},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in a0 + b0))
+    (src / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in a1 + b1))
+    # FileStreamSource orders by modification time — pin it
+    now = _time.time()
+    _os.utime(src / "b0.jsonl", (now - 100, now - 100))
+    _os.utime(src / "b1.jsonl", (now, now))
+
+    schema = (
+        "side string, op string, seq long, oid long, k long, "
+        "v decimal(18,2), b_name string, c string"
+    )
+    suite = CdcViewSuite(
+        spark, str(tmp_path / "suite"), key="k", a_pk="oid", b_pk="k",
+        num_val="v", cat_val="c", k=2, n_buckets=4,
+    )
+    epochs: list[tuple[int, int]] = []
+    crash_armed = [True]
+
+    def handler(df, epoch_id):
+        df = df.localCheckpoint()
+        a = df.filter(F.col("side") == "a").select("op", "seq", "oid", "k", "v", "c")
+        b = df.filter(F.col("side") == "b").select("op", "seq", "k", "b_name")
+        if int(epoch_id) == 1 and crash_armed[0]:
+            # torn prefix: ONE member's view delta lands, then the crash —
+            # the worst restart state (view ahead of changelogs)
+            suite.join.merge(a, b, int(epoch_id))
+            epochs.append((1, -1))
+            raise RuntimeError("injected crash mid-suite-merge")
+        suite.merge(a, b, int(epoch_id))
+        epochs.append((int(epoch_id), 1))
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run()
+    assert epochs == [(0, 1), (1, -1)]  # epoch 0 committed, epoch 1 torn
+    crash_armed[0] = False
+    run()  # SAME checkpoint: epoch 1 must be re-delivered, not skipped
+    assert epochs == [(0, 1), (1, -1), (1, 1)]
+
+    # parity vs the plain batch recompute over the upserted final tables
+    from decimal import Decimal as D
+
+    dash = {
+        r.k: (r.n, r.total, r.vmin, r.vmax, r.n_distinct, r.n_matched)
+        for r in suite.snapshot_dashboard().collect()
+    }
+    # final A: oid 10 -> (k=2, 6.00, z); oid 11 deleted; oid 12 -> (2, 7.00, x)
+    # final B: k=1 deleted, k=2 Bob
+    assert dash == {
+        2: (2, D("13.00"), D("6.00"), D("7.00"), 2, 2),
+    }
+
+
 def test_snapshot_parity_through_narrow_merges(spark, tmp_path):
     view = _mk_view(spark, tmp_path)
     view.merge(
