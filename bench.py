@@ -88,16 +88,15 @@ PERMANENT = SHARED21 + [
 
 # Rotates each round (BASELINE.md records the per-round pick): queries
 # added or materially changed this round get a tracked number here.
-# r8: the tombstoned LSH store (q177), the DECIMAL-quantized mixture
-# rates (q192), the join-view module siblings (q193 insert-only, q194
-# CDC-aware), the generation-aware vector index (q190) and its retrain
-# ship-gate (q195 — includes a full Lloyd retrain per rep, expect
-# q187-class cost). q189 (composed-ingest parity) stays off-headline,
-# isolated number in BASELINE.md like q168/q172.
+# r10: the whole CDC/IVM family (bucketed partition-pruned state reads
+# + key-bucketed image arrangements — expect the 2-batch toy scripts to
+# pay the indexed-state landings; the per-merge READ bytes ratio in
+# BASELINE.md is the quantity that scales), the cell-bucketed vector
+# index (q190/q195 now probe-pruned), the new q204 GPS×CDC rollup, and
+# q202 (reaches the store layer's empty-fold fix). q189/q201 stay
+# off-headline, isolated numbers in BASELINE.md like q168/q172.
 SPOTLIGHT = [
-    "q177_lsh_incremental_parity",
     "q190_ivfpq_incremental_index",
-    "q192_mixture_materialize",
     "q193_incremental_join_view",
     "q194_cdc_join_view",
     "q195_vector_index_retrain",
@@ -108,10 +107,13 @@ SPOTLIGHT = [
     "q200_cdc_topk_view",
     "q202_quantile_sketch",
     "q203_cdc_window_rollup",
+    "q204_gps_cdc_trip_rollup",
+    "q205_cdc_vector_index",
 ]
-# q201 (composed CDC view suite: 6 views x 2 merges per rep, ~30 s at
-# sf0.1) stays OFF-headline like q168/q172/q189 — isolated number in
-# BASELINE.md; its correctness rides the driver window.
+# q201 (composed CDC view suite: 6 views x 2 merges per rep — 18 s at
+# sf0.1 after the r10 shared-delta rework, was ~30 s in r8) stays
+# OFF-headline like q168/q172/q189 — isolated number in BASELINE.md;
+# its correctness rides the driver window.
 
 HEADLINE = PERMANENT + SPOTLIGHT
 

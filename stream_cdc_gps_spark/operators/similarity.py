@@ -2421,3 +2421,93 @@ def q195_vector_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_CDC_EMB_FINAL = f"""SELECT vec_id,
+       CASE WHEN vec_id % 7 = 0 THEN list_transform(emb, x -> -x)
+            ELSE emb END AS emb,
+       label
+FROM ({EMB_D}) WHERE vec_id % 5 <> 0"""
+
+
+@query(
+    "q205_cdc_vector_index",
+    oracle=f"""
+WITH e AS ({_CDC_EMB_FINAL}),
+{_IVFADC_SHARED_CTES},
+{_ivfadc_sql("tr_", "tc2", "pcb2")}
+SELECT query_id, candidate_id, adc_l2 FROM tr_top
+""",
+)
+def q205_cdc_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED VECTOR-INDEX PARITY — the serving index under the
+    reference's actual delivery semantics (Debezium changelog,
+    at-least-once): q190's append-only ingestion cannot express a
+    re-embedded document (its codes must MOVE posting lists) or a
+    deleted one (it must LEAVE the index); streaming/vector_index.
+    CdcVectorIndex maintains the cell-bucketed code store as a Z-set —
+    each merge encodes the batch's ±1 image delta, the −1 row under the
+    OLD embedding's cell — and searches the net-positive fold. Script:
+    batch 0 ingests every embedding; batch 1 delivers re-embeddings
+    (vec_id % 7 — the vector is NEGATED, guaranteeing a cell move),
+    deletes (% 5), and duplicate re-delivery of unchanged vectors
+    (% 11, same image, higher seq — a net no-op). The search runs
+    probe-pruned (base_table(cells=_probe_cells(...))). Oracle is the
+    trained-IVFADC search (q187's SQL) over the CDC-upserted FINAL
+    corpus: "mutation-maintained index == index of the final table" is
+    the driver-checked claim, retractions included. Codebooks on both
+    sides are Lloyd-trained on the final corpus (codebook PROVENANCE
+    under drift is q195's retrain claim, separately checked).
+
+    Scale: per-merge work is one pk-pruned latest-image read + two
+    map-only encodes + O(|Δ̂|) landings into touched cell shards —
+    never a corpus re-encode or posting-list rewrite; deletes cost one
+    −1 row, folded away at compaction. The search reads O(probed
+    cells), the 10⁹-vector shape."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.vector_index import CdcVectorIndex
+
+    e0 = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    vid = F.col("vec_id")
+    neg = F.transform("emb", lambda x: -x)
+    e_final = e0.filter(vid % 5 != 0).withColumn(
+        "emb", F.when(vid % 7 == 0, neg).otherwise(F.col("emb"))
+    )
+    cents = _lloyd_train_ivf(e_final)
+    cbs = _lloyd_train_pq(e_final)
+    a0 = e0.select(F.lit("c").alias("op"), vid.alias("seq"), "vec_id", "emb")
+    a_u = e0.filter(vid % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + vid).alias("seq"),
+        "vec_id",
+        neg.alias("emb"),
+    )
+    a_d = e0.filter(vid % 5 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(2_000_000_000) + vid).alias("seq"),
+        "vec_id",
+        "emb",
+    )
+    a_dup = e0.filter((vid % 11 == 0) & (vid % 5 != 0) & (vid % 7 != 0)).select(
+        F.lit("u").alias("op"),
+        (F.lit(3_000_000_000) + vid).alias("seq"),
+        "vec_id",
+        "emb",
+    )
+    base = tempfile.mkdtemp(prefix="cdc_vec_idx_")
+    try:
+        idx = CdcVectorIndex(spark, base, cents, cbs)
+        idx.merge(a0, 0)
+        idx.merge(a_u.unionByName(a_d).unionByName(a_dup), 1)
+        qv = e_final.filter((vid >= 100) & (vid < 120))
+        out = _ivfadc_query(
+            idx.base_table(cells=_probe_cells(qv, cents)), qv, cents, cbs
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -75,7 +75,8 @@ DRIVER_WINDOW = 50
 #     partial_store's read/write paths), q189/q202 (corpus-ingest and
 #     quantile sketch reach partial_store), q190/q195 (cell-bucketed
 #     vector_index + the _probe_cells pruning in similarity.py), and
-#     the NEW q204 GPS×CDC trip rollup (never driver-checked);
+#     the NEW q204 GPS×CDC trip rollup and q205 CDC-maintained
+#     vector index (never driver-checked);
 # (b) ALL 29 remaining r4-era official rows, registration order —
 #     after this round no query's newest official row predates r5
 #     (43 entries total, under the 48 cap). Rows outside the window
@@ -83,6 +84,7 @@ DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
     # (a) changed or added in r10
     "q204_gps_cdc_trip_rollup",
+    "q205_cdc_vector_index",
     "q194_cdc_join_view",
     "q196_cdc_aggregate_view",
     "q197_cdc_minmax_view",

@@ -55,7 +55,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from stream_cdc_gps_spark.operators.similarity import _ivfadc_encode
+from stream_cdc_gps_spark.streaming.join_view import IMG_W, cdc_delta, cdc_latest, cdc_state
 from stream_cdc_gps_spark.streaming.partial_store import BatchPartialStore
 
 Cents = list[tuple[int, list[float]]]
@@ -241,3 +244,116 @@ class IncrementalVectorIndex:
         for store in (self._store_of(self.gen()), self.vec_store):
             if store.rows() is not None:
                 store.compact(store.rows())
+
+
+class CdcVectorIndex:
+    """CDC-aware IVFADC index: the serving index under UPDATES and
+    DELETES, which ``IncrementalVectorIndex``'s append-only contract
+    cannot express — a re-embedded document must MOVE between posting
+    lists and a deleted one must leave the index, exactly the vector-DB
+    mutation path (FAISS ``remove_ids`` + re-``add``).
+
+    The code store is a Z-SET ARRANGEMENT bucketed by coarse cell (the
+    join_view image-arrangement idiom applied to the IVF layout): each
+    merge collapses its changelog micro-batch to the ±1-weighted image
+    delta (against the pk-bucketed raw-vector changelog, read pruned to
+    the batch's pks), encodes the +1 and −1 images SEPARATELY with the
+    frozen codebooks — the −1 row encodes the OLD embedding, so the
+    retraction lands in the OLD cell's shard — and lands the weighted
+    code rows. ``base_table()`` is the net-positive fold; with
+    ``cells=...`` (the search's probe list) only the probed posting
+    lists' shards are read, so a delete-heavy history never bloats the
+    search I/O beyond the probed cells' live+retracted rows, and
+    ``compact()`` folds retractions away entirely.
+
+    Per-merge work: one pk-pruned latest-image read + two map-only
+    encode projections + O(|Δ̂|) landings into the touched cell shards —
+    never a corpus re-encode or a posting-list rewrite. Replay/torn
+    writes heal by the family contract (all reads are rows_before(t));
+    compaction folds the code store to net weights FIRST, then the
+    changelog to latest-per-pk with d tombstones (dependency order).
+    Input contract: (op string, seq bigint, vec_id, emb array<double>),
+    seq globally monotone.
+
+    Reference parity note: extends the q190/q195 streaming-ANN rows to
+    the reference's actual delivery semantics — Debezium CDC with
+    at-least-once replay (cmd/main.go:197-230)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        cents: Cents,
+        cbs: Cbs,
+        *,
+        n_cell_buckets: int = 64,
+        n_vec_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.cents = cents
+        self.cbs = cbs
+        self.vec_store = BatchPartialStore(
+            spark, f"{base}/vecs", bucket_cols=["vec_id"], n_buckets=n_vec_buckets
+        )
+        self.code_store = BatchPartialStore(
+            spark, f"{base}/codes", bucket_cols=["cell"], n_buckets=n_cell_buckets
+        )
+
+    def merge(self, batch: DataFrame, batch_id: int) -> None:
+        cdc = batch.localCheckpoint()
+        state = cdc_state(self.vec_store, batch_id, "vec_id", prune=cdc)
+        delta = cdc_delta(cdc, state, "vec_id", "_w").localCheckpoint()
+        # encode ±1 images separately: a vec_id carries BOTH a new and an
+        # old image in one delta, and each must land under ITS OWN cell
+        pos = _ivfadc_encode(
+            delta.filter(F.col("_w") == 1), self.cents, self.cbs
+        ).withColumn(IMG_W, F.lit(1))
+        neg = _ivfadc_encode(
+            delta.filter(F.col("_w") == -1), self.cents, self.cbs
+        ).withColumn(IMG_W, F.lit(-1))
+        # codes first, then the changelog: torn combinations heal on
+        # replay (rows_before(t) never sees partition t)
+        self.code_store.land(pos.unionByName(neg), batch_id)
+        self.vec_store.land(cdc, batch_id)
+
+    def base_table(self, cells: list[int] | None = None) -> DataFrame:
+        """Alive (vec_id, cell, code…) rows — the net-positive Z-fold of
+        the landed code deltas, pruned to the probed cells' shards when
+        ``cells`` is given (partition filter; the searcher's cell equi
+        join filters exactly, so results match the unpruned read)."""
+        buckets = None
+        if cells is not None and self.code_store.bucket_cols:
+            lit = self.spark.createDataFrame(
+                [(int(c),) for c in cells], "cell int"
+            )
+            buckets = self.code_store.touched_buckets(lit)
+        rows = self.code_store.rows(buckets=buckets)
+        if rows is None:
+            raise ValueError("no batches have landed yet")
+        cols = [c for c in rows.columns if c != IMG_W]
+        return (
+            rows.groupBy(*cols)
+            .agg(F.sum(IMG_W).alias("_n"))
+            .filter(F.col("_n") > 0)
+            .drop("_n")
+        )
+
+    def n_partials(self) -> int:
+        return self.code_store.n_partials()
+
+    def compact(self) -> None:
+        """Code store to net weights FIRST (retractions fold away), then
+        the changelog to latest-per-pk (d tombstones retained) — the
+        family's dependency order."""
+        rows = self.code_store.rows()
+        if rows is not None:
+            cols = [c for c in rows.columns if c != IMG_W]
+            folded = (
+                rows.groupBy(*cols)
+                .agg(F.sum(IMG_W).cast("int").alias(IMG_W))
+                .filter(F.col(IMG_W) != 0)
+            )
+            self.code_store.compact(folded)
+        rows = self.vec_store.rows()
+        if rows is not None:
+            self.vec_store.compact(cdc_latest(rows, "vec_id"))

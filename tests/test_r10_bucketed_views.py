@@ -178,6 +178,90 @@ def test_vector_index_probe_prunes_to_probed_cells(spark, tmp_path):
     assert got == full
 
 
+def test_cdc_vector_index_mutations(spark, tmp_path):
+    """r10: the CDC-maintained vector index. A delete must leave the
+    index, a re-embedding must move the vector's codes between posting
+    lists (the −1 retraction lands under the OLD cell), duplicate
+    re-delivery is a net no-op, a torn code-store write heals on
+    replay, and compaction folds retractions away while preserving the
+    alive set."""
+    import os as _os
+    import shutil as _shutil
+
+    from stream_cdc_gps_spark.operators.similarity import (
+        _ivfadc_encode,
+        _lloyd_train_pq,
+        _seed_centroids,
+        as_double,
+    )
+    from stream_cdc_gps_spark.operators.common import t
+    from stream_cdc_gps_spark.streaming.vector_index import CdcVectorIndex
+
+    e = t(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cents = _seed_centroids(e)
+    cbs = _lloyd_train_pq(e, iters=0)
+    vid = F.col("vec_id")
+    neg = F.transform("emb", lambda x: -x)
+
+    idx = CdcVectorIndex(spark, str(tmp_path / "cvi"), cents, cbs)
+    a0 = e.select(F.lit("c").alias("op"), vid.alias("seq"), "vec_id", "emb")
+    idx.merge(a0, 0)
+    base0 = {r.vec_id: r.cell for r in idx.base_table().collect()}
+    n0 = len(base0)
+
+    # batch 1: delete vec 0, re-embed vec 1 (negated), duplicate vec 2
+    a1 = (
+        e.filter(vid == 0)
+        .select(F.lit("d").alias("op"), F.lit(100).alias("seq"), "vec_id", "emb")
+        .unionByName(
+            e.filter(vid == 1).select(
+                F.lit("u").alias("op"), F.lit(101).alias("seq"), "vec_id",
+                neg.alias("emb"),
+            )
+        )
+        .unionByName(
+            e.filter(vid == 2).select(
+                F.lit("u").alias("op"), F.lit(102).alias("seq"), "vec_id", "emb"
+            )
+        )
+    )
+    idx.merge(a1, 1)
+    alive = {r.vec_id: r.cell for r in idx.base_table().collect()}
+    assert len(alive) == n0 - 1 and 0 not in alive
+    assert alive[2] == base0[2]  # duplicate: unchanged
+    # the re-embedded vector carries the NEW encode (golden from a live encode)
+    golden1 = (
+        _ivfadc_encode(
+            e.filter(vid == 1).select("vec_id", neg.alias("emb")), cents, cbs
+        )
+        .collect()[0]
+    )
+    got1 = [r for r in idx.base_table().collect() if r.vec_id == 1][0]
+    assert tuple(got1) == tuple(golden1)
+
+    golden = sorted(map(tuple, idx.base_table().collect()))
+
+    # torn write: batch 1's code partition vanishes, changelog survived
+    _shutil.rmtree(_os.path.join(idx.code_store.partials_path, "batch_id=1"))
+    assert sorted(map(tuple, idx.base_table().collect())) != golden
+    idx.merge(a1, 1)
+    assert sorted(map(tuple, idx.base_table().collect())) == golden
+
+    # compaction folds retractions away; snapshot invariant; replay refused
+    idx.compact()
+    assert idx.n_partials() == 1
+    assert sorted(map(tuple, idx.base_table().collect())) == golden
+    idx.merge(a1, 1)
+    assert sorted(map(tuple, idx.base_table().collect())) == golden
+    # the folded code store holds ONLY net rows: no ±1 pairs remain
+    folded = idx.code_store.rows()
+    from stream_cdc_gps_spark.streaming.join_view import IMG_W
+    assert folded.filter(F.col(IMG_W) != 1).count() == 0
+    assert folded.count() == len(golden)
+
+
 def test_suite_restart_resume_from_checkpoint_heals_torn_batch(spark, tmp_path):
     """r10 task #3 (carried from r8): RESTART ≠ REPLAY. The replay tests
     re-call merge() in-process; this drives CdcViewSuite through a real
