@@ -109,6 +109,7 @@ SPOTLIGHT = [
     "q203_cdc_window_rollup",
     "q204_gps_cdc_trip_rollup",
     "q205_cdc_vector_index",
+    "q206_cdc_lsh_index",
 ]
 # q201 (composed CDC view suite: 6 views x 2 merges per rep — 18 s at
 # sf0.1 after the r10 shared-delta rework, was ~30 s in r8) stays

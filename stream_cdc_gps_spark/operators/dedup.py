@@ -1354,3 +1354,71 @@ def containment_pairs_of(
             F.round(cont, 4).alias("containment"),
         )
     )
+
+
+# q206's oracle: q53's batch LSH pipeline, verbatim, over the CDC-upserted
+# FINAL documents (re-crawls applied, deletes gone) instead of the raw table.
+_DOCS_FINAL_SQL = """SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0
+            THEN text || ' REVISED REVISED REVISED REVISED'
+            ELSE text END AS text
+FROM documents WHERE doc_id % 5 <> 0"""
+CDC_LSH_PAIRS_SQL = LSH_PAIRS_SQL.replace(
+    "FROM documents", f"FROM ({_DOCS_FINAL_SQL})"
+)
+
+
+@query("q206_cdc_lsh_index", oracle=CDC_LSH_PAIRS_SQL)
+def q206_cdc_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED LSH DEDUP PARITY — the near-duplicate index under
+    the mutations a production corpus actually has: RE-CRAWLED documents
+    (doc_id % 7 gains four appended tokens — new shingles, new
+    signature, postings MOVE band buckets and stale collision edges
+    retract), REMOVED documents (% 5 — they leave every bucket they
+    occupied), and duplicate re-delivery (% 11, unchanged image, higher
+    seq — a net no-op), via streaming/dedup_index.CdcLshIndex: posting
+    Z-set bucketed by (band, band_key), touched buckets' collisions
+    recomputed per merge from their post-batch alive postings, pairs
+    versioned by bucket. The insert-only index (q177) cannot express
+    any of these. Oracle is q53's all-at-once batch LSH SQL over the
+    CDC-upserted final documents — cap semantics INCLUDED (with
+    retraction the hot-bucket cap is no longer monotone; a bucket
+    dropping back under the cap re-emits, exactly the batch HAVING).
+
+    Scale: per merge one pk-pruned latest-image read, map-only banding
+    of the ± images, an alive-posting fold over ONLY the touched
+    buckets' shards, and MAX_POSTING²-bounded pair expansion per
+    touched bucket — never a corpus re-signature."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.dedup_index import CdcLshIndex
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    a0 = d.select(F.lit("c").alias("op"), did.alias("seq"), "doc_id", "text")
+    a_u = d.filter(did % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + did).alias("seq"),
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" REVISED REVISED REVISED REVISED")).alias(
+            "text"
+        ),
+    )
+    a_d = d.filter(did % 5 == 0).select(
+        F.lit("d").alias("op"), (F.lit(2_000_000_000) + did).alias("seq"),
+        "doc_id", "text",
+    )
+    a_dup = d.filter((did % 11 == 0) & (did % 5 != 0) & (did % 7 != 0)).select(
+        F.lit("u").alias("op"), (F.lit(3_000_000_000) + did).alias("seq"),
+        "doc_id", "text",
+    )
+    base = tempfile.mkdtemp(prefix="cdc_lsh_")
+    try:
+        idx = CdcLshIndex(spark, base)
+        idx.merge(a0, 0)
+        idx.merge(a_u.unionByName(a_d).unionByName(a_dup), 1)
+        # materialize before the temp state dir is removed
+        return idx.pairs().localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

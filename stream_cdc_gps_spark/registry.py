@@ -75,8 +75,9 @@ DRIVER_WINDOW = 50
 #     partial_store's read/write paths), q189/q202 (corpus-ingest and
 #     quantile sketch reach partial_store), q190/q195 (cell-bucketed
 #     vector_index + the _probe_cells pruning in similarity.py), and
-#     the NEW q204 GPS×CDC trip rollup and q205 CDC-maintained
-#     vector index (never driver-checked);
+#     the NEW q204 GPS×CDC trip rollup and q205/q206 CDC-maintained
+#     vector and LSH-dedup indexes (never driver-checked); q177 stales
+#     via the dedup_index module edit;
 # (b) ALL 29 remaining r4-era official rows, registration order —
 #     after this round no query's newest official row predates r5
 #     (43 entries total, under the 48 cap). Rows outside the window
@@ -85,6 +86,7 @@ _PRIORITY: list[str] = [
     # (a) changed or added in r10
     "q204_gps_cdc_trip_rollup",
     "q205_cdc_vector_index",
+    "q206_cdc_lsh_index",
     "q194_cdc_join_view",
     "q196_cdc_aggregate_view",
     "q197_cdc_minmax_view",
@@ -98,6 +100,7 @@ _PRIORITY: list[str] = [
     "q195_vector_index_retrain",
     "q202_quantile_sketch",
     "q189_corpus_ingest_parity",
+    "q177_lsh_incremental_parity",
     # (b) the 29 r4-era official rows, registration order
     "q01_pricing_summary",
     "q02_filter_predicates",

@@ -278,3 +278,202 @@ class IncrementalLshIndex:
             ).alias("live_buckets"),
             F.sum(tomb.cast("int")).cast("bigint").alias("dead_buckets"),
         )
+
+
+class CdcLshIndex:
+    """CDC-MAINTAINED MinHash-LSH near-duplicate index: the dedup index
+    under document UPDATES and DELETES — the production case the
+    insert-only ``IncrementalLshIndex`` cannot express (a re-crawled
+    page's shingles change, so its postings must MOVE band buckets and
+    its stale collision edges must retract; a removed document must
+    leave every bucket it occupied). Completes the r10 mutation triad:
+    CDC views (join_view), CDC vectors (vector_index), CDC dedup here —
+    all on the same Z-set + touched-key-recompute algebra.
+
+    State, every store partition-pruned per merge:
+
+    - ``doc_store``: the document changelog, bucketed by doc_id — read
+      only for the batch's pks' latest images (``cdc_state`` prune);
+    - ``post_store``: the band-posting Z-SET (band, band_key, doc_id,
+      ``_iw`` ±1), bucketed by (band, band_key) — each merge lands the
+      bandings of the batch's +1 images with weight +1 and of its −1
+      (displaced old) images with weight −1, so a re-crawl retracts its
+      OLD bands' postings exactly;
+    - ``pair_store``: per-bucket collision edges VERSIONED BY BUCKET
+      (the left-join/top-k marker idiom): every touched bucket lands a
+      marker (bseq = batch id) plus its recomputed edges from the
+      bucket's post-batch alive postings; ``pairs()`` takes each
+      bucket's latest recompute, so a bucket whose collisions all died
+      supersedes to empty.
+
+    Per-merge work: one pk-pruned latest-image read, two map-only
+    banding projections over the ±images, one alive-posting fold over
+    ONLY the touched buckets' shards (partition filter), and a pair
+    expansion bounded by MAX_POSTING² per touched bucket — never a
+    corpus re-signature or an untouched-bucket read.
+
+    Cap semantics differ from the insert-only index DELIBERATELY: with
+    retraction the hot-bucket cap is no longer monotone — a bucket
+    whose alive postings drop back to ≤ MAX_POSTING re-emits its
+    collisions, which is exactly the all-at-once batch semantics
+    (q53's HAVING over the final corpus), so parity against the batch
+    oracle is total rather than cap-modulo. Replay/torn writes heal by
+    the family contract (all reads are rows_before(t)); compaction
+    folds the pair store to latest-per-bucket, the postings to net
+    weights, and the changelog to latest-per-doc (d tombstones kept).
+
+    Input contract: (op string, seq bigint, doc_id bigint, text string),
+    seq globally monotone. Parity driver-checked by q206 against q53's
+    SQL over the CDC-upserted final documents."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        *,
+        max_posting: int = MAX_POSTING,
+        n_buckets: int = 32,
+    ):
+        from stream_cdc_gps_spark.streaming.partial_store import BatchPartialStore
+
+        self.spark = spark
+        self.max_posting = int(max_posting)
+        self.doc_store = BatchPartialStore(
+            spark, f"{base}/docs", bucket_cols=["doc_id"], n_buckets=n_buckets
+        )
+        self.post_store = BatchPartialStore(
+            spark,
+            f"{base}/posts",
+            bucket_cols=["band", "band_key"],
+            n_buckets=n_buckets,
+        )
+        self.pair_store = BatchPartialStore(spark, f"{base}/pairs")
+
+    def _alive_posts(self, t: int, touched: DataFrame) -> DataFrame | None:
+        """Pre-batch alive postings of the touched buckets: net-positive
+        fold of the posting Z-set, read pruned to the touched buckets'
+        shards and semi-joined to the exact bucket keys."""
+        from stream_cdc_gps_spark.streaming.join_view import IMG_W, pruned_before
+
+        rows = pruned_before(self.post_store, t, prune=touched)
+        if rows is None:
+            return None
+        return (
+            rows.join(touched, ["band", "band_key"], "left_semi")
+            .groupBy("band", "band_key", "doc_id")
+            .agg(F.sum(IMG_W).alias("_n"))
+            .filter(F.col("_n") > 0)
+            .drop("_n")
+        )
+
+    def merge(self, batch: DataFrame, batch_id: int) -> None:
+        from stream_cdc_gps_spark.streaming.join_view import (
+            IMG_W,
+            cdc_delta,
+            cdc_state,
+        )
+
+        cdc = batch.localCheckpoint()
+        state = cdc_state(self.doc_store, batch_id, "doc_id", prune=cdc)
+        delta = cdc_delta(cdc, state, "doc_id", "_w")
+        # bandings of the ± images, each under ITS OWN text's buckets —
+        # the −1 rows retract the OLD image's postings
+        post_delta = (
+            band_tuples_of(delta.filter(F.col("_w") == 1))
+            .withColumn(IMG_W, F.lit(1))
+            .unionByName(
+                band_tuples_of(delta.filter(F.col("_w") == -1)).withColumn(
+                    IMG_W, F.lit(-1)
+                )
+            )
+            .localCheckpoint()
+        )
+        touched = post_delta.select("band", "band_key").distinct().localCheckpoint()
+        pre = self._alive_posts(batch_id, touched)
+        after_src = post_delta if pre is None else pre.withColumn(
+            IMG_W, F.lit(1)
+        ).unionByName(post_delta)
+        after = (
+            after_src.groupBy("band", "band_key", "doc_id")
+            .agg(F.sum(IMG_W).alias("_n"))
+            .filter(F.col("_n") > 0)
+            .drop("_n")
+        )
+        # recompute each touched bucket's collisions from its post-batch
+        # alive postings — the batch cap semantics, retraction included
+        buckets = (
+            after.groupBy("band", "band_key")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .filter((F.size("ids") > 1) & (F.size("ids") <= self.max_posting))
+        )
+        edges = bucket_pair_expand(buckets, keep=("band", "band_key")).select(
+            F.lit(False).alias("is_marker"),
+            F.lit(int(batch_id)).alias("bseq"),
+            "band",
+            "band_key",
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+        )
+        markers = touched.select(
+            F.lit(True).alias("is_marker"),
+            F.lit(int(batch_id)).alias("bseq"),
+            "band",
+            "band_key",
+            F.lit(None).cast("bigint").alias("doc_a"),
+            F.lit(None).cast("bigint").alias("doc_b"),
+        )
+        # pair versions first, then the posting Z-set, then the changelog:
+        # torn prefixes heal on replay (rows_before(t) never sees t)
+        self.pair_store.land(edges.unionByName(markers), batch_id)
+        self.post_store.land(post_delta, batch_id)
+        self.doc_store.land(cdc, batch_id)
+
+    def pairs(self) -> DataFrame:
+        """(doc_a, doc_b, n_shared_bands) — each bucket's LATEST
+        recompute aggregated across bands; equal to the all-at-once
+        batch LSH pairs over the CDC-upserted final documents (q206)."""
+        rows = self.pair_store.rows()
+        if rows is None:
+            raise ValueError("no batches have landed yet")
+        latest = (
+            rows.filter("is_marker")
+            .groupBy("band", "band_key")
+            .agg(F.max("bseq").alias("bseq"))
+        )
+        return (
+            rows.filter(~F.col("is_marker"))
+            .join(latest, ["band", "band_key", "bseq"], "inner")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        )
+
+    def n_partials(self) -> int:
+        return self.pair_store.n_partials()
+
+    def compact(self) -> None:
+        """Pair store (latest-per-bucket) first, then the posting Z-set
+        (net weights), then the changelog (latest-per-doc, d tombstones
+        kept) — the family's dependency order."""
+        from stream_cdc_gps_spark.streaming.join_view import IMG_W, cdc_latest
+
+        rows = self.pair_store.rows()
+        if rows is not None:
+            latest = (
+                rows.filter("is_marker")
+                .groupBy("band", "band_key")
+                .agg(F.max("bseq").alias("bseq"))
+            )
+            self.pair_store.compact(
+                rows.join(latest, ["band", "band_key", "bseq"], "left_semi")
+            )
+        rows = self.post_store.rows()
+        if rows is not None:
+            folded = (
+                rows.groupBy("band", "band_key", "doc_id")
+                .agg(F.sum(IMG_W).cast("int").alias(IMG_W))
+                .filter(F.col(IMG_W) != 0)
+            )
+            self.post_store.compact(folded)
+        rows = self.doc_store.rows()
+        if rows is not None:
+            self.doc_store.compact(cdc_latest(rows, "doc_id"))

@@ -262,6 +262,84 @@ def test_cdc_vector_index_mutations(spark, tmp_path):
     assert folded.count() == len(golden)
 
 
+def test_cdc_lsh_index_mutations(spark, tmp_path):
+    """r10: the CDC-maintained LSH index. A re-crawl moves a doc's
+    postings between buckets and retracts its stale collision edges; a
+    delete removes the doc from every pair; a duplicate re-delivery is
+    a net no-op; a torn pair-store write heals on replay; compaction
+    preserves the pair set. Parity target: the batch LSH pairs over the
+    upserted final docs (computed in-test via the same public batch
+    helpers)."""
+    import os as _os
+    import shutil as _shutil
+
+    from stream_cdc_gps_spark.operators.dedup import (
+        MAX_POSTING,
+        band_tuples_of,
+        bucket_pair_expand,
+    )
+    from stream_cdc_gps_spark.streaming.dedup_index import CdcLshIndex
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "op string, seq long, doc_id long, text string"
+    )
+
+    def batch_pairs(docs):
+        bands = band_tuples_of(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        )
+        buckets = (
+            bands.groupBy("band", "band_key")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_POSTING))
+        )
+        return sorted(
+            map(
+                tuple,
+                bucket_pair_expand(buckets)
+                .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect(),
+            )
+        )
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    docs0 = [(1, base_text), (2, base_text), (3, other), (4, other)]
+    idx = CdcLshIndex(spark, str(tmp_path / "lsh"), n_buckets=4)
+    idx.merge(mk([("c", i, d, t_) for i, (d, t_) in enumerate(docs0)]), 0)
+    got = lambda: sorted(map(tuple, idx.pairs().collect()))
+    assert got() == batch_pairs(docs0)
+    assert (1, 2, got()[0][2]) in got()  # 1-2 are near-dups
+
+    # batch 1: re-crawl doc 2 to the OTHER cluster (its 1-2 edges must
+    # retract, 2 now pairs with 3/4), delete doc 4, duplicate doc 3
+    a1 = [
+        ("u", 10, 2, other),
+        ("d", 11, 4, other),
+        ("u", 12, 3, other),
+    ]
+    docs1 = [(1, base_text), (2, other), (3, other)]
+    idx.merge(mk(a1), 1)
+    golden = batch_pairs(docs1)
+    assert got() == golden
+    assert not any(a == 1 or b == 1 for a, b, _ in got())  # doc 1 now alone
+
+    # torn write: batch 1's pair partition vanishes, postings survived
+    _shutil.rmtree(_os.path.join(idx.pair_store.partials_path, "batch_id=1"))
+    assert got() != golden
+    idx.merge(mk(a1), 1)
+    assert got() == golden
+
+    # compaction folds all three stores; pairs invariant; replay refused
+    idx.compact()
+    assert idx.n_partials() == 1
+    assert got() == golden
+    idx.merge(mk(a1), 1)
+    assert got() == golden
+
+
 def test_suite_restart_resume_from_checkpoint_heals_torn_batch(spark, tmp_path):
     """r10 task #3 (carried from r8): RESTART ≠ REPLAY. The replay tests
     re-call merge() in-process; this drives CdcViewSuite through a real
