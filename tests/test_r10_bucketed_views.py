@@ -418,7 +418,7 @@ def test_suite_restart_resume_from_checkpoint_heals_torn_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(240)
+        assert q.awaitTermination(420), "stream did not terminate"
 
     with pytest.raises(StreamingQueryException, match="injected crash"):
         run()

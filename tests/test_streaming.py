@@ -174,7 +174,7 @@ def test_streaming_file_source_end_to_end(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not terminate"
 
     landed = spark.read.parquet(str(out))
     assert landed.count() == 10  # replayed id-3 deduped, garbage dropped
@@ -189,7 +189,7 @@ def test_streaming_file_source_end_to_end(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300), "stream did not terminate"
     assert spark.read.parquet(str(out)).count() == 10
 
 
@@ -223,7 +223,7 @@ def test_watermarked_dedup_streaming_state(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not terminate"
     got = {r["id"] for r in spark.read.parquet(str(out)).collect()}
     assert got == {"a", "b"}
     assert spark.read.parquet(str(out)).count() == 2
@@ -289,7 +289,7 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "stream did not terminate"
     got = spark.read.parquet(str(out)).collect()
     # only A@10:05 is within 10 min of A's 10:00 ping; B's cmd is 66 min stale
     assert len(got) == 1
@@ -329,7 +329,7 @@ def test_foreachbatch_sink_idempotent_shape(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not terminate"
     assert len(seen_batches) >= 1
     rows = spark.read.parquet(str(out)).collect()
     assert len(rows) == 4
@@ -370,7 +370,7 @@ def test_windowed_agg_drops_late_data(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not terminate"
 
     (src / "b0.jsonl").write_text(
         "\n".join(
@@ -452,7 +452,7 @@ def test_sliding_window_streaming_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not terminate"
 
     batch_src = spark.read.format("text").load(str(src))
     expected = sorted(
@@ -528,7 +528,7 @@ def test_upsert_writer_streaming_restart_no_duplicates(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not terminate"
 
     run("ck1")
     assert spark.read.parquet(str(out)).count() == 6
@@ -590,7 +590,7 @@ def test_changelog_snapshot_streaming_matches_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not terminate"
 
     run("ck1")
 
@@ -661,7 +661,7 @@ def test_scd2_streaming_matches_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not terminate"
 
     run("ck1")
 
@@ -810,7 +810,7 @@ def test_incremental_lsh_streaming_matches_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not terminate"
 
     run("ck1")
 
@@ -1077,7 +1077,7 @@ def test_incremental_cms_streaming_matches_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not terminate"
 
     run("ck1")
     assert sk.n_partials() == 2
@@ -1161,7 +1161,7 @@ def test_incremental_hll_streaming_matches_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not terminate"
 
     run("ck1")
     assert hll.n_partials() == 2
@@ -1234,7 +1234,7 @@ def test_incremental_rollup_streaming_matches_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not terminate"
 
     run("ck1")
     assert ru.n_partials() == 2
@@ -1636,7 +1636,7 @@ def test_incremental_vector_index_streaming_end_to_end(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not terminate"
 
     run("ck1")
     golden = sorted(
@@ -2103,7 +2103,7 @@ def test_corpus_ingest_composition_matches_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not terminate"
 
     run("ck1")
 
@@ -2559,7 +2559,7 @@ def test_cdc_view_suite_streaming_end_to_end(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not terminate"
 
     run("ck1")
 
