@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from stream_cdc_gps_spark.plans.inspect import plan_string
@@ -260,6 +261,188 @@ def test_cdc_vector_index_mutations(spark, tmp_path):
     from stream_cdc_gps_spark.streaming.join_view import IMG_W
     assert folded.filter(F.col(IMG_W) != 1).count() == 0
     assert folded.count() == len(golden)
+
+
+def test_grouped_recompute_matches_python_replay_on_generated(spark):
+    """Hypothesis fuzz for CdcGroupedRecomputeView with a genuinely
+    SEQUENCE-DEPENDENT aggregate (per-key sum of |Δv| over pk-ordered
+    alive rows — the trip-distance shape with integer-exact Decimals):
+    any generated c/u/d script, split anywhere into two batches, must
+    land exactly the last-writer-wins Python replay's per-key recompute,
+    and re-merging the last batch (replay) must be a no-op."""
+    import shutil
+    import tempfile
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcGroupedRecomputeView
+
+    schema = "op string, seq long, oid long, k long, v decimal(18,2)"
+    opname = {0: "c", 1: "u", 2: "d"}
+
+    def span_recompute(after):
+        w = Window.partitionBy("k").orderBy("oid")
+        d = F.abs(F.col("v") - F.lag("v").over(w))
+        return (
+            after.withColumn("_d", d)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.coalesce(F.sum("_d"), F.lit(0).cast("decimal(28,2)")).alias(
+                    "span"
+                ),
+            )
+        )
+
+    ops_st = st.lists(
+        st.tuples(
+            st.integers(0, 2),  # op
+            st.integers(0, 5),  # pk
+            st.integers(0, 3),  # key
+            st.integers(0, 999),  # value in cents
+        ),
+        max_size=8,
+    )
+
+    @given(ops=ops_st, split_raw=st.integers(0, 9))
+    @settings(max_examples=5, deadline=None)
+    def run(ops, split_raw):
+        rows = [
+            (opname[t_], i, pk, k, Decimal(v) / 100)
+            for i, (t_, pk, k, v) in enumerate(ops)
+        ]
+        split = split_raw % (len(rows) + 1)
+
+        state: dict[int, tuple[int, Decimal]] = {}
+        for t_, pk, k, v in ops:
+            if t_ == 2:
+                state.pop(pk, None)
+            else:
+                state[pk] = (k, Decimal(v) / 100)
+        by_key: dict[int, list[tuple[int, Decimal]]] = {}
+        for pk, (k, v) in state.items():
+            by_key.setdefault(k, []).append((pk, v))
+        golden = sorted(
+            (
+                k,
+                len(items),
+                sum(
+                    (abs(b[1] - a[1]) for a, b in zip(items, items[1:])),
+                    Decimal(0),
+                ),
+            )
+            for k, items in ((k, sorted(v)) for k, v in by_key.items())
+        )
+
+        base = tempfile.mkdtemp(prefix="grv_prop_")
+        try:
+            view = CdcGroupedRecomputeView(
+                spark, base, key="k", pk="oid", recompute=span_recompute,
+                n_buckets=4,
+            )
+            view.merge(spark.createDataFrame(rows[:split], schema), 0)
+            b1 = spark.createDataFrame(rows[split:], schema)
+            view.merge(b1, 1)
+            view.merge(b1, 1)  # replay must be a no-op
+
+            try:
+                got = sorted(
+                    (r.k, r.n, Decimal(r.span)) for r in view.snapshot().collect()
+                )
+            except ValueError:
+                got = []
+            assert got == golden
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    run()
+
+
+def test_cdc_lsh_index_matches_batch_on_generated(spark):
+    """Hypothesis fuzz for CdcLshIndex: generated c/u/d scripts over a
+    small doc pool (texts drawn from three near-dup-clustered sentences)
+    must land exactly the batch LSH pairs over the upserted final docs."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from stream_cdc_gps_spark.operators.dedup import (
+        MAX_POSTING,
+        band_tuples_of,
+        bucket_pair_expand,
+    )
+    from stream_cdc_gps_spark.streaming.dedup_index import CdcLshIndex
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "one two three four five six seven eight",
+    ]
+    schema = "op string, seq long, doc_id long, text string"
+    opname = {0: "c", 1: "u", 2: "d"}
+
+    def batch_pairs(final_docs):
+        if not final_docs:
+            return []
+        bands = band_tuples_of(
+            spark.createDataFrame(
+                sorted(final_docs.items()), "doc_id long, text string"
+            )
+        )
+        buckets = (
+            bands.groupBy("band", "band_key")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_POSTING))
+        )
+        return sorted(
+            map(
+                tuple,
+                bucket_pair_expand(buckets)
+                .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+                .collect(),
+            )
+        )
+
+    ops_st = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 4), st.integers(0, 2)),
+        max_size=6,
+    )
+
+    @given(ops=ops_st, split_raw=st.integers(0, 7))
+    @settings(max_examples=4, deadline=None)
+    def run(ops, split_raw):
+        rows = [
+            (opname[t_], i, d, texts[x]) for i, (t_, d, x) in enumerate(ops)
+        ]
+        split = split_raw % (len(rows) + 1)
+        final: dict[int, str] = {}
+        for t_, d, x in ops:
+            if t_ == 2:
+                final.pop(d, None)
+            else:
+                final[d] = texts[x]
+        golden = batch_pairs(final)
+
+        base = tempfile.mkdtemp(prefix="lsh_prop_")
+        try:
+            idx = CdcLshIndex(spark, base, n_buckets=4)
+            idx.merge(spark.createDataFrame(rows[:split], schema), 0)
+            idx.merge(spark.createDataFrame(rows[split:], schema), 1)
+            try:
+                got = sorted(map(tuple, idx.pairs().collect()))
+            except ValueError:
+                got = []
+            assert got == golden
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    run()
 
 
 def test_cdc_lsh_index_mutations(spark, tmp_path):
