@@ -792,3 +792,145 @@ def q192_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("kept_docs", F.lit(0)).cast("bigint").alias("kept_docs"),
         F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
     )
+
+
+# q207's oracle: q113's CMS construction + heavy-hitter readout, verbatim,
+# over the CDC-upserted FINAL documents (re-crawls applied, deletes gone)
+# instead of the raw table — the sketch of the net corpus must equal the
+# net of the maintained signed sketches, exactly.
+_Q207_DOCS_FINAL_SQL = """SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0
+            THEN text || ' REVISED REVISED REVISED REVISED'
+            ELSE text END AS text
+FROM documents WHERE doc_id % 5 <> 0"""
+
+
+@query(
+    "q207_cdc_cms_sketch",
+    oracle=f"""
+WITH tok AS (
+    SELECT u.tok AS tok
+    FROM (SELECT string_split(text, ' ') AS toks FROM ({_Q207_DOCS_FINAL_SQL})),
+         UNNEST(toks) AS u(tok)
+),
+rb AS (
+    SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+               % {_CMS_WIDTH} AS bucket
+    FROM tok, UNNEST([0, 1, 2, 3]) AS u(i)
+),
+counters AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt FROM rb GROUP BY i, bucket),
+exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY tok
+          ORDER BY exact_n DESC, tok LIMIT 10),
+cand AS (
+    SELECT tok, exact_n, i,
+           ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+               % {_CMS_WIDTH} AS bucket
+    FROM exact, UNNEST([0, 1, 2, 3]) AS u(i)
+)
+SELECT c.tok AS token, c.exact_n,
+       min(ct.cnt)               AS cms_n,
+       min(ct.cnt) - c.exact_n   AS overestimate,
+       min(ct.cnt) >= c.exact_n  AS admissible
+FROM cand c JOIN counters ct ON c.i = ct.i AND c.bucket = ct.bucket
+GROUP BY c.tok, c.exact_n
+""",
+)
+def q207_cdc_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED COUNT-MIN SKETCH — the linear-sketch-as-Z-set-
+    morphism row: CMS counters are LINEAR in the token multiset, so
+    maintaining the corpus sketch under re-crawls and deletes needs no
+    new algebra at all — each merge lands the ±1-weighted image delta's
+    SIGNED counter partial (streaming/cms_index.CdcCmsSketch) and the
+    running per-cell sum equals the sketch built from scratch over the
+    upserted final corpus EXACTLY (sketch of the net == net of the
+    sketches), which is what this row driver-checks: the same changelog
+    script as q206 (creates; % 7 re-crawls whose OLD text's counts
+    retract and new text's assert in one merge; % 5 deletes; % 11
+    duplicate re-deliveries netting to zero), then q113's heavy-hitter
+    readout — the FINAL corpus's exact top-10 tokens estimated from the
+    MAINTAINED counters, admissibility included — against the identical
+    readout DuckDB computes from scratch. The append-only sketch (q189's
+    member) can only ever grow: under churn its error accumulates dead
+    documents' counts forever, the silent drift this row exists to rule
+    out.
+
+    Scale: the landed partial is capped at depth × width rows per batch
+    regardless of |Δ| (the partial aggregate collapses map-side), the
+    pre-image read is pk-pruned, and the snapshot fold is O(depth ×
+    width × batches) — compaction keeps that flat. Torn writes heal by
+    the family contract; duplicate re-delivery nets to a zero partial."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.cms_index import CdcCmsSketch, _estimate
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    a0 = d.select(F.lit("c").alias("op"), did.alias("seq"), "doc_id", "text")
+    a_u = d.filter(did % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + did).alias("seq"),
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" REVISED REVISED REVISED REVISED")).alias(
+            "text"
+        ),
+    )
+    a_d = d.filter(did % 5 == 0).select(
+        F.lit("d").alias("op"), (F.lit(2_000_000_000) + did).alias("seq"),
+        "doc_id", "text",
+    )
+    a_dup = d.filter((did % 11 == 0) & (did % 5 != 0) & (did % 7 != 0)).select(
+        F.lit("u").alias("op"), (F.lit(3_000_000_000) + did).alias("seq"),
+        "doc_id", "text",
+    )
+    # the upserted final corpus, for the exact side of the readout (the
+    # counters themselves come ONLY from the maintained sketch)
+    final_docs = d.filter(did % 5 != 0).select(
+        "doc_id",
+        F.when(
+            did % 7 == 0,
+            F.concat(F.col("text"), F.lit(" REVISED REVISED REVISED REVISED")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    base = tempfile.mkdtemp(prefix="cdc_cms_")
+    try:
+        sk = CdcCmsSketch(spark, base)
+        sk.merge(a0, 0)
+        sk.merge(a_u.unionByName(a_d).unionByName(a_dup), 1)
+        counters = sk.counters().localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    tok = final_docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(10)
+    )
+    cand = exact.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(F.col("tok"), i).alias("bucket"),
+                    )
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("tok", "exact_n", "rb.i", "rb.bucket")
+    est = F.min("cnt")
+    return (
+        cand.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy(F.col("tok").alias("token"), "exact_n")
+        .agg(
+            est.alias("cms_n"),
+            (est - F.col("exact_n")).alias("overestimate"),
+            (est >= F.col("exact_n")).alias("admissible"),
+        )
+    )

@@ -2483,3 +2483,121 @@ def q203_cdc_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q208_cdc_view_time_travel",
+    oracle="""
+WITH o_prefix AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+                ELSE o_custkey END AS cust_key,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0e0
+                     ELSE o_totalprice END AS DECIMAL(18,2)) AS total_price
+    FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT cust_key,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(total_price) AS DOUBLE) AS total_spend
+FROM o_prefix GROUP BY cust_key
+""",
+)
+def q208_cdc_view_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL READ of a CDC-maintained view (the Iceberg/Delta
+    AS-OF-snapshot surface, for free): the per-batch view-delta
+    partitions a CdcAggregateView lands ARE its version history, so
+    ``snapshot_at(t)`` — the fold of deltas with batch_id ≤ t, a pure
+    partition filter — reconstructs the view as of any batch inside the
+    compaction horizon with ZERO extra state or bookkeeping. The script
+    runs THREE batches (q196's creates; its update/delete wave; then a
+    second wave of price bumps (% 2) and deletes (% 3)) and reads
+    ``snapshot_at(1)``: the oracle is the GROUP BY over the changelog
+    PREFIX ≤ 1 upserted — the result must be blind to everything batch 2
+    changed, which is the whole claim. Below the horizon the read is
+    REFUSED loudly (compaction folds history exactly like snapshot
+    expiry; pytest-pinned), never silently answered from folded state.
+
+    Scale: the travel read costs the same as a current snapshot (one
+    fold over ≤ t partitions, batch-id partition-pruned at the scan);
+    retention is the compaction cadence knob, trading version reach for
+    snapshot-read fan-in — the same trade the table formats expose.
+
+    Reference parity note: the reference's consume loop re-reads its
+    JDBC table 'as of now' only (cmd/main.go:212-227); this row gives
+    its CDC domain the audit/debug read every revision-bearing pipeline
+    eventually needs ("what did the dashboard say before the restatement
+    landed?")."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcAggregateView
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+    )
+    ok = F.col("order_key")
+    ck = F.col("cust_key")
+    raw_price = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("p_raw"),
+    )
+    a0 = o.select(F.lit("c").alias("op"), ok.alias("seq"), *o.columns)
+    bump = lambda col: (col + F.lit(1.0e0)).cast("decimal(18,2)")
+    with_raw = o.join(raw_price, "order_key")
+    a_u1 = with_raw.filter(ok % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + ok).alias("seq"),
+        ok,
+        ck,
+        bump(F.col("p_raw")).alias("total_price"),
+    )
+    bumped = F.when(ok % 7 == 0, bump(F.col("p_raw"))).otherwise(
+        F.col("total_price")
+    )
+    a_u2 = with_raw.filter(ok % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + ok).alias("seq"),
+        ok,
+        (ck + 1).alias("cust_key"),
+        bumped.alias("total_price"),
+    )
+    a_d = o.filter(ok % 5 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(3_000_000_000) + ok).alias("seq"),
+        *o.columns,
+    )
+    # batch 2: a second revision wave the travel read must NOT see —
+    # price bumps on even orders, deletes on % 3 (both against whatever
+    # image batch 1 left; the exact images are irrelevant to the claim,
+    # only that they CHANGE the current view).
+    b2_u = with_raw.filter(ok % 2 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(4_000_000_000) + ok).alias("seq"),
+        ok,
+        ck,
+        bump(bump(F.col("p_raw"))).alias("total_price"),
+    )
+    b2_d = o.filter(ok % 3 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(5_000_000_000) + ok).alias("seq"),
+        *o.columns,
+    )
+    base = tempfile.mkdtemp(prefix="cdc_time_travel_")
+    try:
+        view = CdcAggregateView(
+            spark, base, key="cust_key", pk="order_key", val="total_price"
+        )
+        view.merge(a0, 0)
+        view.merge(a_u1.unionByName(a_u2).unionByName(a_d), 1)
+        view.merge(b2_u.unionByName(b2_d), 2)
+        out = view.snapshot_at(1).select(
+            "cust_key",
+            F.col("n").alias("n_orders"),
+            F.col("total").cast("double").alias("total_spend"),
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

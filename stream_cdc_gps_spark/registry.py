@@ -72,18 +72,22 @@ DRIVER_WINDOW = 50
 # (a) queries stale from this round's symbol changes — the staleness
 #     gate forces these: the whole CDC/IVM view family q193-q203 (the
 #     bucketed-store wiring rewrote streaming/join_view.py and touched
-#     partial_store's read/write paths), q189/q202 (corpus-ingest and
+#     partial_store's read/write paths; the late-r10 concurrent-merge
+#     rework touched the same symbols), q189/q202 (corpus-ingest and
 #     quantile sketch reach partial_store), q190/q195 (cell-bucketed
-#     vector_index + the _probe_cells pruning in similarity.py), and
-#     the NEW q204 GPS×CDC trip rollup and q205/q206 CDC-maintained
-#     vector and LSH-dedup indexes (never driver-checked); q177 stales
-#     via the dedup_index module edit;
+#     vector_index + the _probe_cells pruning in similarity.py), the
+#     q204 GPS×CDC trip rollup and q205/q206 CDC-maintained vector and
+#     LSH-dedup indexes, and the NEW q207 CDC-maintained CMS and q208
+#     CDC-view time travel (never driver-checked); q177 stales via the
+#     dedup_index module edit;
 # (b) ALL 29 remaining r4-era official rows, registration order —
 #     after this round no query's newest official row predates r5
-#     (43 entries total, under the 48 cap). Rows outside the window
+#     (48 entries total, under the 50 cap). Rows outside the window
 #     remain covered by the clean-tree tri-scale full-sim certificates.
 _PRIORITY: list[str] = [
     # (a) changed or added in r10
+    "q207_cdc_cms_sketch",
+    "q208_cdc_view_time_travel",
     "q204_gps_cdc_trip_rollup",
     "q205_cdc_vector_index",
     "q206_cdc_lsh_index",

@@ -94,10 +94,90 @@ class IncrementalCmsSketch:
     def estimate(self, toks: list[str]) -> dict[str, int]:
         """Point estimates for the given tokens: min over the depth rows —
         the CMS admissible upper bound on each token's true count."""
-        cand = self.spark.createDataFrame(
-            [(t,) for t in toks], "tok string"
-        ).select(
-            "tok",
+        return _estimate(self.spark, self.counters(), toks)
+
+
+def _estimate(spark: SparkSession, counters: DataFrame, toks: list[str]) -> dict[str, int]:
+    """Point estimates from a merged counter frame: min over depth rows."""
+    cand = spark.createDataFrame([(t,) for t in toks], "tok string").select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(F.col("tok"), i).alias("bucket"),
+                    )
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("tok", "rb.i", "rb.bucket")
+    est = (
+        cand.join(F.broadcast(counters), ["i", "bucket"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est"))
+    )
+    return {r["tok"]: r["est"] for r in est.collect()}
+
+
+class CdcCmsSketch:
+    """CDC-aware count-min sketch: the corpus CMS maintained under
+    UPDATES and DELETES — the retraction case the append-only
+    ``IncrementalCmsSketch`` cannot express, and the cleanest
+    demonstration that LINEAR sketches are Z-set morphisms: counters are
+    linear in the input multiset, so applying the batch's ±1-weighted
+    image delta (the join_view algebra) to the token multiset gives a
+    SIGNED counter partial
+
+        Δcnt(i, bucket) = Σ_images w(image) · |tokens(image) in bucket|
+
+    whose running sum per cell equals the sketch built from scratch over
+    the CDC-upserted final corpus — exactly (not approximately: the
+    sketch of the net corpus IS the net of the sketches; driver-checked
+    by q207 against q113's batch SQL over the upserted final table).
+    A re-crawled document retracts its OLD text's token counts and
+    asserts the new ones in one merge; a delete retracts exactly its
+    contribution; approximation error stays the CMS ε over the ALIVE
+    corpus, never accumulating from dead documents — the property an
+    append-only sketch under churn silently loses.
+
+    Per-merge work: one pk-pruned latest-image read + one tokenize over
+    the ±images + one O(depth × width)-bounded signed partial — the
+    landed partial never exceeds depth × width rows whatever |Δ| is.
+    Storage/replay by the family contract (rows_before(t) reads, torn
+    combinations heal); compaction folds counters to net sums (zero
+    cells dropped). Input contract: (op string, seq bigint, doc_id
+    bigint, text string), seq globally monotone.
+
+    Reference parity note: extends the q113/q189 sketch rows to the
+    reference's Debezium delivery semantics (cmd/main.go:197-230,
+    connector.json:4-17)."""
+
+    def __init__(self, spark: SparkSession, base: str, *, n_doc_buckets: int = 16):
+        self.spark = spark
+        self.doc_store = BatchPartialStore(
+            spark, f"{base}/docs", bucket_cols=["doc_id"], n_buckets=n_doc_buckets
+        )
+        self.cms_store = BatchPartialStore(spark, f"{base}/cms")
+
+    def merge(self, batch: DataFrame, batch_id: int) -> None:
+        from stream_cdc_gps_spark.streaming.join_view import (
+            _concurrently,
+            cdc_delta,
+            cdc_state,
+        )
+
+        cdc = batch.localCheckpoint()
+        state = cdc_state(self.doc_store, batch_id, "doc_id", prune=cdc)
+        delta = cdc_delta(cdc, state, "doc_id", "_w")
+        # signed counter partial: each ±image's tokens hash into the
+        # depth × width cells and carry the image's weight
+        tok = delta.select(
+            F.col("_w"), F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        cells = tok.select(
+            "_w",
             F.explode(
                 F.array(
                     *[
@@ -109,10 +189,46 @@ class IncrementalCmsSketch:
                     ]
                 )
             ).alias("rb"),
-        ).select("tok", "rb.i", "rb.bucket")
-        est = (
-            cand.join(F.broadcast(self.counters()), ["i", "bucket"], "left")
-            .groupBy("tok")
-            .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est"))
+        ).select("_w", "rb.i", "rb.bucket")
+        partial = cells.groupBy("i", "bucket").agg(
+            F.sum("_w").cast("bigint").alias("cnt")
+        ).filter(F.col("cnt") != 0)
+        _concurrently(
+            lambda: self.cms_store.land(partial, batch_id),
+            lambda: self.doc_store.land(cdc, batch_id),
         )
-        return {r["tok"]: r["est"] for r in est.collect()}
+
+    def counters(self) -> DataFrame:
+        """Merged sketch over the ALIVE corpus: net counter sums (cells
+        whose every contribution was retracted net to zero and drop)."""
+        rows = self.cms_store.rows()
+        if rows is None:
+            return self.spark.createDataFrame([], "i int, bucket bigint, cnt bigint")
+        return (
+            rows.groupBy("i", "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+
+    def estimate(self, toks: list[str]) -> dict[str, int]:
+        return _estimate(self.spark, self.counters(), toks)
+
+    def n_partials(self) -> int:
+        return self.cms_store.n_partials()
+
+    def compact(self) -> None:
+        """Counters to net sums FIRST, then the changelog to
+        latest-per-pk (d tombstones retained) — the family order."""
+        from stream_cdc_gps_spark.streaming.join_view import cdc_latest
+
+        rows = self.cms_store.rows()
+        if rows is not None:
+            folded = (
+                rows.groupBy("i", "bucket")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+                .filter(F.col("cnt") != 0)
+            )
+            self.cms_store.compact(folded)
+        rows = self.doc_store.rows()
+        if rows is not None:
+            self.doc_store.compact(cdc_latest(rows, "doc_id"))

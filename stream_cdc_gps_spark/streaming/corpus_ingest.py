@@ -61,12 +61,21 @@ class CorpusIngestPipeline:
         self.rollup = IncrementalRollup(spark, f"{base}/rollup", "source", "n_chars")
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        from stream_cdc_gps_spark.streaming.join_view import _concurrently
+
         kept = quality_gate(batch_df).persist()
         try:
             kept.count()  # materialize once; the four updates re-read cache
-            self.lsh.merge(kept.select("doc_id", "text"), batch_id)
-            self.cms.merge(kept.select("text"), batch_id)
-            self.hll.merge(kept.select("doc_id"), batch_id)
-            self.rollup.merge(kept.select("source", "n_chars"), batch_id)
+            # The four indexes write disjoint stores off the one cached
+            # batch — update them concurrently; a crash after any subset
+            # is the torn multi-store state replay already heals.
+            _concurrently(
+                lambda: self.lsh.merge(kept.select("doc_id", "text"), batch_id),
+                lambda: self.cms.merge(kept.select("text"), batch_id),
+                lambda: self.hll.merge(kept.select("doc_id"), batch_id),
+                lambda: self.rollup.merge(
+                    kept.select("source", "n_chars"), batch_id
+                ),
+            )
         finally:
             kept.unpersist()

@@ -250,8 +250,16 @@ class IncrementalLshIndex:
         )
         collisions = collisions.unionByName(sentinels).distinct().localCheckpoint()
 
-        self._write_partitions(postings, self.postings_path)
-        self._write_partitions(collisions, self.collisions_path)
+        # Neither frame reads a store lazily any more (every store scan
+        # above was cut by a localCheckpoint), so the two partition
+        # writes are independent — overwrite the two stores concurrently
+        # (a torn write between them is healed by replay).
+        from stream_cdc_gps_spark.streaming.join_view import _concurrently
+
+        _concurrently(
+            lambda: self._write_partitions(postings, self.postings_path),
+            lambda: self._write_partitions(collisions, self.collisions_path),
+        )
 
     def pairs(self) -> DataFrame:
         """q53-shaped candidate pairs over every document merged so far."""
@@ -422,11 +430,17 @@ class CdcLshIndex:
             F.lit(None).cast("bigint").alias("doc_a"),
             F.lit(None).cast("bigint").alias("doc_b"),
         )
-        # pair versions first, then the posting Z-set, then the changelog:
-        # torn prefixes heal on replay (rows_before(t) never sees t)
-        self.pair_store.land(edges.unionByName(markers), batch_id)
-        self.post_store.land(post_delta, batch_id)
-        self.doc_store.land(cdc, batch_id)
+        # concurrent landings (pair versions, posting Z-set, changelog):
+        # torn combinations heal on replay (rows_before(t) never sees t).
+        # The pair job's posting-store scan was planned above, so the
+        # concurrent post_store land cannot race its file listing.
+        from stream_cdc_gps_spark.streaming.join_view import _concurrently
+
+        _concurrently(
+            lambda: self.pair_store.land(edges.unionByName(markers), batch_id),
+            lambda: self.post_store.land(post_delta, batch_id),
+            lambda: self.doc_store.land(cdc, batch_id),
+        )
 
     def pairs(self) -> DataFrame:
         """(doc_a, doc_b, n_shared_bands) — each bucket's LATEST

@@ -68,10 +68,36 @@ extended the upsert itself.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_cdc_gps_spark.streaming.partial_store import BatchPartialStore
+
+
+def _concurrently(*thunks):
+    """Run independent Spark actions of ONE merge in parallel threads
+    and return their results in argument order.
+
+    Why this is safe (and why it matters): every store write inside a
+    merge is an idempotent dynamic-partition overwrite of partition
+    ``batch_id=t``, and every state read is ``rows_before(t)`` — a
+    partition filter that excludes t at PLANNING time, so no job ever
+    lists the files a concurrent sibling is writing. A crash that lands
+    any subset of the writes is exactly the torn-write state the replay
+    contract already heals (the replayed merge recomputes identical
+    deltas against pre-t state and overwrites all of its t-partitions) —
+    concurrency adds no new crash states, it only removes the idle gaps
+    between a merge's 5-15 small driver-paced jobs. On a real cluster
+    the same overlap keeps executors busy across the per-store landing
+    barriers. Exceptions propagate after all thunks settle (matching
+    the crash-anywhere semantics the replay tests pin)."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futures]
 
 # Weight column of the ±1 image deltas landed in arrangement stores.
 IMG_W = "_iw"
@@ -238,12 +264,16 @@ class IncrementalJoinView:
         self.m_store = BatchPartialStore(spark, f"{base}/m")
 
     def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
-        da = a_batch.localCheckpoint()
-        db = b_batch.localCheckpoint()
+        da, db = _concurrently(
+            lambda: a_batch.localCheckpoint(), lambda: b_batch.localCheckpoint()
+        )
         # State sides pruned to the shards the OTHER side's delta keys
-        # hash into — the only rows the equi join can match.
-        a_old = pruned_before(self.a_store, batch_id, prune=db)
-        b_old = pruned_before(self.b_store, batch_id, prune=da)
+        # hash into — the only rows the equi join can match (the two
+        # touched-bucket collects are independent metadata jobs).
+        a_old, b_old = _concurrently(
+            lambda: pruned_before(self.a_store, batch_id, prune=db),
+            lambda: pruned_before(self.b_store, batch_id, prune=da),
+        )
         # ΔA⋈ΔB is always present; the two state-side terms only once the
         # other side has history. Every term is an EQUI join on the key.
         dm = da.join(db, self.key)
@@ -251,11 +281,14 @@ class IncrementalJoinView:
             dm = dm.unionByName(da.join(b_old, self.key))
         if a_old is not None:
             dm = dm.unionByName(a_old.join(db, self.key))
-        # Land the DELTA first, then the inputs: any torn combination is
-        # healed by replay, because rows_before(t) never sees partition t.
-        self.m_store.land(dm, batch_id)
-        self.a_store.land(da, batch_id)
-        self.b_store.land(db, batch_id)
+        # Concurrent landings: each overwrites only its own t-partitions
+        # and any torn combination is healed by replay, because
+        # rows_before(t) never sees partition t.
+        _concurrently(
+            lambda: self.m_store.land(dm, batch_id),
+            lambda: self.a_store.land(da, batch_id),
+            lambda: self.b_store.land(db, batch_id),
+        )
 
     def snapshot(self) -> DataFrame:
         """The materialized view: every delta landed so far — equal to
@@ -415,36 +448,52 @@ class CdcJoinView:
         """One micro-batch. ``da``/``db`` accept a precomputed image
         delta (weight column ``_w``) so a composed handler derives each
         side's Δ̂ exactly once per batch for the whole family."""
-        da_cdc = a_batch
-        db_cdc = b_batch
-        if da is None:
-            da_cdc = a_batch.localCheckpoint()
-            a_old_pk = cdc_state(self.a_store, batch_id, self.a_pk, prune=da_cdc)
-            da = cdc_delta(da_cdc, a_old_pk, self.a_pk, "_w").localCheckpoint()
-        if db is None:
-            db_cdc = b_batch.localCheckpoint()
-            b_old_pk = cdc_state(self.b_store, batch_id, self.b_pk, prune=db_cdc)
-            db = cdc_delta(db_cdc, b_old_pk, self.b_pk, "_w").localCheckpoint()
+        def _side(batch, store, pk):
+            cdc = batch.localCheckpoint()
+            old = cdc_state(store, batch_id, pk, prune=cdc)
+            return cdc, cdc_delta(cdc, old, pk, "_w").localCheckpoint()
+
+        # The two sides' Δ̂ derivations are independent (separate
+        # changelogs, separate pruned reads) — run them in parallel.
+        da_cdc, db_cdc = a_batch, b_batch
+        if da is None and db is None:
+            (da_cdc, da), (db_cdc, db) = _concurrently(
+                lambda: _side(a_batch, self.a_store, self.a_pk),
+                lambda: _side(b_batch, self.b_store, self.b_pk),
+            )
+        elif da is None:
+            da_cdc, da = _side(a_batch, self.a_store, self.a_pk)
+        elif db is None:
+            db_cdc, db = _side(b_batch, self.b_store, self.b_pk)
         # State sides BY KEY from the arrangements, each pruned to the
-        # key shards the OTHER side's delta touches.
-        a_by_key = alive_images(self.ak_store, batch_id, prune=db.select(self.key))
-        b_by_key = alive_images(self.bk_store, batch_id, prune=da.select(self.key))
+        # key shards the OTHER side's delta touches (the touched-bucket
+        # collects are independent metadata jobs — parallel too).
+        a_by_key, b_by_key = _concurrently(
+            lambda: alive_images(self.ak_store, batch_id, prune=db.select(self.key)),
+            lambda: alive_images(self.bk_store, batch_id, prune=da.select(self.key)),
+        )
         dm = self._view_delta(
             da.withColumnRenamed("_w", "_wa"),
             db.withColumnRenamed("_w", "_wb"),
             a_by_key,
             b_by_key,
         )
-        # Land the view DELTA first, then the arrangements, then the two
-        # changelogs: any torn combination is healed by replay
+        # All five landings overwrite only their own t-partitions and
+        # every read above excluded t at planning — land them
+        # concurrently; any torn combination is healed by replay
         # (rows_before(t) never sees t).
-        self.m_store.land(dm, batch_id)
+        lands = [lambda: self.m_store.land(dm, batch_id)]
         if self.land_images:
-            land_image_delta(self.ak_store, da, "_w", batch_id)
-            land_image_delta(self.bk_store, db, "_w", batch_id)
+            lands += [
+                lambda: land_image_delta(self.ak_store, da, "_w", batch_id),
+                lambda: land_image_delta(self.bk_store, db, "_w", batch_id),
+            ]
         if self.land_inputs:
-            self.a_store.land(da_cdc, batch_id)
-            self.b_store.land(db_cdc, batch_id)
+            lands += [
+                lambda: self.a_store.land(da_cdc, batch_id),
+                lambda: self.b_store.land(db_cdc, batch_id),
+            ]
+        _concurrently(*lands)
 
     def snapshot(self) -> DataFrame:
         """Net-positive weighted rows — equal to the batch join of the
@@ -571,11 +620,12 @@ class CdcAggregateView:
             F.sum("_w").cast("bigint").alias("dn"),
             F.sum(F.col("_w") * F.col(self.val)).alias("dtotal"),
         )
-        # View partials first, then the changelog: torn combinations heal
-        # on replay because rows_before(t) never sees partition t.
-        self.v_store.land(dv, batch_id)
+        # Concurrent landings: torn combinations heal on replay because
+        # rows_before(t) never sees partition t.
+        lands = [lambda: self.v_store.land(dv, batch_id)]
         if self.land_inputs:
-            self.a_store.land(cdc, batch_id)
+            lands.append(lambda: self.a_store.land(cdc, batch_id))
+        _concurrently(*lands)
 
     def snapshot(self) -> DataFrame:
         """(key, n, total) for every net-present group — equal to the
@@ -583,6 +633,9 @@ class CdcAggregateView:
         rows = self.v_store.rows()
         if rows is None:
             raise ValueError("no batches have landed yet")
+        return self._fold(rows)
+
+    def _fold(self, rows: DataFrame) -> DataFrame:
         return (
             rows.groupBy(self.key)
             .agg(
@@ -591,6 +644,29 @@ class CdcAggregateView:
             )
             .filter(F.col("n") > 0)
         )
+
+    def snapshot_at(self, batch_id: int) -> DataFrame:
+        """TIME TRAVEL: the view as of the END of batch ``batch_id`` —
+        the fold of the per-batch view deltas with id ≤ t, which the
+        batch-id-partitioned store serves as a partition filter (zero
+        extra state: the delta partitions ARE the version history, the
+        same accident that makes an Iceberg/Delta commit log a time
+        machine). Equal to the batch GROUP BY over the changelog PREFIX
+        ≤ t upserted (driver-checked by q208). Reaches back only to the
+        compaction horizon — folding collapses per-batch partials into
+        one base, exactly like snapshot expiry in the table formats —
+        so a travel below ``max_compacted`` is refused loudly rather
+        than answered wrong."""
+        mc = self.v_store._meta()["max_compacted"]
+        if mc is not None and int(batch_id) < mc:
+            raise ValueError(
+                f"batch {batch_id} is below the compaction horizon {mc}: "
+                "its per-batch deltas were folded away (retention window)"
+            )
+        rows = self.v_store.rows_before(int(batch_id) + 1)
+        if rows is None:
+            raise ValueError("no batches have landed yet")
+        return self._fold(rows)
 
     def n_partials(self) -> int:
         return self.v_store.n_partials()
@@ -718,16 +794,21 @@ class CdcLeftJoinView:
         da: DataFrame | None = None,
         db: DataFrame | None = None,
     ) -> None:
-        da_cdc = a_batch
-        db_cdc = b_batch
-        if da is None:
-            da_cdc = a_batch.localCheckpoint()
-            a_state = cdc_state(self.a_store, batch_id, self.a_pk, prune=da_cdc)
-            da = cdc_delta(da_cdc, a_state, self.a_pk, "_w").localCheckpoint()
-        if db is None:
-            db_cdc = b_batch.localCheckpoint()
-            b_state = cdc_state(self.b_store, batch_id, self.b_pk, prune=db_cdc)
-            db = cdc_delta(db_cdc, b_state, self.b_pk, "_w").localCheckpoint()
+        def _side(batch, store, pk):
+            cdc = batch.localCheckpoint()
+            state = cdc_state(store, batch_id, pk, prune=cdc)
+            return cdc, cdc_delta(cdc, state, pk, "_w").localCheckpoint()
+
+        da_cdc, db_cdc = a_batch, b_batch
+        if da is None and db is None:
+            (da_cdc, da), (db_cdc, db) = _concurrently(
+                lambda: _side(a_batch, self.a_store, self.a_pk),
+                lambda: _side(b_batch, self.b_store, self.b_pk),
+            )
+        elif da is None:
+            da_cdc, da = _side(a_batch, self.a_store, self.a_pk)
+        elif db is None:
+            db_cdc, db = _side(b_batch, self.b_store, self.b_pk)
         # touched keys: every key either side's old or new images name —
         # exactly the deltas' key sets (a −1 row carries the OLD key)
         touched = (
@@ -736,11 +817,13 @@ class CdcLeftJoinView:
             .distinct()
             .localCheckpoint()
         )
-        a_after = self._after_touched(
-            self.ak_store, da, da_cdc, self.a_pk, touched, batch_id
-        )
-        b_after = self._after_touched(
-            self.bk_store, db, db_cdc, self.b_pk, touched, batch_id
+        a_after, b_after = _concurrently(
+            lambda: self._after_touched(
+                self.ak_store, da, da_cdc, self.a_pk, touched, batch_id
+            ),
+            lambda: self._after_touched(
+                self.bk_store, db, db_cdc, self.b_pk, touched, batch_id
+            ),
         )
         lj = a_after.join(b_after, self.key, "left")
         data = lj.select(
@@ -756,13 +839,18 @@ class CdcLeftJoinView:
                 if f.name != self.key
             ],
         )
-        self.v_store.land(data.unionByName(markers), batch_id)
+        lands = [lambda: self.v_store.land(data.unionByName(markers), batch_id)]
         if self.land_images:
-            land_image_delta(self.ak_store, da, "_w", batch_id)
-            land_image_delta(self.bk_store, db, "_w", batch_id)
+            lands += [
+                lambda: land_image_delta(self.ak_store, da, "_w", batch_id),
+                lambda: land_image_delta(self.bk_store, db, "_w", batch_id),
+            ]
         if self.land_inputs:
-            self.a_store.land(da_cdc, batch_id)
-            self.b_store.land(db_cdc, batch_id)
+            lands += [
+                lambda: self.a_store.land(da_cdc, batch_id),
+                lambda: self.b_store.land(db_cdc, batch_id),
+            ]
+        _concurrently(*lands)
 
     def snapshot(self) -> DataFrame:
         """Per key, the rows of the LATEST batch that recomputed it —
@@ -910,11 +998,14 @@ class CdcGroupedRecomputeView:
         dv = recomputed.unionByName(emptied).withColumn(
             "bseq", F.lit(int(batch_id))
         )
-        self.v_store.land(dv, batch_id)
+        lands = [lambda: self.v_store.land(dv, batch_id)]
         if self.land_images:
-            land_image_delta(self.i_store, delta, "_w", batch_id)
+            lands.append(
+                lambda: land_image_delta(self.i_store, delta, "_w", batch_id)
+            )
         if self.land_inputs:
-            self.a_store.land(cdc, batch_id)
+            lands.append(lambda: self.a_store.land(cdc, batch_id))
+        _concurrently(*lands)
 
     def snapshot(self) -> DataFrame:
         """One row per net-present group — equal to the batch
@@ -1117,13 +1208,14 @@ class CdcDistinctCountView:
         ds = support_delta
         # support read pruned to the touched key shards
         dv = self._transitions(ds, pruned_before(self.s_store, batch_id, prune=ds))
-        # View partials first, then support, then changelog: any torn
-        # combination heals on replay (rows_before(t) never sees t).
-        self.v_store.land(dv, batch_id)
+        # Concurrent landings: any torn combination heals on replay
+        # (rows_before(t) never sees t).
+        lands = [lambda: self.v_store.land(dv, batch_id)]
         if self.land_support:
-            self.s_store.land(ds, batch_id)
+            lands.append(lambda: self.s_store.land(ds, batch_id))
         if self.land_inputs:
-            self.a_store.land(cdc, batch_id)
+            lands.append(lambda: self.a_store.land(cdc, batch_id))
+        _concurrently(*lands)
 
     def snapshot(self) -> DataFrame:
         """(key, n_distinct) for every net-present group — equal to the
@@ -1292,11 +1384,12 @@ class CdcTopKView:
             F.lit(None).cast(topk.schema[self.val].dataType).alias(self.val),
             F.lit(None).cast("bigint").alias("n"),
         )
-        self.v_store.land(data.unionByName(markers), batch_id)
+        lands = [lambda: self.v_store.land(data.unionByName(markers), batch_id)]
         if self.land_support:
-            self.s_store.land(ds, batch_id)
+            lands.append(lambda: self.s_store.land(ds, batch_id))
         if self.land_inputs:
-            self.a_store.land(cdc, batch_id)
+            lands.append(lambda: self.a_store.land(cdc, batch_id))
+        _concurrently(*lands)
 
     def snapshot(self) -> DataFrame:
         """(key, val, n) — each key's latest top-k recompute, equal to
@@ -1436,7 +1529,10 @@ class CdcViewSuite:
             i_store=self.ak_store, land_images=False, **share,
         )
         self.distinct = CdcDistinctCountView(
-            spark, f"{base}/dc", key, a_pk, cat_val, s_store=self.s_store, **share
+            spark, f"{base}/dc", key, a_pk, cat_val,
+            s_store=self.s_store,
+            land_support=False,  # the SUITE lands the shared support once,
+            **share,             # after every member's reads (merge wave 2)
         )
         self.topk = CdcTopKView(
             spark,
@@ -1446,36 +1542,51 @@ class CdcViewSuite:
             cat_val,
             k,
             s_store=self.s_store,
-            land_support=False,  # the distinct view lands the shared support
+            land_support=False,
             **share,
         )
 
     def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
-        da_cdc = a_batch.localCheckpoint()
-        db_cdc = b_batch.localCheckpoint()
         # ONE pk-pruned state read + ONE image delta per side, shared by
         # every member (the standalone composition derives the A-side
-        # delta six times per batch).
-        a_state = cdc_state(self.a_store, batch_id, self.a_pk, prune=da_cdc)
-        b_state = cdc_state(self.b_store, batch_id, self.b_pk, prune=db_cdc)
-        da = cdc_delta(da_cdc, a_state, self.a_pk, "_w").localCheckpoint()
-        db = cdc_delta(db_cdc, b_state, self.b_pk, "_w").localCheckpoint()
+        # delta six times per batch) — the two sides in parallel.
+        def _side(batch, store, pk):
+            cdc = batch.localCheckpoint()
+            state = cdc_state(store, batch_id, pk, prune=cdc)
+            return cdc, cdc_delta(cdc, state, pk, "_w").localCheckpoint()
+
+        (da_cdc, da), (db_cdc, db) = _concurrently(
+            lambda: _side(a_batch, self.a_store, self.a_pk),
+            lambda: _side(b_batch, self.b_store, self.b_pk),
+        )
         # ONE (key, cat_val) support delta, shared by distinct + top-k.
         ds = support_delta_of(da, self.key, self.cat_val, "_w").localCheckpoint()
-        self.join.merge(da_cdc, db_cdc, batch_id, da=da, db=db)
-        self.left.merge(da_cdc, db_cdc, batch_id, da=da, db=db)
-        self.agg.merge(da_cdc, batch_id, delta=da)
-        self.minmax.merge(da_cdc, batch_id, delta=da)
-        self.distinct.merge(da_cdc, batch_id, support_delta=ds)  # lands support
-        self.topk.merge(da_cdc, batch_id, support_delta=ds)
-        # Shared arrangements, then the changelogs LAST — every view's
-        # delta for any replayed batch recomputes against rows_before(t),
-        # so a crash after any prefix of the landings re-lands identical
-        # rows.
-        land_image_delta(self.ak_store, da, "_w", batch_id)
-        land_image_delta(self.bk_store, db, "_w", batch_id)
-        self.a_store.land(da_cdc, batch_id)
-        self.b_store.land(db_cdc, batch_id)
+        # Two concurrent waves. Wave 1: the six member merges — each
+        # reads only the shared PRE-t state and writes only its own view
+        # store, so they are mutually independent. Wave 2: the five
+        # shared landings (arrangements, support, changelogs) — deferred
+        # until no member is still LISTING a shared store, because a
+        # replayed batch's landing deletes-and-rewrites its old
+        # t-partition directories and a concurrent file-index build on
+        # the same store could race the deletion (the t-rows themselves
+        # are never read — rows_before(t) prunes them). A crash after
+        # any subset of either wave is a torn combination replay heals
+        # (pytest-pinned).
+        _concurrently(
+            lambda: self.join.merge(da_cdc, db_cdc, batch_id, da=da, db=db),
+            lambda: self.left.merge(da_cdc, db_cdc, batch_id, da=da, db=db),
+            lambda: self.agg.merge(da_cdc, batch_id, delta=da),
+            lambda: self.minmax.merge(da_cdc, batch_id, delta=da),
+            lambda: self.distinct.merge(da_cdc, batch_id, support_delta=ds),
+            lambda: self.topk.merge(da_cdc, batch_id, support_delta=ds),
+        )
+        _concurrently(
+            lambda: self.s_store.land(ds, batch_id),
+            lambda: land_image_delta(self.ak_store, da, "_w", batch_id),
+            lambda: land_image_delta(self.bk_store, db, "_w", batch_id),
+            lambda: self.a_store.land(da_cdc, batch_id),
+            lambda: self.b_store.land(db_cdc, batch_id),
+        )
 
     def snapshot_dashboard(self) -> DataFrame:
         """One row per net-present key: (key, n, total, vmin, vmax,

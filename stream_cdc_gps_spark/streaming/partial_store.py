@@ -103,13 +103,15 @@ class BatchPartialStore:
     def touched_buckets(self, df: DataFrame) -> list[int]:
         """The shards ``df``'s rows hash into — the literal list a pruned
         state read filters on. Bounded by n_buckets values: the collect
-        is O(N) ints, never data rows (the dedup_index idiom)."""
-        return sorted(
-            r["kbucket"]
-            for r in df.select(self.bucket_expr().alias("kbucket"))
-            .distinct()
-            .collect()
-        )
+        is O(N) ints, never data rows (the dedup_index idiom). Computed
+        as one ungrouped ``collect_set`` — map-side partial sets reduce
+        into a single task, one stage shorter than distinct+collect and
+        the sets are capped at n_buckets ints per task, so this stays a
+        metadata job at any data size."""
+        row = df.select(
+            F.collect_set(self.bucket_expr()).alias("kbuckets")
+        ).first()
+        return sorted(row["kbuckets"]) if row and row["kbuckets"] else []
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn("kbucket", self.bucket_expr())

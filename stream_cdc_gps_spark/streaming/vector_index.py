@@ -58,7 +58,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stream_cdc_gps_spark.operators.similarity import _ivfadc_encode
-from stream_cdc_gps_spark.streaming.join_view import IMG_W, cdc_delta, cdc_latest, cdc_state
+from stream_cdc_gps_spark.streaming.join_view import (
+    IMG_W,
+    _concurrently,
+    cdc_delta,
+    cdc_latest,
+    cdc_state,
+)
 from stream_cdc_gps_spark.streaming.partial_store import BatchPartialStore
 
 Cents = list[tuple[int, list[float]]]
@@ -159,10 +165,16 @@ class IncrementalVectorIndex:
         (map-only) and land the codes. Both lands are batch-id partition
         overwrites; a torn write between them is healed by replay."""
         batch_df = batch_df.localCheckpoint()
-        self.vec_store.land(batch_df, batch_id)
         g = self.gen()
         cents, cbs = self._codebooks_of(g)
-        self._store_of(g).land(_ivfadc_encode(batch_df, cents, cbs), batch_id)
+        # Both lands overwrite only their own t-partitions — concurrent
+        # (a torn write between them is healed by replay either way).
+        _concurrently(
+            lambda: self.vec_store.land(batch_df, batch_id),
+            lambda: self._store_of(g).land(
+                _ivfadc_encode(batch_df, cents, cbs), batch_id
+            ),
+        )
 
     # -- retrain ---------------------------------------------------------------
     def retrain(self) -> int:
@@ -311,10 +323,12 @@ class CdcVectorIndex:
         neg = _ivfadc_encode(
             delta.filter(F.col("_w") == -1), self.cents, self.cbs
         ).withColumn(IMG_W, F.lit(-1))
-        # codes first, then the changelog: torn combinations heal on
-        # replay (rows_before(t) never sees partition t)
-        self.code_store.land(pos.unionByName(neg), batch_id)
-        self.vec_store.land(cdc, batch_id)
+        # concurrent landings: torn combinations heal on replay
+        # (rows_before(t) never sees partition t)
+        _concurrently(
+            lambda: self.code_store.land(pos.unionByName(neg), batch_id),
+            lambda: self.vec_store.land(cdc, batch_id),
+        )
 
     def base_table(self, cells: list[int] | None = None) -> DataFrame:
         """Alive (vec_id, cell, code…) rows — the net-positive Z-fold of
