@@ -110,11 +110,15 @@ SPOTLIGHT = [
     "q204_gps_cdc_trip_rollup",
     "q205_cdc_vector_index",
     "q206_cdc_lsh_index",
+    "q207_cdc_cms_sketch",
+    "q208_cdc_view_time_travel",
+    "q209_cdc_join_agg_cascade",
 ]
-# q201 (composed CDC view suite: 6 views x 2 merges per rep — 18 s at
-# sf0.1 after the r10 shared-delta rework, was ~30 s in r8) stays
-# OFF-headline like q168/q172/q189 — isolated number in BASELINE.md;
-# its correctness rides the driver window.
+# q201 (composed CDC view suite: 6 views x 2 merges per rep — ~10 s at
+# sf0.1 after the late-r10 concurrent-wave rework, was 18.3 s after the
+# shared-delta rework and ~30 s in r8) stays OFF-headline like
+# q168/q172/q189 — isolated number in BASELINE.md; its correctness
+# rides the driver window.
 
 HEADLINE = PERMANENT + SPOTLIGHT
 

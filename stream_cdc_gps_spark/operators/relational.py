@@ -2601,3 +2601,130 @@ def q208_cdc_view_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q209_cdc_join_agg_cascade",
+    oracle="""
+WITH o_final AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+                ELSE o_custkey END AS cust_key,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0e0
+                     ELSE o_totalprice END AS DECIMAL(18,2)) AS total_price
+    FROM orders WHERE o_orderkey % 5 <> 0
+),
+c_final AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN c_name || '*'
+                ELSE c_name END AS cust_name
+    FROM customer WHERE c_custkey % 11 <> 0
+)
+SELECT c.cust_name AS cust_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o.total_price) AS DOUBLE) AS total_spend
+FROM o_final o JOIN c_final c ON c.c_custkey = o.cust_key
+GROUP BY c.cust_name
+""",
+)
+def q209_cdc_join_agg_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASCADED IVM PARITY — an aggregate maintained OVER a maintained
+    join (streaming/join_view.CdcJoinAggView): V = revenue per CUSTOMER
+    NAME from orders ⋈ customer with BOTH sides CDC changelogs — the
+    composition property that makes the Z-set algebra worth having
+    (DBSP circuits compose; Materialize stacks views on views): the
+    join's ±w-weighted delta stream is itself a changelog, the
+    downstream aggregate consumes it with q196's linear rule, and the
+    JOIN IS NEVER MATERIALIZED — no view store holds the 10⁸-row join
+    snapshot a dashboard only ever aggregates. The script composes
+    q196's order wave (price updates % 7, cust_key moves % 13, deletes
+    % 5) with q194's customer wave (renames % 3 — a rename MOVES every
+    joined order's revenue between group keys in one merge; deletes
+    % 11 — a customer delete retracts all its orders' revenue), and the
+    group key lives on the OPPOSITE side from the measure, so every
+    delta must flow THROUGH the join to reach its group. Oracle is ONE
+    batch join + GROUP BY over the CDC-upserted final tables; DECIMAL
+    values make retract-then-assert residue-free (maintained ==
+    recomputed exactly).
+
+    Scale: per merge the same O(touched-shards) arrangement reads as
+    q194 plus one |ΔM|-keyed partial aggregate; storage is the two
+    arrangements + the small per-group view — the intermediate join
+    snapshot (the big object) is pure dataflow."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcJoinAggView
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"), F.col("c_name").alias("cust_name")
+    )
+    ok = F.col("order_key")
+    ck = F.col("cust_key")
+    raw_price = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("p_raw"),
+    )
+    a0 = o.select(F.lit("c").alias("op"), ok.alias("seq"), *o.columns)
+    b0 = c.select(F.lit("c").alias("op"), ck.alias("seq"), *c.columns)
+    bump = lambda col: (col + F.lit(1.0e0)).cast("decimal(18,2)")
+    with_raw = o.join(raw_price, "order_key")
+    a_u1 = with_raw.filter(ok % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + ok).alias("seq"),
+        ok,
+        ck,
+        bump(F.col("p_raw")).alias("total_price"),
+    )
+    bumped = F.when(ok % 7 == 0, bump(F.col("p_raw"))).otherwise(
+        F.col("total_price")
+    )
+    a_u2 = with_raw.filter(ok % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + ok).alias("seq"),
+        ok,
+        (ck + 1).alias("cust_key"),
+        bumped.alias("total_price"),
+    )
+    a_d = o.filter(ok % 5 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(3_000_000_000) + ok).alias("seq"),
+        *o.columns,
+    )
+    b_u = c.filter(ck % 3 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + ck).alias("seq"),
+        ck,
+        F.concat(F.col("cust_name"), F.lit("*")).alias("cust_name"),
+    )
+    b_d = c.filter(ck % 11 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(2_000_000_000) + ck).alias("seq"),
+        *c.columns,
+    )
+    base = tempfile.mkdtemp(prefix="cdc_cascade_")
+    try:
+        view = CdcJoinAggView(
+            spark, base, key="cust_key", a_pk="order_key", b_pk="cust_key",
+            gkey="cust_name", val="total_price",
+        )
+        view.merge(a0, b0, 0)
+        view.merge(
+            a_u1.unionByName(a_u2).unionByName(a_d),
+            b_u.unionByName(b_d),
+            1,
+        )
+        out = view.snapshot().select(
+            "cust_name",
+            F.col("n").alias("n_orders"),
+            F.col("total").cast("double").alias("total_spend"),
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

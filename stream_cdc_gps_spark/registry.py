@@ -80,14 +80,16 @@ DRIVER_WINDOW = 50
 #     LSH-dedup indexes, and the NEW q207 CDC-maintained CMS and q208
 #     CDC-view time travel (never driver-checked); q177 stales via the
 #     dedup_index module edit;
-# (b) ALL 29 remaining r4-era official rows, registration order —
-#     after this round no query's newest official row predates r5
+# (b) 28 of the 29 remaining r4-era official rows, registration order
+#     (q159 rotates out for the ≤ cap−2 slack rule and fronts r11) —
+#     after this round one query's newest official row predates r5
 #     (48 entries total, under the 50 cap). Rows outside the window
 #     remain covered by the clean-tree tri-scale full-sim certificates.
 _PRIORITY: list[str] = [
     # (a) changed or added in r10
     "q207_cdc_cms_sketch",
     "q208_cdc_view_time_travel",
+    "q209_cdc_join_agg_cascade",
     "q204_gps_cdc_trip_rollup",
     "q205_cdc_vector_index",
     "q206_cdc_lsh_index",
@@ -134,7 +136,9 @@ _PRIORITY: list[str] = [
     "q156_stop_detection",
     "q157_od_matrix",
     "q158_zorder_morton",
-    "q159_pq_codes",
+    # q159_pq_codes rotates out (slack rule: ≤ DRIVER_WINDOW − 2): its
+    # newest official row stays r4-era one more round, covered by the
+    # clean-tree tri-scale full-sim certificates; front-load it in r11.
 ]
 
 

@@ -900,6 +900,130 @@ class CdcLeftJoinView:
         self.compact_source_stores()
 
 
+class CdcJoinAggView:
+    """CASCADED IVM: a linear GROUP-BY aggregate maintained OVER a
+    maintained join — V = SELECT gkey, count(*), sum(val) FROM (A ⋈ B)
+    GROUP BY gkey, both inputs CDC changelogs — the composition property
+    that makes the Z-set algebra an ALGEBRA (DBSP circuits compose;
+    Materialize stacks views on views): the join's ±w-weighted delta
+    stream is itself a perfectly formed changelog, so the downstream
+    aggregate consumes it with the SAME linear rule q196 applies to a
+    source changelog:
+
+        ΔV_t = SELECT gkey, sum(w), sum(w · val) FROM ΔM_t GROUP BY gkey
+
+    The intermediate join view is NEVER MATERIALIZED — no m_store at
+    all: ΔM_t exists only as the in-flight frame between the two
+    operators, which is the storage story at 100 TB (a 10⁹-row join
+    snapshot the dashboard only ever aggregates is pure waste; the
+    cascade stores the two arrangements + the small aggregate view).
+    An update that changes the JOIN key retracts the old match's
+    contribution from its group and asserts the new one; a B-side
+    delete retracts every joined A row's value from the aggregate —
+    all through weight multiplication, no special cases.
+
+    State/replay/compaction are inherited wholesale from the parts:
+    the two pk-bucketed changelogs + two key-bucketed arrangements
+    (CdcJoinView's layout minus the view store) and one aggregate
+    delta store folded by sums. Parity driver-checked by q209 against
+    ONE batch join + GROUP BY over the CDC-upserted final tables.
+    ``gkey`` and ``val`` must each come from ONE side (columns are
+    disjoint across sides by the family contract)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        key: str,
+        a_pk: str,
+        b_pk: str,
+        gkey: str,
+        val: str,
+        *,
+        n_buckets: int = N_BUCKETS,
+    ):
+        self.spark = spark
+        self.gkey = gkey
+        self.val = val
+        # the join stage, with NO view-store landing of its own: merge()
+        # consumes its delta in flight (land_m=False below is expressed
+        # by never calling its m_store.land — we drive the pieces
+        # directly to keep the delta as a frame)
+        self.join = CdcJoinView(spark, f"{base}/join", key, a_pk, b_pk,
+                                n_buckets=n_buckets)
+        self.v_store = BatchPartialStore(spark, f"{base}/v")
+
+    def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
+        jv = self.join
+
+        def _side(batch, store, pk):
+            cdc = batch.localCheckpoint()
+            old = cdc_state(store, batch_id, pk, prune=cdc)
+            return cdc, cdc_delta(cdc, old, pk, "_w").localCheckpoint()
+
+        (da_cdc, da), (db_cdc, db) = _concurrently(
+            lambda: _side(a_batch, jv.a_store, jv.a_pk),
+            lambda: _side(b_batch, jv.b_store, jv.b_pk),
+        )
+        a_by_key, b_by_key = _concurrently(
+            lambda: alive_images(jv.ak_store, batch_id, prune=db.select(jv.key)),
+            lambda: alive_images(jv.bk_store, batch_id, prune=da.select(jv.key)),
+        )
+        dm = jv._view_delta(
+            da.withColumnRenamed("_w", "_wa"),
+            db.withColumnRenamed("_w", "_wb"),
+            a_by_key,
+            b_by_key,
+        )
+        # the cascade: the join's weighted delta IS a changelog — one
+        # linear aggregate over it and ΔM is never stored
+        dv = dm.groupBy(self.gkey).agg(
+            F.sum("w").cast("bigint").alias("dn"),
+            F.sum(F.col("w") * F.col(self.val)).alias("dtotal"),
+        )
+        _concurrently(
+            lambda: self.v_store.land(dv, batch_id),
+            lambda: land_image_delta(jv.ak_store, da, "_w", batch_id),
+            lambda: land_image_delta(jv.bk_store, db, "_w", batch_id),
+            lambda: jv.a_store.land(da_cdc, batch_id),
+            lambda: jv.b_store.land(db_cdc, batch_id),
+        )
+
+    def snapshot(self) -> DataFrame:
+        """(gkey, n, total) per net-present group — equal to the batch
+        join + GROUP BY over the CDC-upserted final tables (q209)."""
+        rows = self.v_store.rows()
+        if rows is None:
+            raise ValueError("no batches have landed yet")
+        return (
+            rows.groupBy(self.gkey)
+            .agg(
+                F.sum("dn").cast("bigint").alias("n"),
+                F.sum("dtotal").alias("total"),
+            )
+            .filter(F.col("n") > 0)
+        )
+
+    def n_partials(self) -> int:
+        return self.v_store.n_partials()
+
+    def compact(self) -> None:
+        """Aggregate view first, then the join stage's arrangements and
+        changelogs — the family's dependency order."""
+        rows = self.v_store.rows()
+        if rows is not None:
+            folded = (
+                rows.groupBy(self.gkey)
+                .agg(
+                    F.sum("dn").cast("bigint").alias("dn"),
+                    F.sum("dtotal").alias("dtotal"),
+                )
+                .filter(F.col("dn") != 0)
+            )
+            self.v_store.compact(folded)
+        self.join.compact_source_stores()
+
+
 class CdcGroupedRecomputeView:
     """CDC-aware incremental GROUP-BY view for an ARBITRARY NON-LINEAR
     per-group aggregate: V = recompute(alive rows) per key, under

@@ -171,3 +171,68 @@ def test_suite_concurrent_merge_heals_torn_subset(spark, tmp_path):
     )
     replay.merge(a1, b1, 1)
     assert sorted(map(tuple, replay.snapshot_dashboard().collect())) == want
+
+
+def test_join_agg_cascade_mutations_and_no_join_store(spark, tmp_path):
+    """The cascaded aggregate tracks key moves, renames (group moves via
+    the join), and deletes on both sides; the intermediate join is never
+    materialized (no m-store partition ever lands); torn writes heal."""
+    import os
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcJoinAggView
+
+    base = str(tmp_path / "cascade")
+    a0 = spark.createDataFrame(
+        [("c", 1, 1, 10, Decimal("5.00")), ("c", 2, 2, 10, Decimal("7.00")),
+         ("c", 3, 3, 20, Decimal("1.00"))],
+        "op string, seq bigint, order_key bigint, cust_key bigint, v decimal(18,2)",
+    )
+    b0 = spark.createDataFrame(
+        [("c", 1, 10, "acme"), ("c", 2, 20, "globex")],
+        "op string, seq bigint, cust_key bigint, cust_name string",
+    )
+    # rename acme -> acme2 (moves BOTH its orders' revenue between group
+    # keys), move order 2 to cust 20, delete order 3
+    a1 = spark.createDataFrame(
+        [("u", 10, 2, 20, Decimal("7.00")), ("d", 11, 3, 20, Decimal("1.00"))],
+        "op string, seq bigint, order_key bigint, cust_key bigint, v decimal(18,2)",
+    )
+    b1 = spark.createDataFrame(
+        [("u", 10, 10, "acme2")],
+        "op string, seq bigint, cust_key bigint, cust_name string",
+    )
+    view = CdcJoinAggView(
+        spark, base, key="cust_key", a_pk="order_key", b_pk="cust_key",
+        gkey="cust_name", val="v",
+    )
+    view.merge(a0, b0, 0)
+    assert {
+        r["cust_name"]: (r["n"], float(r["total"]))
+        for r in view.snapshot().collect()
+    } == {"acme": (2, 12.0), "globex": (1, 1.0)}
+    view.merge(a1, b1, 1)
+    want = {"acme2": (1, 5.0), "globex": (1, 7.0)}
+    got = {
+        r["cust_name"]: (r["n"], float(r["total"]))
+        for r in view.snapshot().collect()
+    }
+    assert got == want
+    # the intermediate join view was never stored
+    assert not os.path.isdir(f"{base}/join/m/partials")
+    # torn write: the batch-1 aggregate delta vanishes, sources landed
+    shutil.rmtree(f"{base}/v/partials/batch_id=1")
+    replay = CdcJoinAggView(
+        spark, base, key="cust_key", a_pk="order_key", b_pk="cust_key",
+        gkey="cust_name", val="v",
+    )
+    replay.merge(a1, b1, 1)
+    assert {
+        r["cust_name"]: (r["n"], float(r["total"]))
+        for r in replay.snapshot().collect()
+    } == want
+    # compaction preserves the snapshot
+    replay.compact()
+    assert {
+        r["cust_name"]: (r["n"], float(r["total"]))
+        for r in replay.snapshot().collect()
+    } == want
