@@ -813,6 +813,21 @@ def _nearest_code_packed(
     )
 
 
+def _train_concurrently(*thunks):
+    """Run independent training passes (IVF cells vs PQ codebooks — they
+    share nothing but the read-only input frame) in parallel threads and
+    return results in argument order. Each pass is a chain of small
+    driver-paced collect jobs; overlapping them halves the wall of every
+    train-both query without touching the trained values (each pass is a
+    pure function of its inputs, deterministic per the decimal-avg
+    contract, so concurrency cannot reorder anything inside a pass)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _lloyd_train_ivf(
     e: DataFrame, iters: int = _LLOYD_ITERS, k: int = N_CENTROIDS
 ) -> list[tuple[int, list[float]]]:
@@ -2060,7 +2075,10 @@ def q187_ivfpq_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    return _ivfadc_search(e, _lloyd_train_ivf(e), _lloyd_train_pq(e))
+    cents, cbs = _train_concurrently(
+        lambda: _lloyd_train_ivf(e), lambda: _lloyd_train_pq(e)
+    )
+    return _ivfadc_search(e, cents, cbs)
 
 
 @query(
@@ -2109,9 +2127,11 @@ def q188_ivfpq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
     seed_cents = _seed_centroids(e)
-    seed_cbs = _lloyd_train_pq(e, iters=0)  # the init IS the seed codebook
-    tr_cents = _lloyd_train_ivf(e)
-    tr_cbs = _lloyd_train_pq(e)
+    seed_cbs, tr_cents, tr_cbs = _train_concurrently(
+        lambda: _lloyd_train_pq(e, iters=0),  # the init IS the seed codebook
+        lambda: _lloyd_train_ivf(e),
+        lambda: _lloyd_train_pq(e),
+    )
 
     qx = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
@@ -2183,8 +2203,9 @@ def q190_ivfpq_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    cents = _lloyd_train_ivf(e)
-    cbs = _lloyd_train_pq(e)
+    cents, cbs = _train_concurrently(
+        lambda: _lloyd_train_ivf(e), lambda: _lloyd_train_pq(e)
+    )
     base = tempfile.mkdtemp(prefix="vec_idx_")
     try:
         idx = IncrementalVectorIndex(spark, base, cents, cbs)
@@ -2477,8 +2498,9 @@ def q205_cdc_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_final = e0.filter(vid % 5 != 0).withColumn(
         "emb", F.when(vid % 7 == 0, neg).otherwise(F.col("emb"))
     )
-    cents = _lloyd_train_ivf(e_final)
-    cbs = _lloyd_train_pq(e_final)
+    cents, cbs = _train_concurrently(
+        lambda: _lloyd_train_ivf(e_final), lambda: _lloyd_train_pq(e_final)
+    )
     a0 = e0.select(F.lit("c").alias("op"), vid.alias("seq"), "vec_id", "emb")
     a_u = e0.filter(vid % 7 == 0).select(
         F.lit("u").alias("op"),

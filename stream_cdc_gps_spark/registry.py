@@ -80,11 +80,11 @@ DRIVER_WINDOW = 50
 #     LSH-dedup indexes, and the NEW q207 CDC-maintained CMS and q208
 #     CDC-view time travel (never driver-checked); q177 stales via the
 #     dedup_index module edit;
-# (b) 28 of the 29 remaining r4-era official rows, registration order
-#     (q159 rotates out for the ≤ cap−2 slack rule and fronts r11) —
-#     after this round one query's newest official row predates r5
-#     (48 entries total, under the 50 cap). Rows outside the window
-#     remain covered by the clean-tree tri-scale full-sim certificates.
+# (b) 26 of the 29 remaining r4-era official rows, registration order
+#     (q157/q158/q159 rotate out for the ≤ cap−2 slack rule and front
+#     r11) — after this round three queries' newest official rows stay
+#     r4-era (48 entries total, under the 50 cap). Rows outside the
+#     window remain covered by the tri-scale full-sim certificates.
 _PRIORITY: list[str] = [
     # (a) changed or added in r10
     "q207_cdc_cms_sketch",
@@ -103,6 +103,8 @@ _PRIORITY: list[str] = [
     "q203_cdc_window_rollup",
     "q193_incremental_join_view",
     "q190_ivfpq_incremental_index",
+    "q187_ivfpq_trained_search",
+    "q188_ivfpq_trained_recall",
     "q195_vector_index_retrain",
     "q202_quantile_sketch",
     "q189_corpus_ingest_parity",
@@ -134,11 +136,11 @@ _PRIORITY: list[str] = [
     "q149_weighted_sample",
     "q151_split_centroid_drift",
     "q156_stop_detection",
-    "q157_od_matrix",
-    "q158_zorder_morton",
-    # q159_pq_codes rotates out (slack rule: ≤ DRIVER_WINDOW − 2): its
-    # newest official row stays r4-era one more round, covered by the
-    # clean-tree tri-scale full-sim certificates; front-load it in r11.
+    # q157_od_matrix / q158_zorder_morton / q159_pq_codes rotate out
+    # (slack rule: ≤ DRIVER_WINDOW − 2 after the late-r10 additions pull
+    # q187/q188 into the stale set): their newest official rows stay
+    # r4-era one more round, covered by the clean-tree tri-scale
+    # full-sim certificates; front-load them in r11.
 ]
 
 

@@ -189,14 +189,16 @@ class IncrementalVectorIndex:
         from stream_cdc_gps_spark.operators.similarity import (
             _lloyd_train_ivf,
             _lloyd_train_pq,
+            _train_concurrently,
         )
 
         vecs = self.vec_store.rows()
         if vecs is None:
             raise ValueError("no batches have landed yet")
         vecs = vecs.localCheckpoint()
-        cents = _lloyd_train_ivf(vecs)
-        cbs = _lloyd_train_pq(vecs)
+        cents, cbs = _train_concurrently(
+            lambda: _lloyd_train_ivf(vecs), lambda: _lloyd_train_pq(vecs)
+        )
         new_gen = self.gen() + 1
         gen_dir = f"{self.base}/gen/v{new_gen}"
         os.makedirs(gen_dir, exist_ok=True)
