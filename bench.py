@@ -113,6 +113,13 @@ SPOTLIGHT = [
     "q207_cdc_cms_sketch",
     "q208_cdc_view_time_travel",
     "q209_cdc_join_agg_cascade",
+    # late-session additions: quantile/HLL maintained views (the
+    # grouped-recompute algebra over events), hybrid BM25+dense RRF
+    # retrieval, and the multi-table point-in-time feature join.
+    "q210_cdc_quantile_view",
+    "q211_hybrid_rrf_search",
+    "q212_point_in_time_features",
+    "q213_cdc_hll_view",
 ]
 # q201 (composed CDC view suite: 6 views x 2 merges per rep — ~10 s at
 # sf0.1 after the late-r10 concurrent-wave rework, was 18.3 s after the

@@ -2473,3 +2473,106 @@ def touch_attribution_of(e: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "q210_cdc_quantile_view",
+    oracle="""
+WITH e_final AS (
+    SELECT event_id,
+           CASE WHEN event_id % 13 = 0 THEN 'click' ELSE event_type END AS event_type,
+           CASE WHEN event_id % 7 = 0 THEN value + 5.0e0 ELSE value END AS value
+    FROM events WHERE event_id % 5 <> 0
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)              AS n_events,
+       round(quantile_cont(value, 0.5e0), 4) AS median,
+       round(quantile_cont(value, 0.9e0), 4) AS p90
+FROM e_final GROUP BY event_type
+""",
+)
+def q210_cdc_quantile_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED EXACT QUANTILES — the ORDER-STATISTIC member of
+    the maintained-view family: per-group median/p90 (q110's exact
+    interpolated percentiles) kept current under a CDC changelog.
+    Quantiles are the textbook NON-INVERTIBLE aggregate — a deleted or
+    re-valued row moves every rank above it, so no ±partial exists —
+    hence streaming/join_view.CdcGroupedRecomputeView: each merge
+    recomputes ONLY the touched groups from their post-batch alive rows,
+    read partition-pruned from the key-bucketed image arrangement
+    (the q204 algebra with `percentile` as the recompute).
+
+    Changelog script (the family's composed churn): batch 0 creates every
+    event; batch 1 delivers value corrections (% 7, +5.0 — the group's
+    upper ranks shift), KEY-MOVING type corrections (% 13 → 'click':
+    the event's value leaves one group's distribution and enters
+    another's, both recomputed in one merge), deletes (% 5), and
+    duplicate re-delivery of unchanged events (% 11 — must net to no-op).
+    Oracle is the plain quantile_cont recompute over the CDC-upserted
+    final events (Spark `percentile` == DuckDB `quantile_cont`, the q110
+    bit-parity idiom).
+
+    Scale: per-batch work is O(touched groups' state) — a churn batch
+    naming k event types re-sorts only those types' rows, never the
+    corpus; the alternative (re-running the full percentile query per
+    trigger) is O(|events| log |events|) every batch."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcGroupedRecomputeView
+
+    e = t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("eid"), F.col("event_type").alias("etype"), "value"
+    )
+    eid = F.col("eid")
+    a0 = e.select(F.lit("c").alias("op"), eid.alias("seq"), *e.columns)
+    # corrections compose exactly as the oracle's CASEs: the key-moving
+    # image carries the already-applied value bump where both rules hit
+    bumped = F.when(eid % 7 == 0, F.col("value") + 5.0e0).otherwise(F.col("value"))
+    a_u1 = e.filter(eid % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + eid).alias("seq"),
+        eid,
+        F.col("etype"),
+        (F.col("value") + 5.0e0).alias("value"),
+    )
+    a_u2 = e.filter(eid % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + eid).alias("seq"),
+        eid,
+        F.lit("click").alias("etype"),
+        bumped.alias("value"),
+    )
+    a_d = e.filter(eid % 5 == 0).select(
+        F.lit("d").alias("op"), (F.lit(3_000_000_000) + eid).alias("seq"), *e.columns
+    )
+    a_dup = e.filter(
+        (eid % 11 == 0) & (eid % 5 != 0) & (eid % 7 != 0) & (eid % 13 != 0)
+    ).select(
+        F.lit("u").alias("op"), (F.lit(4_000_000_000) + eid).alias("seq"), *e.columns
+    )
+
+    def quantile_recompute(after: DataFrame) -> DataFrame:
+        return after.groupBy("etype").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.percentile("value", F.lit(0.5)).alias("med"),
+            F.percentile("value", F.lit(0.9)).alias("p90"),
+        )
+
+    base = tempfile.mkdtemp(prefix="cdc_quantile_view_")
+    try:
+        view = CdcGroupedRecomputeView(
+            spark, base, key="etype", pk="eid", recompute=quantile_recompute
+        )
+        view.merge(a0, 0)
+        view.merge(a_u1.unionByName(a_u2).unionByName(a_d).unionByName(a_dup), 1)
+        out = view.snapshot().select(
+            F.col("etype").alias("event_type"),
+            F.col("n").alias("n_events"),
+            F.round("med", 4).alias("median"),
+            F.round("p90", 4).alias("p90"),
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

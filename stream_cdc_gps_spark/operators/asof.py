@@ -147,3 +147,81 @@ def q136_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh.alias("fresh"),
         F.when(age <= 21600, F.col("signup_value")).alias("signup_value"),
     )
+
+
+@query(
+    "q212_point_in_time_features",
+    oracle="""
+WITH purchases AS (
+    SELECT user_id, ts, max(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+),
+errors AS (
+    SELECT user_id, ts, max(value) AS error_value
+    FROM events WHERE event_type = 'error'
+    GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id,
+       p.purchase_value,
+       r.ts IS NOT NULL
+           AND CAST(floor(epoch(e.ts)) AS BIGINT)
+             - CAST(floor(epoch(r.ts)) AS BIGINT) <= 3600   AS error_fresh,
+       CASE WHEN CAST(floor(epoch(e.ts)) AS BIGINT)
+               - CAST(floor(epoch(r.ts)) AS BIGINT) <= 3600
+            THEN r.error_value END                          AS error_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') e
+ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.ts
+ASOF LEFT JOIN errors    r ON e.user_id = r.user_id AND e.ts >= r.ts
+""",
+)
+def q212_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME FEATURE JOIN — the feature-store contract a training
+    pipeline needs to avoid label leakage: each prediction point (here:
+    click events) is enriched with N feature tables AS OF its own event
+    time, never after it, each feature with its OWN staleness policy —
+    the latest purchase value unboundedly (slowly-changing profile
+    feature), the latest error value only if within 1 hour (a freshness-
+    critical signal that must NULL out, not go stale silently). Composes
+    the q34 as-of and the q136 tolerance rows across MULTIPLE right
+    sides; the oracle is DuckDB's native chained ASOF LEFT JOINs.
+
+    Scale: each feature table is one union + running-last window pass
+    sharing the SAME user-key partitioning — k feature tables cost k
+    keyed shuffles of (left + that feature) only, never a range join or
+    O(left × right) expansion; this is the plan a 100 TB training-set
+    materialization runs per feature group."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("error_value"))
+        .withColumn("error_ts", F.col("ts"))
+    )
+    step1 = asof_join(
+        clicks, purchases, on="user_id", ts="ts", value_cols=["purchase_value"]
+    )
+    step2 = asof_join(
+        step1,
+        errors.select("user_id", "ts", "error_ts", "error_value"),
+        on="user_id",
+        ts="ts",
+        value_cols=["error_ts", "error_value"],
+    )
+    age = F.unix_timestamp("ts") - F.unix_timestamp("error_ts")
+    fresh = F.col("error_ts").isNotNull() & (age <= 3600)
+    return step2.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        fresh.alias("error_fresh"),
+        F.when(age <= 3600, F.col("error_value")).alias("error_value"),
+    )

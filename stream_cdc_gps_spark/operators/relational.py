@@ -2728,3 +2728,124 @@ def q209_cdc_join_agg_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q213_cdc_hll_view",
+    oracle="""
+WITH e_final AS (
+    SELECT event_id,
+           CASE WHEN event_id % 13 = 0 THEN 'click' ELSE event_type END AS event_type,
+           CASE WHEN event_id % 7 = 0 THEN user_id + 1 ELSE user_id END AS user_id
+    FROM events WHERE event_id % 5 <> 0
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE                                    AS within_5pct
+FROM e_final GROUP BY event_type
+""",
+)
+def q213_cdc_hll_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED HLL DISTINCT-COUNT — the APPROX sibling of q199's
+    exact distinct view, completing the sketches-under-churn set (CMS is
+    linear → signed partials, q207; quantiles recompute, q210; HLL is
+    here): HLL registers are max-merged, so a delete CANNOT be retracted
+    from a sketch — the only correct maintenance is the support-set
+    recompute, streaming/join_view.CdcGroupedRecomputeView with
+    `hll_sketch_agg` over each touched group's post-batch alive rows
+    (read partition-pruned from the key-bucketed arrangement). The
+    append-only alternative silently counts deleted users forever — the
+    drift this row exists to rule out.
+
+    Same composed churn script as q210 (creates; % 7 user-id corrections
+    — the distinct SET changes, not just counts; % 13 key-moving type
+    corrections; % 5 deletes; % 11 duplicate re-deliveries netting to
+    no-op). The estimate is engine-specific, so the driver-checked
+    contract is the q131 idiom: the maintained view's exact row count
+    per group, the exact distinct over the CDC-upserted final table, and
+    an in-query 5% accuracy bound the maintained estimate must satisfy.
+
+    Scale: per-batch sketch work is O(touched groups' state); the stored
+    row per group is one fixed-size estimate — at 10⁹ users per type the
+    arrangement read prunes to the churned types' shards and the sketch
+    never re-scans untouched groups."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcGroupedRecomputeView
+
+    e = t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("etype"),
+        F.col("user_id").alias("uid"),
+    )
+    eid = F.col("eid")
+    a0 = e.select(F.lit("c").alias("op"), eid.alias("seq"), *e.columns)
+    bumped = F.when(eid % 7 == 0, F.col("uid") + 1).otherwise(F.col("uid"))
+    a_u1 = e.filter(eid % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + eid).alias("seq"),
+        eid,
+        F.col("etype"),
+        (F.col("uid") + 1).alias("uid"),
+    )
+    a_u2 = e.filter(eid % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + eid).alias("seq"),
+        eid,
+        F.lit("click").alias("etype"),
+        bumped.alias("uid"),
+    )
+    a_d = e.filter(eid % 5 == 0).select(
+        F.lit("d").alias("op"), (F.lit(3_000_000_000) + eid).alias("seq"), *e.columns
+    )
+    a_dup = e.filter(
+        (eid % 11 == 0) & (eid % 5 != 0) & (eid % 7 != 0) & (eid % 13 != 0)
+    ).select(
+        F.lit("u").alias("op"), (F.lit(4_000_000_000) + eid).alias("seq"), *e.columns
+    )
+
+    def hll_recompute(after: DataFrame) -> DataFrame:
+        return after.groupBy("etype").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("est"),
+        )
+
+    # exact side from the CDC-upserted final table (the estimate's
+    # accuracy referee; the view itself never sees this)
+    final_exact = (
+        e.filter(eid % 5 != 0)
+        .select(
+            F.when(eid % 13 == 0, F.lit("click")).otherwise(F.col("etype")).alias(
+                "etype"
+            ),
+            bumped.alias("uid"),
+        )
+        .groupBy("etype")
+        .agg(F.countDistinct("uid").cast("bigint").alias("exact_users"))
+    )
+    base = tempfile.mkdtemp(prefix="cdc_hll_view_")
+    try:
+        view = CdcGroupedRecomputeView(
+            spark, base, key="etype", pk="eid", recompute=hll_recompute
+        )
+        view.merge(a0, 0)
+        view.merge(a_u1.unionByName(a_u2).unionByName(a_d).unionByName(a_dup), 1)
+        out = (
+            view.snapshot()
+            .join(F.broadcast(final_exact), "etype")
+            .select(
+                F.col("etype").alias("event_type"),
+                F.col("n").alias("n_events"),
+                "exact_users",
+                (
+                    F.abs(F.col("est") - F.col("exact_users"))
+                    <= 0.05 * F.col("exact_users")
+                ).alias("within_5pct"),
+            )
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -7,7 +7,7 @@ uniform keys (token, lang).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_cdc_gps_spark.functions.text import tokens, word_shingles
@@ -1152,4 +1152,213 @@ def q173_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ln2,
             6,
         ).alias("jsd_bits"),
+    )
+
+
+# q211: hybrid retrieval — three fixed "information needs", each a BM25 term
+# set plus a query embedding (the document's own vector space: vec_id ==
+# doc_id in the synthetic corpus). Ranks are computed on 6-dp-rounded scores
+# (the q60 idiom) so both engines rank identical values; RRF_K = 60 is the
+# published constant (Cormack et al., SIGIR'09).
+_RRF_QUERIES = ((1, ("table", "spark"), 490), (2, ("fast", "query"), 491), (3, ("data", "join"), 492))
+_RRF_K = 60
+_RRF_TOPB = 20  # per-system candidate depth
+_RRF_TOPK = 10  # fused output depth
+
+_RRF_TERMS_SQL = ", ".join(
+    f"({qid}, '{term}')" for qid, terms, _ in _RRF_QUERIES for term in terms
+)
+_RRF_QVEC_SQL = ", ".join(f"({qid}, {qv})" for qid, _, qv in _RRF_QUERIES)
+_RRF_ALL_TERMS_SQL = ", ".join(
+    sorted({f"'{term}'" for _, terms, _ in _RRF_QUERIES for term in terms})
+)
+
+# DuckDB-side sequential-fold dot product (mirrors functions/vector.py).
+_RRF_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _rrf_cos_sql(a: str, b: str) -> str:
+    dot = _RRF_DOT.format(a=a, b=b)
+    na = _RRF_DOT.format(a=a, b=a)
+    nb = _RRF_DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@query(
+    "q211_hybrid_rrf_search",
+    oracle=f"""
+WITH q_terms(qid, term) AS (VALUES {_RRF_TERMS_SQL}),
+q_vec(qid, qvec_id) AS (VALUES {_RRF_QVEC_SQL}),
+dl AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+    FROM documents
+),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS sum_dl FROM dl),
+tf AS (
+    SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(toks) AS u(tok)
+    WHERE tok IN ({_RRF_ALL_TERMS_SQL})
+    GROUP BY doc_id, tok
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+bm25 AS (
+    SELECT qt.qid, t.doc_id,
+           round(sum(ln((s.n - d.df + 0.5e0) / (d.df + 0.5e0) + 1.0e0)
+               * (t.tf * ({_BM25_K1}e0 + 1.0e0))
+               / (t.tf + {_BM25_K1}e0 * (1.0e0 - {_BM25_B}e0
+                    + {_BM25_B}e0 * l.dl / (CAST(s.sum_dl AS DOUBLE) / s.n)))), 6)
+               AS score
+    FROM q_terms qt
+    JOIN tf t ON t.term = qt.term
+    JOIN df d ON t.term = d.term
+    JOIN dl l ON t.doc_id = l.doc_id
+    CROSS JOIN stats s
+    GROUP BY qt.qid, t.doc_id
+),
+b_rank AS (
+    SELECT b.qid, b.doc_id,
+           row_number() OVER (PARTITION BY b.qid
+                              ORDER BY b.score DESC, b.doc_id) AS rank_b
+    FROM bm25 b JOIN q_vec v ON b.qid = v.qid
+    WHERE b.doc_id != v.qvec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cos AS (
+    SELECT v.qid, c.vec_id AS doc_id,
+           round({_rrf_cos_sql("q.emb", "c.emb")}, 6) AS cos_sim
+    FROM q_vec v
+    JOIN e q ON q.vec_id = v.qvec_id
+    JOIN e c ON c.vec_id != v.qvec_id
+),
+v_rank AS (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, doc_id) AS rank_v
+    FROM cos
+),
+fused AS (
+    SELECT coalesce(b.qid, v.qid) AS qid,
+           coalesce(b.doc_id, v.doc_id) AS doc_id,
+           b.rank_b, v.rank_v,
+           coalesce(1.0e0 / ({_RRF_K} + b.rank_b), 0.0e0)
+             + coalesce(1.0e0 / ({_RRF_K} + v.rank_v), 0.0e0) AS rrf
+    FROM (SELECT * FROM b_rank WHERE rank_b <= {_RRF_TOPB}) b
+    FULL OUTER JOIN (SELECT * FROM v_rank WHERE rank_v <= {_RRF_TOPB}) v
+      ON b.qid = v.qid AND b.doc_id = v.doc_id
+)
+SELECT qid, doc_id, rank_b, rank_v, round(rrf, 6) AS rrf FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY rrf DESC, doc_id) AS rn
+    FROM fused
+) WHERE rn <= {_RRF_TOPK}
+""",
+)
+def q211_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL with reciprocal-rank fusion — the RAG-serving
+    staple the lexical (q141 BM25) and dense (q60 cosine) rows compose
+    into: for each query, rank documents by BM25 over its term set AND by
+    cosine against its query embedding, then fuse the two top-20 lists
+    with RRF (score = Σ 1/(60 + rank), Cormack et al.) and emit the fused
+    top-10. Absent-from-one-system candidates contribute only the present
+    system's term (the standard convention), so the FULL OUTER merge of
+    the two ranked lists is part of the operator.
+
+    Both ranks are computed over 6-dp-rounded scores with doc-id tiebreaks
+    so the differential ranks are engine-stable (the q60/q141 idiom).
+
+    Scale: the BM25 side filters to query terms MAP-SIDE before any
+    shuffle (O(matching docs × |q|)); the dense side broadcasts the
+    query vectors against the embedding scan (the q60 exact baseline —
+    swap in the IVF path of q187 for 10⁹ vectors); fusion itself touches
+    only 2 × top-B rows per query. No corpus-sized shuffle anywhere."""
+    d = t(spark, sf_dir, "documents")
+    from stream_cdc_gps_spark.functions.vector import as_double, cosine
+
+    q_terms = spark.createDataFrame(
+        [(qid, term) for qid, terms, _ in _RRF_QUERIES for term in terms],
+        "qid int, term string",
+    )
+    q_vec = spark.createDataFrame(
+        [(qid, qv) for qid, _, qv in _RRF_QUERIES], "qid int, qvec_id bigint"
+    )
+    all_terms = sorted({term for _, terms, _ in _RRF_QUERIES for term in terms})
+
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n")
+    idf = F.log((F.col("n") - F.col("df") + 0.5e0) / (F.col("df") + 0.5e0) + 1.0e0)
+    contrib = idf * (F.col("tf") * (k1 + 1.0e0)) / (
+        F.col("tf") + k1 * (1.0e0 - b + b * F.col("dl") / avgdl)
+    )
+    bm25 = (
+        tf.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    wb = Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+    b_rank = (
+        bm25.join(F.broadcast(q_vec), "qid")
+        .filter(F.col("doc_id") != F.col("qvec_id"))
+        .select("qid", "doc_id", F.row_number().over(wb).alias("rank_b"))
+        .filter(F.col("rank_b") <= _RRF_TOPB)
+    )
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    qe = (
+        F.broadcast(q_vec)
+        .join(e, F.col("qvec_id") == F.col("vec_id"))
+        .select("qid", "qvec_id", F.col("emb").alias("q_emb"))
+    )
+    cos = (
+        e.crossJoin(F.broadcast(qe))
+        .filter(F.col("vec_id") != F.col("qvec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "doc_id")
+    v_rank = cos.select(
+        "qid", "doc_id", F.row_number().over(wv).alias("rank_v")
+    ).filter(F.col("rank_v") <= _RRF_TOPB)
+
+    fused = (
+        b_rank.join(v_rank, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            "rank_b",
+            "rank_v",
+            (
+                F.coalesce(1.0e0 / (F.lit(_RRF_K) + F.col("rank_b")), F.lit(0.0e0))
+                + F.coalesce(1.0e0 / (F.lit(_RRF_K) + F.col("rank_v")), F.lit(0.0e0))
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _RRF_TOPK)
+        .select("qid", "doc_id", "rank_b", "rank_v", F.round("rrf", 6).alias("rrf"))
     )

@@ -87,6 +87,10 @@ DRIVER_WINDOW = 50
 #     window remain covered by the tri-scale full-sim certificates.
 _PRIORITY: list[str] = [
     # (a) changed or added in r10
+    "q210_cdc_quantile_view",
+    "q211_hybrid_rrf_search",
+    "q212_point_in_time_features",
+    "q213_cdc_hll_view",
     "q207_cdc_cms_sketch",
     "q208_cdc_view_time_travel",
     "q209_cdc_join_agg_cascade",
@@ -132,15 +136,14 @@ _PRIORITY: list[str] = [
     "q142_bigram_lm_score",
     "q143_spatial_knn",
     "q144_corpus_pipeline",
-    "q148_hard_negative_mining",
-    "q149_weighted_sample",
-    "q151_split_centroid_drift",
-    "q156_stop_detection",
-    # q157_od_matrix / q158_zorder_morton / q159_pq_codes rotate out
-    # (slack rule: ≤ DRIVER_WINDOW − 2 after the late-r10 additions pull
-    # q187/q188 into the stale set): their newest official rows stay
-    # r4-era one more round, covered by the clean-tree tri-scale
-    # full-sim certificates; front-load them in r11.
+    # q148_hard_negative_mining / q149_weighted_sample /
+    # q151_split_centroid_drift / q156_stop_detection rotate out with
+    # q157_od_matrix / q158_zorder_morton / q159_pq_codes (slack rule:
+    # ≤ DRIVER_WINDOW − 2 after the late-r10 additions pulled q187/q188
+    # into the stale set and the session's four new rows q210-q213 took
+    # the front): their newest official rows stay r4-era one more round,
+    # covered by the clean-tree tri-scale full-sim certificates;
+    # front-load all seven in r11.
 ]
 
 
