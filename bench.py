@@ -120,6 +120,9 @@ SPOTLIGHT = [
     "q211_hybrid_rrf_search",
     "q212_point_in_time_features",
     "q213_cdc_hll_view",
+    "q214_dsir_importance",
+    "q215_kmv_bottomk_sketch",
+    "q216_cdc_session_rollup",
 ]
 # q201 (composed CDC view suite: 6 views x 2 merges per rep — ~10 s at
 # sf0.1 after the late-r10 concurrent-wave rework, was 18.3 s after the

@@ -2576,3 +2576,140 @@ def q210_cdc_quantile_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h inactivity closes a session
+
+
+@query(
+    "q216_cdc_session_rollup",
+    oracle=f"""
+WITH e_final AS (
+    SELECT event_id,
+           CASE WHEN event_id % 13 = 0 THEN user_id + 1 ELSE user_id END AS user_id,
+           CASE WHEN event_id % 7 = 0 THEN epoch_us(ts) + 2400000000
+                ELSE epoch_us(ts) END AS us
+    FROM events WHERE event_id % 5 <> 0
+),
+flagged AS (
+    SELECT user_id, event_id, us,
+           CASE WHEN us - lag(us) OVER w > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+    FROM e_final
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+    SELECT user_id, event_id, us,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+per_sess AS (
+    SELECT user_id, sid,
+           CAST(count(*) AS BIGINT) AS n,
+           max(us) - min(us) AS dur_us
+    FROM sess GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(sum(n) AS BIGINT)        AS n_events,
+       CAST(count(*) AS BIGINT)      AS n_sessions,
+       CAST(sum(dur_us) AS BIGINT)   AS total_dur_us
+FROM per_sess GROUP BY user_id
+""",
+)
+def q216_cdc_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED SESSIONIZATION — the hardest maintained aggregate
+    in the family because sessions are GLOBALLY order-dependent within a
+    key: a late-arriving event can MERGE two sessions into one, a
+    retraction can SPLIT a session that the deleted event bridged, and a
+    timestamp correction can do both at once — no windowed-aggregate
+    incrementalization survives that (session windows are not fixed
+    buckets), which is exactly why this rides the touched-key recompute
+    (streaming/join_view.CdcGroupedRecomputeView): a merge re-sessionizes
+    ONLY the users the batch touches, from their post-batch alive events,
+    read partition-pruned from the user-bucketed arrangement.
+
+    Changelog script: batch 0 creates every event; batch 1 delivers
+    +40-minute timestamp corrections (% 7 — events cross session
+    boundaries in both directions), USER-MOVING attribution fixes (% 13 →
+    user_id + 1: the event leaves one user's timeline and re-sessionizes
+    another's, both in one merge), deletes (% 5 — bridge events whose
+    removal splits sessions), and duplicate re-delivery (% 11, net
+    no-op). Every output is an INTEGER (counts + µs durations), so
+    maintained == recomputed is exact equality with no rounding idiom.
+    Oracle is the plain gaps-and-islands sessionization (lag + running
+    sum of breaks) over the CDC-upserted final events.
+
+    Scale: per-batch work is O(touched users' events) — one pruned
+    arrangement read + one per-user sort; the alternative re-sessionizes
+    the full corpus per trigger. The 6 h gap matches the corpus's
+    per-user event density so multi-event sessions genuinely form."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcGroupedRecomputeView
+
+    e = t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+        F.unix_micros("ts").alias("us"),
+    )
+    eid = F.col("eid")
+    a0 = e.select(F.lit("c").alias("op"), eid.alias("seq"), *e.columns)
+    shifted = F.when(eid % 7 == 0, F.col("us") + 2_400_000_000).otherwise(F.col("us"))
+    a_u1 = e.filter(eid % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + eid).alias("seq"),
+        eid,
+        F.col("uid"),
+        (F.col("us") + 2_400_000_000).alias("us"),
+    )
+    a_u2 = e.filter(eid % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + eid).alias("seq"),
+        eid,
+        (F.col("uid") + 1).alias("uid"),
+        shifted.alias("us"),
+    )
+    a_d = e.filter(eid % 5 == 0).select(
+        F.lit("d").alias("op"), (F.lit(3_000_000_000) + eid).alias("seq"), *e.columns
+    )
+    a_dup = e.filter(
+        (eid % 11 == 0) & (eid % 5 != 0) & (eid % 7 != 0) & (eid % 13 != 0)
+    ).select(
+        F.lit("u").alias("op"), (F.lit(4_000_000_000) + eid).alias("seq"), *e.columns
+    )
+
+    def session_recompute(after: DataFrame) -> DataFrame:
+        w = Window.partitionBy("uid").orderBy("us", "eid")
+        brk = F.when(
+            F.col("us") - F.lag("us").over(w) > _SESSION_GAP_US, 1
+        ).otherwise(0)
+        wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sess = after.withColumn("_sid", F.sum(brk).over(wc))
+        per_sess = sess.groupBy("uid", "_sid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            (F.max("us") - F.min("us")).alias("_dur"),
+        )
+        return per_sess.groupBy("uid").agg(
+            F.sum("_n").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("_dur").cast("bigint").alias("total_dur_us"),
+        )
+
+    base = tempfile.mkdtemp(prefix="cdc_session_rollup_")
+    try:
+        view = CdcGroupedRecomputeView(
+            spark, base, key="uid", pk="eid", recompute=session_recompute
+        )
+        view.merge(a0, 0)
+        view.merge(a_u1.unionByName(a_u2).unionByName(a_d).unionByName(a_dup), 1)
+        out = view.snapshot().select(
+            F.col("uid").alias("user_id"),
+            F.col("n").alias("n_events"),
+            "n_sessions",
+            "total_dur_us",
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

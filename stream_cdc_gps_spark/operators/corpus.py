@@ -934,3 +934,132 @@ def q207_cdc_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est >= F.col("exact_n")).alias("admissible"),
         )
     )
+
+
+_DSIR_B = 64  # hashed-bigram feature buckets
+
+
+def _dsir_bucket(bg: F.Column) -> F.Column:
+    """Hashed-bigram feature id (md5-based, engine-portable)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("b:"), bg)), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % _DSIR_B
+    )
+
+
+@query(
+    "q214_dsir_importance",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+big AS (
+    SELECT doc_id, lang,
+           toks[CAST(u.i AS INTEGER)] || ' ' || toks[CAST(u.i AS INTEGER) + 1] AS bg
+    FROM toks, UNNEST(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+),
+hb AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5('b:' || bg), 1, 8))::BIGINT % {_DSIR_B} AS b
+    FROM big
+),
+cnt AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c FROM hb GROUP BY 1, 2, 3),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS n_t FROM hb WHERE lang = 'en' GROUP BY b),
+rawd AS (SELECT b, CAST(count(*) AS BIGINT) AS n_r FROM hb GROUP BY b),
+tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM hb WHERE lang = 'en') AS nt,
+               (SELECT CAST(count(*) AS BIGINT) FROM hb) AS nr),
+delta AS (
+    SELECT r.b,
+           CAST(round(ln((coalesce(t.n_t, 0) + 1.0e0) / (tot.nt + {_DSIR_B}.0e0))
+                    - ln((r.n_r + 1.0e0) / (tot.nr + {_DSIR_B}.0e0)), 12)
+                AS DECIMAL(28,12)) AS d
+    FROM rawd r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot
+),
+w AS (
+    SELECT c.doc_id, c.lang, sum(c.c * d.d) AS logw_exact
+    FROM cnt c JOIN delta d ON c.b = d.b
+    GROUP BY c.doc_id, c.lang
+)
+SELECT doc_id, lang, CAST(round(logw_exact, 4) AS DOUBLE) AS logw
+FROM w ORDER BY logw_exact DESC, doc_id LIMIT 15
+""",
+)
+def q214_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram features are —
+    logw(doc) = Σ_b c_doc[b]·(ln p̂_target[b] − ln p̂_raw[b]) over B=64
+    hashed-bigram buckets with add-1 smoothing, target = the English
+    slice, raw = the whole corpus — and emit the top-15 resampling
+    candidates. This is the published scalable recipe for "give me
+    more data like my domain corpus" at pre-training scale, where
+    per-example LM scoring is unaffordable but hashed bag-of-bigrams
+    importance ratios are one aggregation pass.
+
+    Determinism: the per-bucket log-ratio is rounded to 12 dp and fixed
+    as DECIMAL(28,12); each doc's weight is then an EXACT integer-
+    weighted decimal sum (the engine's combine-order-proof idiom), so
+    ranking and ties are bit-identical across engines.
+
+    Scale: the bucket distributions are two B-row aggregates (broadcast
+    both); per-doc featurization is map-side (hash + count); the final
+    weight is one groupBy(doc) of an exact decimal product — at 100 TB
+    this is a single corpus pass plus a 64-row broadcast, exactly how
+    DSIR ran on the Pile."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    big = d.select(
+        "doc_id",
+        "lang",
+        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bg"),
+    )
+    hb = big.select("doc_id", "lang", _dsir_bucket(F.col("bg")).alias("b"))
+    cnt = hb.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tgt = (
+        hb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    )
+    rawd = hb.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+    tot = hb.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("nr"),
+    )
+    bf = float(_DSIR_B)
+    delta = (
+        rawd.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("n_t"), F.lit(0)) + 1.0e0)
+                    / (F.col("nt") + F.lit(bf))
+                )
+                - F.log((F.col("n_r") + 1.0e0) / (F.col("nr") + F.lit(bf))),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("d"),
+        )
+    )
+    w = (
+        cnt.join(F.broadcast(delta), "b")
+        .groupBy("doc_id", "lang")
+        # c as DECIMAL(9,0): bigint x decimal(28,12) would exceed precision
+        # 38 and Spark silently REDUCES SCALE to 6 dp (allowPrecisionLoss);
+        # 9+28+1 = 38 keeps the product exact at scale 12
+        .agg(F.sum(F.col("c").cast("decimal(9,0)") * F.col("d")).alias("logw_exact"))
+    )
+    return (
+        w.orderBy(F.desc("logw_exact"), "doc_id")
+        .limit(15)
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("logw_exact"), 4).cast("double").alias("logw"),
+        )
+    )

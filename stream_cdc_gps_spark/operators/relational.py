@@ -2849,3 +2849,176 @@ def q213_cdc_hll_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_KMV_K = 64
+_KMV_SPACE = float(1 << 60)  # h ∈ [0, 2^60): 15 md5 hex digits
+
+
+def _kmv_hash(c: F.Column) -> F.Column:
+    """60-bit md5 hash of a key — the KMV sketch's uniform draw,
+    engine-portable (DuckDB computes the identical value)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+@query(
+    "q215_kmv_bottomk_sketch",
+    oracle=f"""
+WITH oc AS (SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS y, o_custkey AS c
+            FROM orders),
+hv AS (SELECT DISTINCT y,
+              ('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15))::BIGINT AS h
+       FROM oc),
+sk AS (SELECT y, h FROM (
+           SELECT y, h, row_number() OVER (PARTITION BY y ORDER BY h) AS rn FROM hv
+       ) WHERE rn <= {_KMV_K}),
+years AS (SELECT DISTINCT y FROM oc),
+pairs AS (SELECT a.y AS ya, b.y AS yb FROM years a JOIN years b ON a.y < b.y),
+pud AS (
+    SELECT DISTINCT p.ya, p.yb, s.h
+    FROM pairs p JOIN sk s ON s.y = p.ya
+    UNION
+    SELECT DISTINCT p.ya, p.yb, s.h
+    FROM pairs p JOIN sk s ON s.y = p.yb
+),
+uk AS (SELECT ya, yb, h FROM (
+           SELECT ya, yb, h,
+                  row_number() OVER (PARTITION BY ya, yb ORDER BY h) AS rn
+           FROM pud
+       ) WHERE rn <= {_KMV_K}),
+ustat AS (SELECT ya, yb, CAST(count(*) AS BIGINT) AS k_eff, max(h) AS h_k
+          FROM uk GROUP BY ya, yb),
+shared AS (
+    SELECT u.ya, u.yb, CAST(count(*) AS BIGINT) AS n_shared
+    FROM uk u
+    JOIN sk sa ON sa.y = u.ya AND sa.h = u.h
+    JOIN sk sb ON sb.y = u.yb AND sb.h = u.h
+    GROUP BY u.ya, u.yb
+),
+au AS (
+    SELECT p.ya, p.yb, o.c FROM pairs p JOIN oc o ON o.y = p.ya
+    UNION
+    SELECT p.ya, p.yb, o.c FROM pairs p JOIN oc o ON o.y = p.yb
+),
+exact_u AS (SELECT ya, yb, CAST(count(DISTINCT c) AS BIGINT) AS exact_union
+            FROM au GROUP BY ya, yb),
+exact_i AS (
+    SELECT a.y AS ya, b.y AS yb, CAST(count(*) AS BIGINT) AS exact_inter
+    FROM oc a JOIN oc b ON a.c = b.c AND a.y < b.y
+    GROUP BY a.y, b.y
+)
+SELECT u.ya AS year_a, u.yb AS year_b,
+       e.exact_union,
+       CASE WHEN u.k_eff < {_KMV_K} THEN CAST(u.k_eff AS DOUBLE)
+            ELSE round(({_KMV_K} - 1.0e0) * {_KMV_SPACE!r} / u.h_k, 2)
+       END AS est_union,
+       coalesce(i.exact_inter, 0) AS exact_inter,
+       round((coalesce(s.n_shared, 0) / CAST(u.k_eff AS DOUBLE))
+             * (CASE WHEN u.k_eff < {_KMV_K} THEN CAST(u.k_eff AS DOUBLE)
+                     ELSE ({_KMV_K} - 1.0e0) * {_KMV_SPACE!r} / u.h_k END),
+             2) AS est_inter
+FROM ustat u
+JOIN exact_u e ON e.ya = u.ya AND e.yb = u.yb
+LEFT JOIN exact_i i ON i.ya = u.ya AND i.yb = u.yb
+LEFT JOIN shared s ON s.ya = u.ya AND s.yb = u.yb
+""",
+)
+def q215_kmv_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (BOTTOM-K) SKETCH with SET-OPERATION estimation — the
+    mergeable sketch the HLL row cannot replace: HLL unions but never
+    intersects; a KMV sketch (the K smallest uniform-hash values of a
+    set, Beyer et al. SIGMOD'07) supports union (merge + re-truncate),
+    DISTINCT estimation ((K−1)·H / h_K, H = hash space), and JACCARD /
+    INTERSECTION estimation (the fraction of the union's bottom-K
+    present in BOTH input sketches scales the union estimate) — the
+    audience-overlap / cross-corpus-contamination estimator. Computed
+    here over per-order-year distinct-customer sets, all 21 year pairs;
+    sets smaller than K degrade to exact (the sketch holds the whole
+    set), so the same expression is correct at every scale factor.
+
+    The hash is a fixed 60-bit md5 prefix, so the sketch — and therefore
+    every estimate — is bit-deterministic and the oracle reproduces it
+    EXACTLY (full value parity, not a tolerance bound: the q113/q207 CMS
+    standard, stronger than q131's 5%-band HLL contract).
+
+    Scale: per-set state is K·8 bytes whatever the cardinality; building
+    sketches is one groupBy(set) top-K (map-side partial: each partition
+    keeps its own bottom-K before the shuffle); pair estimation touches
+    only sketch rows (≤ 2K per pair), never the base data — the exact
+    sides here are the test referee, not part of the operator."""
+    o = t(spark, sf_dir, "orders")
+    oc = o.select(
+        F.year("o_orderdate").cast("int").alias("y"), F.col("o_custkey").alias("c")
+    ).distinct()
+    hv = oc.select("y", _kmv_hash(F.col("c")).alias("h")).distinct()
+    wy = Window.partitionBy("y").orderBy("h")
+    sk = (
+        hv.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("y", "h")
+    )
+    years = oc.select("y").distinct()
+    pairs = years.select(F.col("y").alias("ya")).join(
+        years.select(F.col("y").alias("yb")), F.col("ya") < F.col("yb")
+    )
+    # two equi joins + union, not an OR-join: keeps the meet hash-based
+    pud = (
+        pairs.join(sk, F.col("y") == F.col("ya")).select("ya", "yb", "h")
+        .union(pairs.join(sk, F.col("y") == F.col("yb")).select("ya", "yb", "h"))
+        .distinct()
+    )
+    wp = Window.partitionBy("ya", "yb").orderBy("h")
+    uk = (
+        pud.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("ya", "yb", "h")
+    )
+    ustat = uk.groupBy("ya", "yb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_eff"), F.max("h").alias("h_k")
+    )
+    sa = sk.select(F.col("y").alias("ya"), "h")
+    sb = sk.select(F.col("y").alias("yb"), "h")
+    shared = (
+        uk.join(sa, ["ya", "h"])
+        .join(sb, ["yb", "h"])
+        .groupBy("ya", "yb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    au = (
+        pairs.join(oc, F.col("y") == F.col("ya")).select("ya", "yb", "c")
+        .union(pairs.join(oc, F.col("y") == F.col("yb")).select("ya", "yb", "c"))
+    )
+    exact_u = au.groupBy("ya", "yb").agg(
+        F.countDistinct("c").cast("bigint").alias("exact_union")
+    )
+    oa = oc.select(F.col("y").alias("ya"), "c")
+    ob = oc.select(F.col("y").alias("yb"), "c")
+    exact_i = (
+        oa.join(ob, "c")
+        .filter(F.col("ya") < F.col("yb"))
+        .groupBy("ya", "yb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    k = float(_KMV_K)
+    est_union = F.when(
+        F.col("k_eff") < _KMV_K, F.col("k_eff").cast("double")
+    ).otherwise((k - 1.0) * F.lit(_KMV_SPACE) / F.col("h_k"))
+    return (
+        ustat.join(exact_u, ["ya", "yb"])
+        .join(exact_i, ["ya", "yb"], "left")
+        .join(shared, ["ya", "yb"], "left")
+        .select(
+            F.col("ya").alias("year_a"),
+            F.col("yb").alias("year_b"),
+            "exact_union",
+            F.round(est_union, 2).alias("est_union"),
+            F.coalesce("exact_inter", F.lit(0).cast("bigint")).alias("exact_inter"),
+            F.round(
+                (
+                    F.coalesce("n_shared", F.lit(0)) / F.col("k_eff").cast("double")
+                )
+                * est_union,
+                2,
+            ).alias("est_inter"),
+        )
+    )

@@ -70,27 +70,31 @@ DRIVER_WINDOW = 50
 #
 # Round 10 front-loads, in order:
 # (a) queries stale from this round's symbol changes — the staleness
-#     gate forces these: the whole CDC/IVM view family q193-q203 (the
-#     bucketed-store wiring rewrote streaming/join_view.py and touched
-#     partial_store's read/write paths; the late-r10 concurrent-merge
-#     rework touched the same symbols), q189/q202 (corpus-ingest and
-#     quantile sketch reach partial_store), q190/q195 (cell-bucketed
-#     vector_index + the _probe_cells pruning in similarity.py), the
-#     q204 GPS×CDC trip rollup and q205/q206 CDC-maintained vector and
-#     LSH-dedup indexes, and the NEW q207 CDC-maintained CMS and q208
-#     CDC-view time travel (never driver-checked); q177 stales via the
-#     dedup_index module edit;
-# (b) 26 of the 29 remaining r4-era official rows, registration order
-#     (q157/q158/q159 rotate out for the ≤ cap−2 slack rule and front
-#     r11) — after this round three queries' newest official rows stay
-#     r4-era (48 entries total, under the 50 cap). Rows outside the
-#     window remain covered by the tri-scale full-sim certificates.
+#     gate forces these: the SEVEN rows added late this round and never
+#     driver-checked (q210-q216: CDC quantile/HLL/sessionization views,
+#     hybrid RRF retrieval, PIT feature join, DSIR weights, KMV sketch),
+#     the whole CDC/IVM view family q193-q203 (the bucketed-store wiring
+#     rewrote streaming/join_view.py and touched partial_store's
+#     read/write paths; the late-r10 concurrent-merge rework touched the
+#     same symbols), q189/q202 (corpus-ingest and quantile sketch reach
+#     partial_store), q190/q195 (cell-bucketed vector_index + the
+#     _probe_cells pruning in similarity.py), the q204 GPS×CDC trip
+#     rollup and q205/q206 CDC-maintained vector and LSH-dedup indexes,
+#     q207 CDC-maintained CMS and q208 CDC-view time travel; q177
+#     stales via the dedup_index module edit;
+# (b) 19 of the 29 remaining r4-era official rows, registration order
+#     (the other ten rotate out for the ≤ cap−2 slack rule and front
+#     r11) — rows outside the window remain covered by the tri-scale
+#     full-sim certificates (48 entries total, under the 50 cap).
 _PRIORITY: list[str] = [
     # (a) changed or added in r10
     "q210_cdc_quantile_view",
     "q211_hybrid_rrf_search",
     "q212_point_in_time_features",
     "q213_cdc_hll_view",
+    "q214_dsir_importance",
+    "q215_kmv_bottomk_sketch",
+    "q216_cdc_session_rollup",
     "q207_cdc_cms_sketch",
     "q208_cdc_view_time_travel",
     "q209_cdc_join_agg_cascade",
@@ -133,17 +137,15 @@ _PRIORITY: list[str] = [
     "q132_fixed_k_sample",
     "q139_token_entropy",
     "q141_bm25",
-    "q142_bigram_lm_score",
-    "q143_spatial_knn",
-    "q144_corpus_pipeline",
+    # q142_bigram_lm_score / q143_spatial_knn / q144_corpus_pipeline /
     # q148_hard_negative_mining / q149_weighted_sample /
     # q151_split_centroid_drift / q156_stop_detection rotate out with
     # q157_od_matrix / q158_zorder_morton / q159_pq_codes (slack rule:
     # ≤ DRIVER_WINDOW − 2 after the late-r10 additions pulled q187/q188
-    # into the stale set and the session's four new rows q210-q213 took
+    # into the stale set and the session's seven new rows q210-q216 took
     # the front): their newest official rows stay r4-era one more round,
     # covered by the clean-tree tri-scale full-sim certificates;
-    # front-load all seven in r11.
+    # front-load all ten in r11.
 ]
 
 

@@ -67,6 +67,9 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q183_pq_adc_topk",      # broadcast 20-query LUT side (q60's move)
         "q188_ivfpq_trained_recall",  # broadcast 20-query exact-L2 baseline
         "q191_truncated_dim_recall",  # broadcast 20-query sample, 3 slices
+        "q211_hybrid_rrf_search",  # broadcast 1-row corpus N/avgdl (q141's move)
+        "q214_dsir_importance",  # broadcast 1-row corpus bigram totals
+        "q215_kmv_bottomk_sketch",  # broadcast O(#years) pair frame (< pred)
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
