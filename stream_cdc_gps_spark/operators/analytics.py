@@ -2581,6 +2581,25 @@ def q210_cdc_quantile_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h inactivity closes a session
 
 
+def session_recompute(after: DataFrame) -> DataFrame:
+    """Gaps-and-islands sessionization of (uid, eid, us) rows: per-user
+    session count, event count, and summed per-session µs duration —
+    the pluggable recompute of the q216 maintained view (and its tests)."""
+    w = Window.partitionBy("uid").orderBy("us", "eid")
+    brk = F.when(F.col("us") - F.lag("us").over(w) > _SESSION_GAP_US, 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = after.withColumn("_sid", F.sum(brk).over(wc))
+    per_sess = sess.groupBy("uid", "_sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        (F.max("us") - F.min("us")).alias("_dur"),
+    )
+    return per_sess.groupBy("uid").agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("_dur").cast("bigint").alias("total_dur_us"),
+    )
+
+
 @query(
     "q216_cdc_session_rollup",
     oracle=f"""
@@ -2678,23 +2697,6 @@ def q216_cdc_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("u").alias("op"), (F.lit(4_000_000_000) + eid).alias("seq"), *e.columns
     )
-
-    def session_recompute(after: DataFrame) -> DataFrame:
-        w = Window.partitionBy("uid").orderBy("us", "eid")
-        brk = F.when(
-            F.col("us") - F.lag("us").over(w) > _SESSION_GAP_US, 1
-        ).otherwise(0)
-        wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        sess = after.withColumn("_sid", F.sum(brk).over(wc))
-        per_sess = sess.groupBy("uid", "_sid").agg(
-            F.count(F.lit(1)).cast("bigint").alias("_n"),
-            (F.max("us") - F.min("us")).alias("_dur"),
-        )
-        return per_sess.groupBy("uid").agg(
-            F.sum("_n").cast("bigint").alias("n"),
-            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
-            F.sum("_dur").cast("bigint").alias("total_dur_us"),
-        )
 
     base = tempfile.mkdtemp(prefix="cdc_session_rollup_")
     try:
