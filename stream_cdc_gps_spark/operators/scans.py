@@ -262,3 +262,60 @@ def q88_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "q217_schema_evolution_scan",
+    oracle="""
+WITH v1 AS (
+    SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 100
+),
+v2 AS (
+    SELECT doc_id, lang, n_chars
+    FROM documents WHERE doc_id >= 100 AND doc_id < 200
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)           AS n,
+       CAST(count(n_chars) AS BIGINT)     AS n_with_chars,
+       CAST(sum(n_chars) AS BIGINT)       AS total_chars
+FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+GROUP BY lang
+""",
+)
+def q217_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on read — the long-lived-dataset contract: a
+    table written over months gains columns, and a scan must read old
+    and new files TOGETHER, null-filling the column the old files
+    predate. Two parquet generations land in one directory (v1:
+    doc_id/lang; v2: + n_chars) and are read back with
+    ``mergeSchema=true``; the aggregate counts rows with and without the
+    evolved column per language. The oracle reconstructs the same union
+    from the source table with an explicit NULL for the v1 slice — if
+    Spark's schema merge mis-typed, dropped, or back-filled the new
+    column wrongly, the diff fails.
+
+    Scale: schema merging reads FOOTERS, not data (one footer per file;
+    at 100 TB set spark.sql.parquet.mergeSchema only on tables that
+    genuinely evolved, or pin the merged schema explicitly — both paths
+    are this same read). The write is keyed by sf_dir so scale factors
+    don't collide."""
+    from stream_cdc_gps_spark.operators.common import t
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = str(_SCRATCH / f"evolved_docs_{key}")
+    d = t(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") < 100).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/gen=1")
+    d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(f"{path}/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("n_chars").cast("bigint").alias("n_with_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -70,9 +70,10 @@ DRIVER_WINDOW = 50
 #
 # Round 10 front-loads, in order:
 # (a) queries stale from this round's symbol changes — the staleness
-#     gate forces these: the SEVEN rows added late this round and never
-#     driver-checked (q210-q216: CDC quantile/HLL/sessionization views,
-#     hybrid RRF retrieval, PIT feature join, DSIR weights, KMV sketch),
+#     gate forces these: the EIGHT rows added late this round and never
+#     driver-checked (q210-q217: CDC quantile/HLL/sessionization views,
+#     hybrid RRF retrieval, PIT feature join, DSIR weights, KMV sketch,
+#     and the q217 schema-evolution scan),
 #     the whole CDC/IVM view family q193-q203 (the bucketed-store wiring
 #     rewrote streaming/join_view.py and touched partial_store's
 #     read/write paths; the late-r10 concurrent-merge rework touched the
@@ -82,8 +83,8 @@ DRIVER_WINDOW = 50
 #     rollup and q205/q206 CDC-maintained vector and LSH-dedup indexes,
 #     q207 CDC-maintained CMS and q208 CDC-view time travel; q177
 #     stales via the dedup_index module edit;
-# (b) 19 of the 29 remaining r4-era official rows, registration order
-#     (the other ten rotate out for the ≤ cap−2 slack rule and front
+# (b) 18 of the 29 remaining r4-era official rows, registration order
+#     (the other eleven rotate out for the ≤ cap−2 slack rule and front
 #     r11) — rows outside the window remain covered by the tri-scale
 #     full-sim certificates (48 entries total, under the 50 cap).
 _PRIORITY: list[str] = [
@@ -95,6 +96,7 @@ _PRIORITY: list[str] = [
     "q214_dsir_importance",
     "q215_kmv_bottomk_sketch",
     "q216_cdc_session_rollup",
+    "q217_schema_evolution_scan",
     "q207_cdc_cms_sketch",
     "q208_cdc_view_time_travel",
     "q209_cdc_join_agg_cascade",
@@ -136,16 +138,16 @@ _PRIORITY: list[str] = [
     "q82_media_frames",
     "q132_fixed_k_sample",
     "q139_token_entropy",
-    "q141_bm25",
-    # q142_bigram_lm_score / q143_spatial_knn / q144_corpus_pipeline /
-    # q148_hard_negative_mining / q149_weighted_sample /
-    # q151_split_centroid_drift / q156_stop_detection rotate out with
-    # q157_od_matrix / q158_zorder_morton / q159_pq_codes (slack rule:
-    # ≤ DRIVER_WINDOW − 2 after the late-r10 additions pulled q187/q188
-    # into the stale set and the session's seven new rows q210-q216 took
-    # the front): their newest official rows stay r4-era one more round,
-    # covered by the clean-tree tri-scale full-sim certificates;
-    # front-load all ten in r11.
+    # q141_bm25 / q142_bigram_lm_score / q143_spatial_knn /
+    # q144_corpus_pipeline / q148_hard_negative_mining /
+    # q149_weighted_sample / q151_split_centroid_drift /
+    # q156_stop_detection rotate out with q157_od_matrix /
+    # q158_zorder_morton / q159_pq_codes (slack rule: ≤ DRIVER_WINDOW − 2
+    # after the late-r10 additions pulled q187/q188 into the stale set
+    # and the session's eight new rows q210-q217 took the front): their
+    # newest official rows stay r4-era one more round, covered by the
+    # clean-tree tri-scale full-sim certificates; front-load all
+    # eleven in r11.
 ]
 
 
