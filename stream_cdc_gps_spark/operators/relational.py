@@ -3022,3 +3022,126 @@ def q215_kmv_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_inter"),
         )
     )
+
+
+def kmv_distinct_recompute(after: DataFrame) -> DataFrame:
+    """Per-key KMV distinct estimate over (y, oid, c) rows: row count +
+    the bottom-K estimate of distinct c — the pluggable recompute of the
+    q218 maintained view. Sets under K degrade to exact."""
+    n = after.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    hv = after.select("y", _kmv_hash(F.col("c")).alias("h")).distinct()
+    wy = Window.partitionBy("y").orderBy("h")
+    stat = (
+        hv.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k_eff"), F.max("h").alias("h_k"))
+    )
+    est = F.when(F.col("k_eff") < _KMV_K, F.col("k_eff").cast("double")).otherwise(
+        (float(_KMV_K) - 1.0) * F.lit(_KMV_SPACE) / F.col("h_k")
+    )
+    return n.join(stat, "y").select(
+        "y", "n", F.round(est, 2).alias("est_customers")
+    )
+
+
+@query(
+    "q218_cdc_kmv_view",
+    oracle=f"""
+WITH o_final AS (
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)
+             + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS y,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1
+                ELSE o_custkey END AS c
+    FROM orders WHERE o_orderkey % 5 <> 0
+),
+n AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM o_final GROUP BY y),
+hv AS (SELECT DISTINCT y,
+              ('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15))::BIGINT AS h
+       FROM o_final),
+stat AS (
+    SELECT y, CAST(count(*) AS BIGINT) AS k_eff, max(h) AS h_k
+    FROM (SELECT y, h, row_number() OVER (PARTITION BY y ORDER BY h) AS rn FROM hv)
+    WHERE rn <= {_KMV_K} GROUP BY y
+)
+SELECT n.y AS order_year, n.n AS n_orders,
+       CASE WHEN s.k_eff < {_KMV_K} THEN CAST(s.k_eff AS DOUBLE)
+            ELSE round(({_KMV_K} - 1.0e0) * {_KMV_SPACE!r} / s.h_k, 2)
+       END AS est_customers
+FROM n JOIN stat s ON n.y = s.y
+""",
+)
+def q218_cdc_kmv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED KMV DISTINCT ESTIMATE — the fourth and last
+    sketch-under-churn strategy instance, and the one that closes the
+    taxonomy: CMS is LINEAR (signed partials, q207), quantiles and HLL
+    recompute because their state is order/max-merged (q210/q213), and
+    KMV is MIN-merged — a delete can evict one of the K smallest hashes,
+    and the (K+1)-th smallest is gone from the sketch, so the only
+    correct maintenance is again the touched-key recompute from alive
+    rows (streaming/join_view.CdcGroupedRecomputeView with the bottom-K
+    estimator as the recompute). The estimate is hash-deterministic, so
+    the oracle reproduces it bit-for-bit over the CDC-upserted final
+    table (the q215 contract under churn).
+
+    Changelog script over per-order-year distinct customers: creates;
+    % 7 customer reassignments (the distinct SET churns); % 13
+    year-shifting date corrections (key-moving: the order's customer
+    leaves one year's sketch and enters another's); % 5 deletes
+    (potential bottom-K evictions); % 11 duplicate re-delivery (no-op).
+
+    Scale: per-batch work is O(touched years' orders) — arrangement-
+    pruned; the stored row per key is (count, estimate), constant
+    size."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcGroupedRecomputeView
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("oid"),
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.col("o_custkey").alias("c"),
+    )
+    oid = F.col("oid")
+    a0 = o.select(F.lit("c").alias("op"), oid.alias("seq"), *o.columns)
+    bumped_c = F.when(oid % 7 == 0, F.col("c") + 1).otherwise(F.col("c"))
+    a_u1 = o.filter(oid % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + oid).alias("seq"),
+        oid,
+        F.col("y"),
+        (F.col("c") + 1).alias("c"),
+    )
+    a_u2 = o.filter(oid % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + oid).alias("seq"),
+        oid,
+        (F.col("y") + 1).alias("y"),
+        bumped_c.alias("c"),
+    )
+    a_d = o.filter(oid % 5 == 0).select(
+        F.lit("d").alias("op"), (F.lit(3_000_000_000) + oid).alias("seq"), *o.columns
+    )
+    a_dup = o.filter(
+        (oid % 11 == 0) & (oid % 5 != 0) & (oid % 7 != 0) & (oid % 13 != 0)
+    ).select(
+        F.lit("u").alias("op"), (F.lit(4_000_000_000) + oid).alias("seq"), *o.columns
+    )
+    base = tempfile.mkdtemp(prefix="cdc_kmv_view_")
+    try:
+        view = CdcGroupedRecomputeView(
+            spark, base, key="y", pk="oid", recompute=kmv_distinct_recompute
+        )
+        view.merge(a0, 0)
+        view.merge(a_u1.unionByName(a_u2).unionByName(a_d).unionByName(a_dup), 1)
+        out = view.snapshot().select(
+            F.col("y").alias("order_year"),
+            F.col("n").alias("n_orders"),
+            "est_customers",
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -650,3 +650,39 @@ def test_cdc_two_level_views_stay_equi(spark, tmp_path):
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
         assert "Join" in p  # the support store genuinely enters the plan
+
+
+def test_runtime_bloom_filter_semi_reduces_fact_scan(spark):
+    """100 TB runtime-filter story: when a selective dim filter feeds a
+    SHUFFLE join, Catalyst injects a bloom filter built from the dim keys
+    as a pre-shuffle predicate on the fact side (might_contain over
+    xxhash64) — the fact scan is semi-reduced before any data moves. The
+    thresholds are sized for clusters, so the test pins the MECHANISM by
+    lowering them in-session; broadcast is disabled because a broadcast
+    join already beats a runtime filter (and suppresses it)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        p = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in p, "runtime bloom filter was not injected"
+        assert "bloom_filter_agg" in p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
