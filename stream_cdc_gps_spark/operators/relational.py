@@ -2947,15 +2947,25 @@ def q215_kmv_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     only sketch rows (≤ 2K per pair), never the base data — the exact
     sides here are the test referee, not part of the operator."""
     o = t(spark, sf_dir, "orders")
-    oc = o.select(
-        F.year("o_orderdate").cast("int").alias("y"), F.col("o_custkey").alias("c")
-    ).distinct()
+    # oc and sk feed MANY downstream frames (pairs, union sketches,
+    # shared counts, both exact referees); materialize each ONCE so the
+    # base table is scanned once, not per reference — oc is |years x
+    # customers| (the distinct projection), sk is K rows per year
+    oc = (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.col("o_custkey").alias("c"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     hv = oc.select("y", _kmv_hash(F.col("c")).alias("h")).distinct()
     wy = Window.partitionBy("y").orderBy("h")
     sk = (
         hv.withColumn("rn", F.row_number().over(wy))
         .filter(F.col("rn") <= _KMV_K)
         .select("y", "h")
+        .localCheckpoint()
     )
     years = oc.select("y").distinct()
     pairs = years.select(F.col("y").alias("ya")).join(
