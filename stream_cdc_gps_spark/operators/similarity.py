@@ -2533,3 +2533,141 @@ def q205_cdc_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q219_retrieval_metrics",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, label AS q_label
+      FROM e WHERE vec_id < 20),
+scored AS (
+    SELECT q.query_id, q.q_label, c.vec_id AS candidate_id, c.label,
+           round({_COS.replace("q.emb", "q.q_emb")}, 6) AS cos_sim
+    FROM q JOIN e c ON c.vec_id != q.query_id
+),
+ranked AS (
+    SELECT query_id, q_label, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, candidate_id) AS rnk
+    FROM scored
+),
+top10 AS (
+    SELECT query_id,
+           CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_at10,
+           sum(CASE WHEN label = q_label
+                    THEN CAST(round(1.0e0 / (ln(rnk + 1.0e0) / ln(2.0e0)), 12)
+                              AS DECIMAL(28,12))
+                    ELSE CAST(0 AS DECIMAL(28,12)) END) AS dcg,
+           max(CASE WHEN label = q_label THEN 1.0e0 / rnk ELSE 0.0e0 END) AS mrr
+    FROM ranked WHERE rnk <= 10 GROUP BY query_id
+),
+pool AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel_pool
+    FROM ranked WHERE label = q_label GROUP BY query_id
+),
+ideal AS (
+    SELECT p.query_id,
+           sum(CAST(round(1.0e0 / (ln(u.r + 1.0e0) / ln(2.0e0)), 12)
+                    AS DECIMAL(28,12))) AS idcg
+    FROM pool p, UNNEST(range(1, least(p.n_rel_pool, 10) + 1)) AS u(r)
+    GROUP BY p.query_id
+)
+SELECT t.query_id,
+       t.n_rel_at10,
+       round(t.n_rel_at10 / 10.0e0, 4)              AS p_at10,
+       round(t.mrr, 4)                              AS mrr,
+       round(CAST(t.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 4) AS ndcg_at10
+FROM top10 t JOIN ideal i ON t.query_id = i.query_id
+""",
+)
+def q219_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL EVALUATION METRICS — the referee the search rows need
+    beyond q64's recall-vs-exact: grade the dense ranking against LABEL
+    relevance (a candidate is relevant to a query iff it shares the
+    query's cluster label) with the standard IR triple: precision@10,
+    MRR (reciprocal rank of the first relevant hit), and nDCG@10 (DCG
+    with the log2 discount, normalized by the ideal DCG given the pool's
+    relevant count). This is how a 100 TB embedding pipeline ships a
+    quality gate: run the candidate ranking on a labeled sample, demand
+    nDCG above threshold before swapping the index generation in.
+
+    Determinism: ranks are row_numbers over 6-dp-rounded cosines with id
+    tiebreaks (the q60 idiom); each DCG term is quantized to
+    DECIMAL(28,12) before the sum so the per-query DCG is an exact
+    decimal total (combine-order-proof), and only the final ratio is
+    rounded.
+
+    Scale: query side broadcast (20 rows), candidate scan streams once;
+    metrics touch only the top-10 rows per query plus one count over the
+    candidate pool — swap the q187 IVF path in for the exact scan at
+    10⁹ vectors, the metric layer is unchanged."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"), "label"
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            F.col("label"),
+            F.col("vec_id").alias("candidate_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "candidate_id")
+    ranked = scored.select(
+        "query_id", "q_label", "label", F.row_number().over(w).alias("rnk")
+    )
+    rel = F.col("label") == F.col("q_label")
+    log2rank = F.log(F.col("rnk") + 1.0e0) / F.log(F.lit(2.0e0))
+    term = F.round(1.0e0 / log2rank, 12).cast("decimal(28,12)")
+    top10 = (
+        ranked.filter(F.col("rnk") <= 10)
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(rel, 1).otherwise(0)).cast("bigint").alias("n_rel_at10"),
+            F.sum(
+                F.when(rel, term).otherwise(F.lit(0).cast("decimal(28,12)"))
+            ).alias("dcg"),
+            F.max(F.when(rel, 1.0e0 / F.col("rnk")).otherwise(0.0e0)).alias("mrr"),
+        )
+    )
+    pool = (
+        ranked.filter(rel)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel_pool"))
+    )
+    r = F.explode(F.sequence(F.lit(1), F.least(F.col("n_rel_pool"), F.lit(10)))).alias(
+        "r"
+    )
+    ideal = (
+        pool.select("query_id", r)
+        .select(
+            "query_id",
+            F.round(1.0e0 / (F.log(F.col("r") + 1.0e0) / F.log(F.lit(2.0e0))), 12)
+            .cast("decimal(28,12)")
+            .alias("iterm"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("iterm").alias("idcg"))
+    )
+    return (
+        top10.join(ideal, "query_id")
+        .select(
+            "query_id",
+            "n_rel_at10",
+            F.round(F.col("n_rel_at10") / 10.0e0, 4).alias("p_at10"),
+            F.round("mrr", 4).alias("mrr"),
+            F.round(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double"), 4
+            ).alias("ndcg_at10"),
+        )
+    )

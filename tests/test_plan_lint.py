@@ -70,6 +70,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q211_hybrid_rrf_search",  # broadcast 1-row corpus N/avgdl (q141's move)
         "q214_dsir_importance",  # broadcast 1-row corpus bigram totals
         "q215_kmv_bottomk_sketch",  # broadcast O(#years) pair frame (< pred)
+        "q219_retrieval_metrics",  # broadcast 20-query sample (q60's move)
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
