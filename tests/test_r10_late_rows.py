@@ -1,6 +1,7 @@
 """Late-r10 session additions: CDC-maintained sessionization (q216 —
 the merge/split semantics that make session windows the hardest
-maintained aggregate), plus the KMV bottom-K sketch's mergeability
+maintained aggregate) including a checkpointed streaming
+restart-resume, plus the KMV bottom-K sketch's mergeability
 property (q215)."""
 
 from __future__ import annotations
@@ -156,3 +157,73 @@ def test_kmv_sketch_union_is_mergeable(spark):
         r["h"] for r in sketch(a.union(b)).collect()
     )
     assert retrunc == direct
+
+
+def test_session_view_streaming_restart_resume(spark, tmp_path):
+    """RESTART ≠ REPLAY for the grouped-recompute family: drive the
+    session view through a real checkpointed readStream → foreachBatch
+    (availableNow, one epoch per file), crash the handler at epoch 1
+    AFTER its merge landed (offsets never committed — the reference
+    consume loop's at-least-once window, cmd/main.go:197-230), then
+    resume on the SAME checkpoint: Structured Streaming re-delivers
+    epoch 1, the re-merge overwrites its own partitions idempotently,
+    and the snapshot equals the batch recompute."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "in"
+    src.mkdir()
+    b0 = [
+        {"op": "c", "seq": 1, "eid": 1, "uid": 1, "us": 0},
+        {"op": "c", "seq": 2, "eid": 2, "uid": 1, "us": HOUR},
+        {"op": "c", "seq": 3, "eid": 3, "uid": 1, "us": 10 * HOUR},
+    ]
+    b1 = [
+        {"op": "c", "seq": 10, "eid": 4, "uid": 1, "us": 5 * HOUR},  # bridge
+        {"op": "u", "seq": 11, "eid": 3, "uid": 2, "us": 10 * HOUR},  # move
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in b0))
+    (src / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in b1))
+    now = _time.time()
+    _os.utime(src / "b0.jsonl", (now - 100, now - 100))
+    _os.utime(src / "b1.jsonl", (now, now))
+
+    view = CdcGroupedRecomputeView(
+        spark, str(tmp_path / "sess"), key="uid", pk="eid",
+        recompute=session_recompute, n_buckets=4,
+    )
+    log: list[tuple[int, int]] = []
+    crash_armed = [True]
+
+    def handler(df, epoch_id):
+        view.merge(df.select("op", "seq", "eid", "uid", "us"), int(epoch_id))
+        if int(epoch_id) == 1 and crash_armed[0]:
+            log.append((1, -1))
+            raise RuntimeError("injected crash after epoch-1 merge")
+        log.append((int(epoch_id), 1))
+
+    def run():
+        q = (
+            spark.readStream.schema("op string, seq long, eid long, uid long, us long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(420), "stream did not terminate"
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run()
+    assert log == [(0, 1), (1, -1)]  # epoch 0 committed, epoch 1 uncommitted
+    crash_armed[0] = False
+    run()  # same checkpoint: epoch 1 re-delivered, re-merged idempotently
+    assert log == [(0, 1), (1, -1), (1, 1)]
+    # final alive: eid1(u1,0h) eid2(u1,1h) eid4(u1,5h) eid3(u2,10h)
+    # -> user 1: one merged session 0-5h; user 2: one singleton
+    assert _snap(view) == {1: (3, 1, 5 * HOUR), 2: (1, 1, 0)}
