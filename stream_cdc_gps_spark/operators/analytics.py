@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stream_cdc_gps_spark.operators.common import t
+from stream_cdc_gps_spark.operators.common import churn_script, t
 from stream_cdc_gps_spark.registry import query
 
 
@@ -2525,31 +2525,14 @@ def q210_cdc_quantile_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("eid"), F.col("event_type").alias("etype"), "value"
     )
     eid = F.col("eid")
-    a0 = e.select(F.lit("c").alias("op"), eid.alias("seq"), *e.columns)
     # corrections compose exactly as the oracle's CASEs: the key-moving
     # image carries the already-applied value bump where both rules hit
     bumped = F.when(eid % 7 == 0, F.col("value") + 5.0e0).otherwise(F.col("value"))
-    a_u1 = e.filter(eid % 7 == 0).select(
-        F.lit("u").alias("op"),
-        (F.lit(1_000_000_000) + eid).alias("seq"),
-        eid,
-        F.col("etype"),
-        (F.col("value") + 5.0e0).alias("value"),
-    )
-    a_u2 = e.filter(eid % 13 == 0).select(
-        F.lit("u").alias("op"),
-        (F.lit(2_000_000_000) + eid).alias("seq"),
-        eid,
-        F.lit("click").alias("etype"),
-        bumped.alias("value"),
-    )
-    a_d = e.filter(eid % 5 == 0).select(
-        F.lit("d").alias("op"), (F.lit(3_000_000_000) + eid).alias("seq"), *e.columns
-    )
-    a_dup = e.filter(
-        (eid % 11 == 0) & (eid % 5 != 0) & (eid % 7 != 0) & (eid % 13 != 0)
-    ).select(
-        F.lit("u").alias("op"), (F.lit(4_000_000_000) + eid).alias("seq"), *e.columns
+    a0, a1 = churn_script(
+        e,
+        "eid",
+        u1_cols={"value": F.col("value") + 5.0e0},
+        u2_cols={"etype": F.lit("click"), "value": bumped},
     )
 
     def quantile_recompute(after: DataFrame) -> DataFrame:
@@ -2565,7 +2548,7 @@ def q210_cdc_quantile_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, base, key="etype", pk="eid", recompute=quantile_recompute
         )
         view.merge(a0, 0)
-        view.merge(a_u1.unionByName(a_u2).unionByName(a_d).unionByName(a_dup), 1)
+        view.merge(a1, 1)
         out = view.snapshot().select(
             F.col("etype").alias("event_type"),
             F.col("n").alias("n_events"),
@@ -2673,29 +2656,12 @@ def q216_cdc_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("us"),
     )
     eid = F.col("eid")
-    a0 = e.select(F.lit("c").alias("op"), eid.alias("seq"), *e.columns)
     shifted = F.when(eid % 7 == 0, F.col("us") + 2_400_000_000).otherwise(F.col("us"))
-    a_u1 = e.filter(eid % 7 == 0).select(
-        F.lit("u").alias("op"),
-        (F.lit(1_000_000_000) + eid).alias("seq"),
-        eid,
-        F.col("uid"),
-        (F.col("us") + 2_400_000_000).alias("us"),
-    )
-    a_u2 = e.filter(eid % 13 == 0).select(
-        F.lit("u").alias("op"),
-        (F.lit(2_000_000_000) + eid).alias("seq"),
-        eid,
-        (F.col("uid") + 1).alias("uid"),
-        shifted.alias("us"),
-    )
-    a_d = e.filter(eid % 5 == 0).select(
-        F.lit("d").alias("op"), (F.lit(3_000_000_000) + eid).alias("seq"), *e.columns
-    )
-    a_dup = e.filter(
-        (eid % 11 == 0) & (eid % 5 != 0) & (eid % 7 != 0) & (eid % 13 != 0)
-    ).select(
-        F.lit("u").alias("op"), (F.lit(4_000_000_000) + eid).alias("seq"), *e.columns
+    a0, a1 = churn_script(
+        e,
+        "eid",
+        u1_cols={"us": F.col("us") + 2_400_000_000},
+        u2_cols={"uid": F.col("uid") + 1, "us": shifted},
     )
 
     base = tempfile.mkdtemp(prefix="cdc_session_rollup_")
@@ -2704,7 +2670,7 @@ def q216_cdc_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, base, key="uid", pk="eid", recompute=session_recompute
         )
         view.merge(a0, 0)
-        view.merge(a_u1.unionByName(a_u2).unionByName(a_d).unionByName(a_dup), 1)
+        view.merge(a1, 1)
         out = view.snapshot().select(
             F.col("uid").alias("user_id"),
             F.col("n").alias("n_events"),

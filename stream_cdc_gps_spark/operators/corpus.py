@@ -1012,7 +1012,12 @@ def q214_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bg"),
     )
-    hb = big.select("doc_id", "lang", _dsir_bucket(F.col("bg")).alias("b"))
+    # hb feeds FOUR aggregations (per-doc counts, target dist, raw dist,
+    # totals); materialize the featurization once — one corpus pass, not
+    # four tokenize+shingle+md5 re-derivations (the q215 idiom)
+    hb = big.select(
+        "doc_id", "lang", _dsir_bucket(F.col("bg")).alias("b")
+    ).localCheckpoint()
     cnt = hb.groupBy("doc_id", "lang", "b").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )

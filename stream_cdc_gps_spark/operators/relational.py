@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stream_cdc_gps_spark.operators.common import prepare, t
+from stream_cdc_gps_spark.operators.common import churn_script, prepare, t
 from stream_cdc_gps_spark.registry import query
 from stream_cdc_gps_spark.tables import register_views
 
@@ -2781,29 +2781,12 @@ def q213_cdc_hll_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("uid"),
     )
     eid = F.col("eid")
-    a0 = e.select(F.lit("c").alias("op"), eid.alias("seq"), *e.columns)
     bumped = F.when(eid % 7 == 0, F.col("uid") + 1).otherwise(F.col("uid"))
-    a_u1 = e.filter(eid % 7 == 0).select(
-        F.lit("u").alias("op"),
-        (F.lit(1_000_000_000) + eid).alias("seq"),
-        eid,
-        F.col("etype"),
-        (F.col("uid") + 1).alias("uid"),
-    )
-    a_u2 = e.filter(eid % 13 == 0).select(
-        F.lit("u").alias("op"),
-        (F.lit(2_000_000_000) + eid).alias("seq"),
-        eid,
-        F.lit("click").alias("etype"),
-        bumped.alias("uid"),
-    )
-    a_d = e.filter(eid % 5 == 0).select(
-        F.lit("d").alias("op"), (F.lit(3_000_000_000) + eid).alias("seq"), *e.columns
-    )
-    a_dup = e.filter(
-        (eid % 11 == 0) & (eid % 5 != 0) & (eid % 7 != 0) & (eid % 13 != 0)
-    ).select(
-        F.lit("u").alias("op"), (F.lit(4_000_000_000) + eid).alias("seq"), *e.columns
+    a0, a1 = churn_script(
+        e,
+        "eid",
+        u1_cols={"uid": F.col("uid") + 1},
+        u2_cols={"etype": F.lit("click"), "uid": bumped},
     )
 
     def hll_recompute(after: DataFrame) -> DataFrame:
@@ -2831,7 +2814,7 @@ def q213_cdc_hll_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, base, key="etype", pk="eid", recompute=hll_recompute
         )
         view.merge(a0, 0)
-        view.merge(a_u1.unionByName(a_u2).unionByName(a_d).unionByName(a_dup), 1)
+        view.merge(a1, 1)
         out = (
             view.snapshot()
             .join(F.broadcast(final_exact), "etype")
@@ -3115,29 +3098,12 @@ def q218_cdc_kmv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c"),
     )
     oid = F.col("oid")
-    a0 = o.select(F.lit("c").alias("op"), oid.alias("seq"), *o.columns)
     bumped_c = F.when(oid % 7 == 0, F.col("c") + 1).otherwise(F.col("c"))
-    a_u1 = o.filter(oid % 7 == 0).select(
-        F.lit("u").alias("op"),
-        (F.lit(1_000_000_000) + oid).alias("seq"),
-        oid,
-        F.col("y"),
-        (F.col("c") + 1).alias("c"),
-    )
-    a_u2 = o.filter(oid % 13 == 0).select(
-        F.lit("u").alias("op"),
-        (F.lit(2_000_000_000) + oid).alias("seq"),
-        oid,
-        (F.col("y") + 1).alias("y"),
-        bumped_c.alias("c"),
-    )
-    a_d = o.filter(oid % 5 == 0).select(
-        F.lit("d").alias("op"), (F.lit(3_000_000_000) + oid).alias("seq"), *o.columns
-    )
-    a_dup = o.filter(
-        (oid % 11 == 0) & (oid % 5 != 0) & (oid % 7 != 0) & (oid % 13 != 0)
-    ).select(
-        F.lit("u").alias("op"), (F.lit(4_000_000_000) + oid).alias("seq"), *o.columns
+    a0, a1 = churn_script(
+        o,
+        "oid",
+        u1_cols={"c": F.col("c") + 1},
+        u2_cols={"y": F.col("y") + 1, "c": bumped_c},
     )
     base = tempfile.mkdtemp(prefix="cdc_kmv_view_")
     try:
@@ -3145,7 +3111,7 @@ def q218_cdc_kmv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, base, key="y", pk="oid", recompute=kmv_distinct_recompute
         )
         view.merge(a0, 0)
-        view.merge(a_u1.unionByName(a_u2).unionByName(a_d).unionByName(a_dup), 1)
+        view.merge(a1, 1)
         out = view.snapshot().select(
             F.col("y").alias("order_year"),
             F.col("n").alias("n_orders"),

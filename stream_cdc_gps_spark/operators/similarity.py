@@ -2623,9 +2623,12 @@ def q219_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "candidate_id")
+    # ranked feeds BOTH metric branches (top-10 and the relevant-pool
+    # count); materialize it once so the broadcast-cosine scan and the
+    # per-query rank sort run once, not per branch (the q215 idiom)
     ranked = scored.select(
         "query_id", "q_label", "label", F.row_number().over(w).alias("rnk")
-    )
+    ).localCheckpoint()
     rel = F.col("label") == F.col("q_label")
     log2rank = F.log(F.col("rnk") + 1.0e0) / F.log(F.lit(2.0e0))
     term = F.round(1.0e0 / log2rank, 12).cast("decimal(28,12)")

@@ -1173,18 +1173,11 @@ _RRF_ALL_TERMS_SQL = ", ".join(
     sorted({f"'{term}'" for _, terms, _ in _RRF_QUERIES for term in terms})
 )
 
-# DuckDB-side sequential-fold dot product (mirrors functions/vector.py).
-_RRF_DOT = (
-    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
-    " (acc, x) -> acc + x)"
-)
-
-
-def _rrf_cos_sql(a: str, b: str) -> str:
-    dot = _RRF_DOT.format(a=a, b=b)
-    na = _RRF_DOT.format(a=a, b=a)
-    nb = _RRF_DOT.format(a=b, b=b)
-    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+# DuckDB-side cosine: the ONE sequential-fold template lives in
+# operators/similarity.py next to its Spark mirror (functions/vector.py) —
+# a second copy here would silently diverge if the accumulation-order
+# contract ever changes.
+from stream_cdc_gps_spark.operators.similarity import _sql_cosine as _rrf_cos_sql
 
 
 @query(
