@@ -126,6 +126,9 @@ SPOTLIGHT = [
     "q217_schema_evolution_scan",
     "q218_cdc_kmv_view",
     "q219_retrieval_metrics",
+    "q220_skyline_pareto",
+    "q221_winsorized_stats",
+    "q222_calibration_bins",
 ]
 # q201 (composed CDC view suite: 6 views x 2 merges per rep — ~10 s at
 # sf0.1 after the late-r10 concurrent-wave rework, was 18.3 s after the

@@ -2681,3 +2681,106 @@ def q216_cdc_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q221_winsorized_stats",
+    oracle="""
+WITH cuts AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05e0) AS lo,
+           quantile_cont(value, 0.95e0) AS hi
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT)                                   AS n,
+       round(avg(e.value), 4)                                     AS mean_raw,
+       round(avg(greatest(c.lo, least(c.hi, e.value))), 4)        AS mean_winsor,
+       round(stddev_samp(e.value), 4)                             AS sd_raw,
+       round(stddev_samp(greatest(c.lo, least(c.hi, e.value))), 4) AS sd_winsor
+FROM events e JOIN cuts c ON e.event_type = c.event_type
+GROUP BY e.event_type
+""",
+)
+def q221_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED robust statistics — the preprocessing row next to
+    q140's MAD: clip each group's values at its exact p05/p95 (Spark
+    `percentile` == DuckDB `quantile_cont`, the q110 parity idiom) and
+    report mean/stddev before and after — the standard tail-robust
+    treatment when outliers are data errors rather than signal (metric
+    pipelines winsorize before z-scoring; pretraining mixes winsorize
+    per-source quality scores before weighting).
+
+    Scale: one groupBy computes the cut points (exact percentiles are
+    per-group sorts — q110's bounded-group contract; swap in
+    percentile_approx for unbounded groups), the cuts broadcast back
+    onto the scan, and the winsorized aggregate is map-side partial —
+    two shuffles total on the same key."""
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    cuts = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsor"),
+            F.round(F.stddev_samp("value"), 4).alias("sd_raw"),
+            F.round(F.stddev_samp(clipped), 4).alias("sd_winsor"),
+        )
+    )
+
+
+@query(
+    "q222_calibration_bins",
+    oracle="""
+WITH mx AS (SELECT max(value) AS mv FROM events),
+scored AS (
+    SELECT least(CAST(floor(e.value / mx.mv * 10) AS BIGINT), 9) AS bin,
+           e.value / mx.mv AS score,
+           CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS label
+    FROM events e CROSS JOIN mx
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT)        AS n,
+       round(avg(score), 4)            AS mean_score,
+       round(avg(CAST(label AS DOUBLE)), 4) AS pos_rate
+FROM scored GROUP BY bin
+""",
+)
+def q222_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCORE CALIBRATION (reliability diagram) — the ML-eval row next to
+    q178's AUC and q219's ranking metrics: bucket a score into 10 fixed
+    bins and compare each bin's mean predicted score against its
+    empirical positive rate; a calibrated scorer tracks the diagonal.
+    Score here is the event value max-normalized, label = purchase —
+    synthetic semantics, the real operator shape (quality-classifier
+    calibration is a standard LLM-data-pipeline audit before
+    threshold-based filtering).
+
+    Scale: fixed-width bins are MAP-SIDE arithmetic (no global sort —
+    the decile/ntile formulation would single-partition the corpus);
+    the 1-row max broadcasts; one aggregate on a 10-key shuffle."""
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    mx = e.agg(F.max("value").alias("mv"))
+    score = F.col("value") / F.col("mv")
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(F.floor(score * 10).cast("bigint"), F.lit(9).cast("bigint")).alias(
+                "bin"
+            ),
+            score.alias("score"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("score"), 4).alias("mean_score"),
+            F.round(F.avg(F.col("label").cast("double")), 4).alias("pos_rate"),
+        )
+    )

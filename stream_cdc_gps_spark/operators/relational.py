@@ -3121,3 +3121,55 @@ def q218_cdc_kmv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q220_skyline_pareto",
+    oracle="""
+SELECT p.p_partkey, p.p_size, p.p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part o
+    WHERE o.p_retailprice <= p.p_retailprice
+      AND o.p_size >= p.p_size
+      AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size)
+)
+""",
+)
+def q220_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-frontier) QUERY — the preference operator
+    (Börzsönyi et al., ICDE'01): parts no other part strictly dominates
+    on (cheaper price, bigger size). The naive formulation is the
+    oracle's NOT-EXISTS self-join — O(n²) and a cartesian at scale; the
+    engine runs the SORT-BASED plan instead: order by price, and a row
+    survives iff (a) its size equals its price-group's max (a same-price
+    row with bigger size dominates it) and (b) that size strictly beats
+    the best size among all STRICTLY cheaper rows (the running max over
+    the ordered price groups, shifted by one). One shuffle, one window
+    pass, no self-join — the classical skyline sweep, and the plan that
+    survives 100 TB (per-partition local sweeps then a tiny merge of
+    per-partition frontiers is the distributed refinement; the global
+    sort here IS that plan under range partitioning).
+
+    Ties: equal (price, size) rows neither dominate each other — all
+    kept, matching the oracle's strict-dominance predicate."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    grp = p.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        grp.withColumn("best_cheaper", F.max("gmax").over(w))
+        .filter(
+            F.col("best_cheaper").isNull() | (F.col("gmax") > F.col("best_cheaper"))
+        )
+        .select("p_retailprice", "gmax")
+    )
+    fr = frontier.select(
+        F.col("p_retailprice").alias("f_price"), F.col("gmax").alias("f_size")
+    )
+    return p.join(
+        F.broadcast(fr),
+        (F.col("p_retailprice") == F.col("f_price"))
+        & (F.col("p_size") == F.col("f_size")),
+    ).select("p_partkey", "p_size", "p_retailprice")

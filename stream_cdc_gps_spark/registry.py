@@ -70,10 +70,11 @@ DRIVER_WINDOW = 50
 #
 # Round 10 front-loads, in order:
 # (a) queries stale from this round's symbol changes — the staleness
-#     gate forces these: the TEN rows added late this round and never
-#     driver-checked (q210-q219: CDC quantile/HLL/sessionization/KMV views,
-#     hybrid RRF retrieval, PIT feature join, DSIR weights, KMV sketch,
-#     the q217 schema-evolution scan, and the q219 nDCG/MRR metrics),
+#     gate forces these: the THIRTEEN rows added late this round and
+#     never driver-checked (q210-q222: CDC quantile/HLL/sessionization/
+#     KMV views, hybrid RRF retrieval, PIT feature join, DSIR weights,
+#     KMV sketch, schema-evolution scan, nDCG/MRR metrics, skyline,
+#     winsorized stats, calibration bins),
 #     the whole CDC/IVM view family q193-q203 (the bucketed-store wiring
 #     rewrote streaming/join_view.py and touched partial_store's
 #     read/write paths; the late-r10 concurrent-merge rework touched the
@@ -83,8 +84,8 @@ DRIVER_WINDOW = 50
 #     rollup and q205/q206 CDC-maintained vector and LSH-dedup indexes,
 #     q207 CDC-maintained CMS and q208 CDC-view time travel; q177
 #     stales via the dedup_index module edit;
-# (b) 16 of the 29 remaining r4-era official rows, registration order
-#     (the other thirteen rotate out for the ≤ cap−2 slack rule and front
+# (b) 13 of the 29 remaining r4-era official rows, registration order
+#     (the other sixteen rotate out for the ≤ cap−2 slack rule and front
 #     r11) — rows outside the window remain covered by the tri-scale
 #     full-sim certificates (48 entries total, under the 50 cap).
 _PRIORITY: list[str] = [
@@ -99,6 +100,9 @@ _PRIORITY: list[str] = [
     "q217_schema_evolution_scan",
     "q218_cdc_kmv_view",
     "q219_retrieval_metrics",
+    "q220_skyline_pareto",
+    "q221_winsorized_stats",
+    "q222_calibration_bins",
     "q207_cdc_cms_sketch",
     "q208_cdc_view_time_travel",
     "q209_cdc_join_agg_cascade",
@@ -135,19 +139,17 @@ _PRIORITY: list[str] = [
     "q11_count_distinct",
     "q12_rollup",
     "q13_cube",
-    "q46_session_window_native",
-    "q80_media_metadata",
-    "q82_media_frames",
+    # q46_session_window_native / q80_media_metadata / q82_media_frames /
     # q132_fixed_k_sample / q139_token_entropy / q141_bm25 /
     # q142_bigram_lm_score / q143_spatial_knn / q144_corpus_pipeline /
     # q148_hard_negative_mining / q149_weighted_sample /
     # q151_split_centroid_drift / q156_stop_detection rotate out with
     # q157_od_matrix / q158_zorder_morton / q159_pq_codes (slack rule:
     # ≤ DRIVER_WINDOW − 2 after the late-r10 additions pulled q187/q188
-    # into the stale set and the session's ten new rows q210-q219 took
-    # the front): their newest official rows stay r4-era one more round,
-    # covered by the clean-tree tri-scale full-sim certificates;
-    # front-load all thirteen in r11.
+    # into the stale set and the session's thirteen new rows q210-q222
+    # took the front): their newest official rows stay r4-era one more
+    # round, covered by the clean-tree tri-scale full-sim certificates;
+    # front-load all sixteen in r11.
 ]
 
 

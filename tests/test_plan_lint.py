@@ -71,6 +71,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q214_dsir_importance",  # broadcast 1-row corpus bigram totals
         "q215_kmv_bottomk_sketch",  # broadcast O(#years) pair frame (< pred)
         "q219_retrieval_metrics",  # broadcast 20-query sample (q60's move)
+        "q222_calibration_bins",  # broadcast 1-row global max extent
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
