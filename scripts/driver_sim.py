@@ -64,10 +64,20 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    import os as _os
+
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
+        # one JVM runs the FULL registry back-to-back; the 1g default
+        # driver heap OOM'd mid-run at sf0.1 once the registry passed
+        # ~220 queries (catalyst plan/codegen caches accumulate) — match
+        # session.py's sizing. Results are unaffected; this is harness
+        # headroom, not engine config.
+        .config(
+            "spark.driver.memory", _os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .getOrCreate()
     )
 
