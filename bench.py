@@ -129,6 +129,9 @@ SPOTLIGHT = [
     "q220_skyline_pareto",
     "q221_winsorized_stats",
     "q222_calibration_bins",
+    "q223_mann_whitney_u",
+    "q224_benford_audit",
+    "q225_gini_spend",
 ]
 # q201 (composed CDC view suite: 6 views x 2 merges per rep — ~10 s at
 # sf0.1 after the late-r10 concurrent-wave rework, was 18.3 s after the

@@ -2784,3 +2784,194 @@ def q222_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("label").cast("double")), 4).alias("pos_rate"),
         )
     )
+
+
+@query(
+    "q223_mann_whitney_u",
+    oracle="""
+WITH s AS (
+    SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+ranked AS (
+    SELECT g1, value,
+           rank() OVER (ORDER BY value) AS rmin,
+           CAST(count(*) OVER (PARTITION BY value) AS BIGINT) AS tie_n
+    FROM s
+),
+stats AS (
+    SELECT CAST(sum(g1) AS BIGINT) AS n1,
+           CAST(count(*) - sum(g1) AS BIGINT) AS n2,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CASE WHEN g1 = 1
+                    THEN (2.0e0 * rmin + tie_n - 1.0e0) / 2.0e0
+                    ELSE 0.0e0 END) AS r1
+    FROM ranked
+),
+ties AS (
+    SELECT sum(CAST(tie_n AS DOUBLE) * tie_n * tie_n - tie_n) AS tsum
+    FROM (SELECT value, max(tie_n) AS tie_n FROM ranked GROUP BY value)
+)
+SELECT s.n1, s.n2,
+       round(s.r1 - s.n1 * (s.n1 + 1.0e0) / 2.0e0, 4) AS u1,
+       round((s.r1 - s.n1 * (s.n1 + 1.0e0) / 2.0e0 - s.n1 * s.n2 / 2.0e0)
+             / sqrt(s.n1 * s.n2 / 12.0e0
+                    * ((s.n + 1.0e0) - t.tsum / (s.n * (s.n - 1.0e0)))), 4) AS z
+FROM stats s CROSS JOIN ties t
+""",
+)
+def q223_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (Wilcoxon rank-sum) — the NONPARAMETRIC two-sample
+    test next to q124's t-test and q138's KS: are click values
+    stochastically larger than purchase values? Average ranks for ties
+    ((2·min_rank + tie_count − 1)/2) and the tie-corrected normal
+    approximation variance n1·n2/12·((n+1) − Σ(t³−t)/(n(n−1))) — the
+    textbook large-sample form. Rank sums are exact (ranks are integers
+    or halves, far under 2^53, so the double sum is order-independent).
+
+    Scale: one global rank (range-partitioned sort at cluster scale),
+    tie counts ride the same pass as a value-partitioned count, and the
+    test statistic reduces from two 1-row aggregates."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = e.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+    )
+    ranked = s.select(
+        "g1",
+        "value",
+        F.rank().over(Window.orderBy("value")).alias("rmin"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("value"))
+        .cast("bigint")
+        .alias("tie_n"),
+    )
+    avg_rank = (2.0e0 * F.col("rmin") + F.col("tie_n") - 1.0e0) / 2.0e0
+    stats = ranked.agg(
+        F.sum("g1").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g1")).cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("g1") == 1, avg_rank).otherwise(0.0e0)).alias("r1"),
+    )
+    tie_n = F.col("tie_n").cast("double")
+    ties = (
+        ranked.groupBy("value")
+        .agg(F.max("tie_n").alias("tie_n"))
+        .agg(F.sum(tie_n * tie_n * tie_n - F.col("tie_n")).alias("tsum"))
+    )
+    n1, n2, n = F.col("n1"), F.col("n2"), F.col("n")
+    u1 = F.col("r1") - n1 * (n1 + 1.0e0) / 2.0e0
+    var = n1 * n2 / 12.0e0 * ((n + 1.0e0) - F.col("tsum") / (n * (n - 1.0e0)))
+    return stats.crossJoin(F.broadcast(ties)).select(
+        "n1",
+        "n2",
+        F.round(u1, 4).alias("u1"),
+        F.round((u1 - n1 * n2 / 2.0e0) / F.sqrt(var), 4).alias("z"),
+    )
+
+
+@query(
+    "q224_benford_audit",
+    oracle="""
+WITH digits AS (
+    SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice))))
+                AS BIGINT) AS d
+    FROM orders WHERE o_totalprice > 0
+),
+obs AS (SELECT d, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY d),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM digits)
+SELECT o.d AS digit, o.n_obs,
+       round(t.n * log10(1.0e0 + 1.0e0 / o.d), 4) AS n_exp,
+       round(CAST(round(
+           (o.n_obs - t.n * log10(1.0e0 + 1.0e0 / o.d))
+           * (o.n_obs - t.n * log10(1.0e0 + 1.0e0 / o.d))
+           / (t.n * log10(1.0e0 + 1.0e0 / o.d)), 12) AS DECIMAL(28,12))
+           + 0.0e0, 4) AS chi2_term
+FROM obs o CROSS JOIN tot t
+""",
+)
+def q224_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD first-digit audit — the forensic DQ row next to q116's
+    rule battery: observed first-significant-digit counts of order
+    totals vs the Benford expectation n·log10(1 + 1/d), with each
+    digit's chi-square contribution (a large term marks fabricated or
+    truncated data; synthetic TPC-H prices are NOT Benford — the
+    operator surfaces exactly that). Emitting per-digit terms rather
+    than one summed statistic keeps every output a single-expression
+    double (engine-identical IEEE) — the sum is the reader's one
+    addition, and the 12-dp decimal quantization makes the term itself
+    bit-stable.
+
+    Scale: first-digit extraction is map-side arithmetic; the aggregate
+    shuffles 9 keys; the total broadcasts."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("bigint")
+    obs = o.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n_exp = F.col("n") * F.log10(1.0e0 + 1.0e0 / F.col("d"))
+    chi2_term = (F.col("n_obs") - n_exp) * (F.col("n_obs") - n_exp) / n_exp
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        "n_obs",
+        F.round(n_exp, 4).alias("n_exp"),
+        F.round(
+            F.round(chi2_term, 12).cast("decimal(28,12)") + 0.0e0, 4
+        ).alias("chi2_term"),
+    )
+
+
+@query(
+    "q225_gini_spend",
+    oracle="""
+WITH spend AS (
+    SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(x) AS DOUBLE)   AS total_spend,
+       round(2.0e0 * CAST(sum(i * x) AS DOUBLE)
+             / (count(*) * CAST(sum(x) AS DOUBLE))
+             - (count(*) + 1.0e0) / count(*), 6) AS gini
+FROM ranked
+""",
+)
+def q225_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer spend (Lorenz-curve inequality) —
+    the concentration scalar next to q107's Zipf fit: gini =
+    2·Σ(i·x_(i))/(n·Σx) − (n+1)/n over the ascending spend ranking
+    (custkey tiebreak). Both Σx and Σ(i·x_i) are EXACT decimal sums
+    (spend is DECIMAL(18,2); rank·spend products stay inside
+    DECIMAL(38,2)), so the statistic is one double expression over
+    exact totals — bit-identical across engines.
+
+    Scale: one groupBy(customer), one global rank (range-partitioned
+    sort at cluster scale), two exact aggregates."""
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    ranked = spend.select(
+        "x",
+        F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    six = F.sum(F.col("i").cast("decimal(9,0)") * F.col("x")).cast("double")
+    return ranked.agg(
+        n.cast("bigint").alias("n_customers"),
+        sx.alias("total_spend"),
+        F.round(
+            2.0e0 * six / (n * sx) - (n + 1.0e0) / n, 6
+        ).alias("gini"),
+    )

@@ -70,11 +70,12 @@ DRIVER_WINDOW = 50
 #
 # Round 10 front-loads, in order:
 # (a) queries stale from this round's symbol changes — the staleness
-#     gate forces these: the THIRTEEN rows added late this round and
-#     never driver-checked (q210-q222: CDC quantile/HLL/sessionization/
+#     gate forces these: the SIXTEEN rows added late this round and
+#     never driver-checked (q210-q225: CDC quantile/HLL/sessionization/
 #     KMV views, hybrid RRF retrieval, PIT feature join, DSIR weights,
 #     KMV sketch, schema-evolution scan, nDCG/MRR metrics, skyline,
-#     winsorized stats, calibration bins),
+#     winsorized stats, calibration bins, Mann-Whitney U, Benford
+#     audit, Gini coefficient),
 #     the whole CDC/IVM view family q193-q203 (the bucketed-store wiring
 #     rewrote streaming/join_view.py and touched partial_store's
 #     read/write paths; the late-r10 concurrent-merge rework touched the
@@ -84,10 +85,10 @@ DRIVER_WINDOW = 50
 #     rollup and q205/q206 CDC-maintained vector and LSH-dedup indexes,
 #     q207 CDC-maintained CMS and q208 CDC-view time travel; q177
 #     stales via the dedup_index module edit;
-# (b) 13 of the 29 remaining r4-era official rows, registration order
-#     (the other sixteen rotate out for the ≤ cap−2 slack rule and front
-#     r11) — rows outside the window remain covered by the tri-scale
-#     full-sim certificates (48 entries total, under the 50 cap).
+# (b) 10 of the 29 remaining r4-era official rows, registration order
+#     (the other nineteen rotate out for the ≤ cap−2 slack rule and
+#     front r11) — rows outside the window remain covered by the
+#     tri-scale full-sim certificates (48 entries total, under the cap).
 _PRIORITY: list[str] = [
     # (a) changed or added in r10
     "q210_cdc_quantile_view",
@@ -103,6 +104,9 @@ _PRIORITY: list[str] = [
     "q220_skyline_pareto",
     "q221_winsorized_stats",
     "q222_calibration_bins",
+    "q223_mann_whitney_u",
+    "q224_benford_audit",
+    "q225_gini_spend",
     "q207_cdc_cms_sketch",
     "q208_cdc_view_time_travel",
     "q209_cdc_join_agg_cascade",
@@ -136,10 +140,7 @@ _PRIORITY: list[str] = [
     "q08_regional_revenue",
     "q09_range_join",
     "q10_agg_stats",
-    "q11_count_distinct",
-    "q12_rollup",
-    "q13_cube",
-    # q46_session_window_native / q80_media_metadata / q82_media_frames /
+    # q11_count_distinct / q12_rollup / q13_cube / q46_session_window_native / q80_media_metadata / q82_media_frames /
     # q132_fixed_k_sample / q139_token_entropy / q141_bm25 /
     # q142_bigram_lm_score / q143_spatial_knn / q144_corpus_pipeline /
     # q148_hard_negative_mining / q149_weighted_sample /

@@ -72,6 +72,8 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q215_kmv_bottomk_sketch",  # broadcast O(#years) pair frame (< pred)
         "q219_retrieval_metrics",  # broadcast 20-query sample (q60's move)
         "q222_calibration_bins",  # broadcast 1-row global max extent
+        "q223_mann_whitney_u",  # broadcast 1-row tie-correction sum
+        "q224_benford_audit",  # broadcast 1-row total count
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
