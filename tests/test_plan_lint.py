@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from stream_cdc_gps_spark.plans import plan_string
+from stream_cdc_gps_spark.plans.inspect import unpartitioned_windows_from_text
 from stream_cdc_gps_spark.registry import all_queries
 from tests.conftest import SF_SMOKE
 
@@ -16,11 +17,20 @@ CARTESIAN_OK = {"q91_cross_join"}
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
+def plan_pair(spark):
+    """(formatted, simple) plan text per query. The DataFrame is built
+    once and BOTH render modes are taken from it (constructing the frame
+    is the expensive part — some queries run eager localCheckpoints)."""
     out = {}
     for name, spec in all_queries().items():
-        out[name] = plan_string(spec.fn(spark, SF_SMOKE))
+        df = spec.fn(spark, SF_SMOKE)
+        out[name] = (plan_string(df), plan_string(df, "simple"))
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(plan_pair):
+    return {name: pair[0] for name, pair in plan_pair.items()}
 
 
 def test_no_unintended_cartesian_products(plans):
@@ -72,8 +82,8 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q215_kmv_bottomk_sketch",  # broadcast O(#years) pair frame (< pred)
         "q219_retrieval_metrics",  # broadcast 20-query sample (q60's move)
         "q222_calibration_bins",  # broadcast 1-row global max extent
-        "q223_mann_whitney_u",  # broadcast 1-row tie-correction sum
         "q224_benford_audit",  # broadcast 1-row total count
+        "q225_gini_spend",  # broadcast 1-row range-boundary array (two-pass rank)
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
@@ -86,3 +96,34 @@ def test_no_row_at_a_time_python_udfs(plans):
     slow path this engine bans."""
     bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
     assert not bad, f"row-at-a-time Python UDF in: {bad}"
+
+
+# Global (un-partitioned) windows over a frame the parser cannot prove
+# bounded: Spark executes these on ONE task ("No Partition Defined for
+# Window operation") — the accidental-single-partition class the r10
+# verdict flagged on q138/q223/q225. Windows whose child chain reaches an
+# aggregate/limit/literal auto-pass (the q178 distinct-value-compression
+# shape: cardinality = distinct keys, not rows — the key-cardinality
+# argument lives in each query's docstring). Everything else must be
+# pinned here with a justification, like the BNLJ list.
+GLOBAL_WINDOW_OK = {
+    # q133 is the documented one-shot EXACT equi-depth pass (stats
+    # collection, not a pipeline operator); its 100 TB-safe sketch pair
+    # q145 ships alongside and the docstring names the tradeoff.
+    "q133_equidepth_histogram",
+}
+
+
+def test_no_unpartitioned_row_level_windows(plan_pair):
+    """No query may run a global window over row-level input. Catches the
+    class plan-lint missed in r10: an empty partition spec moves the whole
+    input through a single WindowExec task, invisible at sf0.1 wall times
+    but fatal at cluster scale."""
+    bad = {}
+    for name, (_, simple) in plan_pair.items():
+        hits = [
+            w for w in unpartitioned_windows_from_text(simple) if not w["bounded"]
+        ]
+        if hits and name not in GLOBAL_WINDOW_OK:
+            bad[name] = [f"below={w['below']}: {w['node'][:80]}" for w in hits]
+    assert not bad, f"un-partitioned row-level WindowExec in: {bad}"
