@@ -2731,6 +2731,162 @@ def q209_cdc_join_agg_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q226_cdc_cascade_topk",
+    oracle="""
+WITH o_final AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+                ELSE o_custkey END AS cust_key,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0e0
+                     ELSE o_totalprice END AS DECIMAL(18,2)) AS total_price
+    FROM orders WHERE o_orderkey % 5 <> 0
+),
+c_final AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN c_name || '*'
+                ELSE c_name END AS cust_name,
+           CASE WHEN c_custkey % 17 = 0 THEN 'MACHINERY'
+                ELSE c_mktsegment END AS segment
+    FROM customer WHERE c_custkey % 11 <> 0
+),
+agg AS (
+    SELECT c.segment, c.cust_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o.total_price)       AS total_d
+    FROM o_final o JOIN c_final c ON c.c_custkey = o.cust_key
+    GROUP BY c.segment, c.cust_name
+)
+SELECT segment, cust_name, n_orders, CAST(total_d AS DOUBLE) AS total_spend
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY segment ORDER BY total_d DESC, cust_name ASC
+    ) AS rn FROM agg
+)
+WHERE rn <= 3
+""",
+)
+def q226_cdc_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-LAYER CASCADED IVM PARITY — a maintained TOP-K over a
+    maintained aggregate over a maintained join
+    (streaming/join_view.CdcCascadeTopKView): V = the 3 highest-spend
+    CUSTOMER NAMES per MARKET SEGMENT from orders ⋈ customer, BOTH
+    sides CDC changelogs, with NEITHER intermediate materialized — the
+    join delta flows through q196's linear aggregate rule into q200's
+    order-statistic recompute in one merge, the depth-3 DBSP circuit
+    (q209 proved depth 2). The script composes q209's order wave (price
+    bumps % 7, cust_key moves % 13, deletes % 5) with a customer wave
+    that exercises every rank transition: renames % 3 move a customer's
+    whole revenue between GROUP keys through the join, segment moves
+    % 17 move it between RANK PARTITIONS (retract from one segment's
+    ranking, assert into another's, one merge), deletes % 11 retract it
+    entirely (possibly promoting a new #3). Oracle is ONE batch join +
+    GROUP BY + row_number ≤ 3 over the CDC-upserted final tables;
+    DECIMAL sums make the ranking key exact on both engines, name-asc
+    tie-break makes it total.
+
+    Scale: per merge — O(|Δ| × matched state) arrangement reads for the
+    join terms, one |ΔM|-keyed partial aggregate, then a rerank that
+    reads only the TOUCHED segments' shards of the per-group partial
+    store (per-GROUP rows, never source rows) and windows only those
+    segments' groups. Stored state: changelogs + arrangements +
+    per-group partials + the ≤ k·|segments| view — the join snapshot
+    and the full ranking are pure dataflow.
+
+    Reference parity: extends the reference's Debezium-changelog upsert
+    domain (cmd/main.go:203-240, connector.json:4-17) to stacked
+    maintained views, the composition Materialize/DBSP sell."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcCascadeTopKView
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    ok = F.col("order_key")
+    ck = F.col("cust_key")
+    raw_price = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("p_raw"),
+    )
+    a0 = o.select(F.lit("c").alias("op"), ok.alias("seq"), *o.columns)
+    b0 = c.select(F.lit("c").alias("op"), ck.alias("seq"), *c.columns)
+    bump = lambda col: (col + F.lit(1.0e0)).cast("decimal(18,2)")
+    with_raw = o.join(raw_price, "order_key")
+    a_u1 = with_raw.filter(ok % 7 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + ok).alias("seq"),
+        ok,
+        ck,
+        bump(F.col("p_raw")).alias("total_price"),
+    )
+    bumped = F.when(ok % 7 == 0, bump(F.col("p_raw"))).otherwise(
+        F.col("total_price")
+    )
+    a_u2 = with_raw.filter(ok % 13 == 0).select(
+        F.lit("u").alias("op"),
+        (F.lit(2_000_000_000) + ok).alias("seq"),
+        ok,
+        (ck + 1).alias("cust_key"),
+        bumped.alias("total_price"),
+    )
+    a_d = o.filter(ok % 5 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(3_000_000_000) + ok).alias("seq"),
+        *o.columns,
+    )
+    # customer wave: the rename and the segment move COMPOSE on keys
+    # divisible by both 3 and 17 (the upsert's image carries both), so
+    # the update image applies both transforms, matching the oracle's
+    # independent CASEs.
+    b_u = c.filter((ck % 3 == 0) | (ck % 17 == 0)).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000) + ck).alias("seq"),
+        ck,
+        F.when(ck % 3 == 0, F.concat(F.col("cust_name"), F.lit("*")))
+        .otherwise(F.col("cust_name"))
+        .alias("cust_name"),
+        F.when(ck % 17 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("segment"))
+        .alias("segment"),
+    )
+    b_d = c.filter(ck % 11 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(2_000_000_000) + ck).alias("seq"),
+        *c.columns,
+    )
+    base = tempfile.mkdtemp(prefix="cdc_cascade_topk_")
+    try:
+        view = CdcCascadeTopKView(
+            spark, base, key="cust_key", a_pk="order_key", b_pk="cust_key",
+            pkey="segment", gkey="cust_name", val="total_price", k=3,
+        )
+        view.merge(a0, b0, 0)
+        view.merge(
+            a_u1.unionByName(a_u2).unionByName(a_d),
+            b_u.unionByName(b_d),
+            1,
+        )
+        out = view.snapshot().select(
+            "segment",
+            "cust_name",
+            F.col("n").alias("n_orders"),
+            F.col("total").cast("double").alias("total_spend"),
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "q213_cdc_hll_view",
     oracle="""
 WITH e_final AS (

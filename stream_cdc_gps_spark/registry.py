@@ -88,6 +88,7 @@ _PRIORITY: list[str] = [
     "q138_ks_test",
     "q223_mann_whitney_u",
     "q225_gini_spend",
+    "q226_cdc_cascade_topk",
     # (b) stalest official rows: r4-era first (19), then oldest r5 (25)
     "q11_count_distinct",
     "q12_rollup",

@@ -1024,6 +1024,246 @@ class CdcJoinAggView:
         self.join.compact_source_stores()
 
 
+class CdcCascadeTopKView:
+    """THREE-LAYER CASCADED IVM: a maintained TOP-K over a maintained
+    aggregate over a maintained join — V = the k groups with the largest
+    SUM(val) per rank-partition ``pkey`` from (A ⋈ B) GROUP BY
+    (pkey, gkey), both inputs CDC changelogs — the full DBSP circuit
+    depth the family builds toward (join → linear operator →
+    order-statistic), with NEITHER intermediate materialized as a
+    row-level store:
+
+        layer 1 (join): CdcJoinView's bilinear delta ΔM_t, derived from
+        the two pk-bucketed changelogs + two key-bucketed arrangements —
+        no m_store, ΔM exists only in flight (CdcJoinAggView's move);
+        layer 2 (linear aggregate): ΔV_t = SELECT pkey, gkey, sum(w),
+        sum(w·val) FROM ΔM_t GROUP BY pkey, gkey — q196's linear rule
+        applied to the join's delta stream; the v_store lands ONLY these
+        per-group partials, bucketed by ``pkey``, and doubles as the
+        top-k layer's support store (one landing serves two layers);
+        layer 3 (top-k): ranking by summed value is an ORDER STATISTIC
+        over a rank-partition's groups — not linear (a retraction that
+        demotes the current #k promotes whatever ranks next), so like
+        CdcTopKView's level 2 the merge recomputes it ONLY for the
+        rank-partitions ΔV touches, reading those partitions' pre-batch
+        partials from v_store pruned to the touched ``pkey`` shards.
+
+    The top-k store versions BY rank-partition with marker rows (the
+    CdcTopKView idiom): ``snapshot()`` takes each partition's latest
+    recompute, so a partition whose groups all died supersedes to
+    empty. A B-side attribute update that MOVES a group between rank
+    partitions (e.g. a customer changing market segment) retracts its
+    whole aggregate from one partition's ranking and asserts it into
+    the other's in a single merge — both partitions are in ΔV's touched
+    set, both recompute. Ties rank (total desc, gkey asc) so the result
+    is deterministic on both engines; parity is driver-checked by q226
+    against ONE batch join + GROUP BY + row_number over the
+    CDC-upserted final tables.
+
+    Scale: per merge, layer 1 is O(|Δ| × matched state) arrangement
+    reads, layer 2 is one |ΔM|-keyed partial aggregate, layer 3 reads
+    O(touched pkey shards) of per-GROUP partials (|partitions × groups|
+    rows, not source rows) and ranks only the touched partitions'
+    groups. Storage is the two changelogs + two arrangements + the
+    per-group aggregate partials + the tiny top-k view — the join
+    snapshot AND the full ranking are never stored. ``pkey``/``gkey``/
+    ``val`` must each come from one side (columns disjoint by the
+    family contract)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        key: str,
+        a_pk: str,
+        b_pk: str,
+        pkey: str,
+        gkey: str,
+        val: str,
+        k: int,
+        *,
+        n_buckets: int = N_BUCKETS,
+    ):
+        self.spark = spark
+        self.pkey = pkey
+        self.gkey = gkey
+        self.val = val
+        self.k = int(k)
+        # join stage with no view store of its own (CdcJoinAggView's
+        # shape): merge() drives the pieces directly so ΔM stays a frame
+        self.join = CdcJoinView(spark, f"{base}/join", key, a_pk, b_pk,
+                                n_buckets=n_buckets)
+        # layer-2 partials, bucketed by the rank-partition key so the
+        # layer-3 recompute reads O(touched shards)
+        self.v_store = BatchPartialStore(
+            spark, f"{base}/v", bucket_cols=[pkey], n_buckets=n_buckets
+        )
+        self.t_store = BatchPartialStore(spark, f"{base}/t")
+
+    def _topk(
+        self, dv: DataFrame, touched: DataFrame, v_pre: DataFrame | None
+    ) -> DataFrame:
+        """(pkey, gkey, n, total) top-k rows recomputed for the touched
+        rank-partitions from their post-batch net per-group aggregates:
+        pre-batch partials enter through one equi semi join on ``pkey``
+        (shard-pruned by the caller), the ranking window partitions by
+        ``pkey`` over touched partitions only. Exposed so the plan tests
+        can pin the shape."""
+        if v_pre is None:
+            net_src = dv
+        else:
+            net_src = v_pre.join(touched, self.pkey, "left_semi").unionByName(dv)
+        net = (
+            net_src.groupBy(self.pkey, self.gkey)
+            .agg(
+                F.sum("dn").cast("bigint").alias("n"),
+                F.sum("dtotal").alias("total"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        w = Window.partitionBy(self.pkey).orderBy(F.desc("total"), F.asc(self.gkey))
+        return (
+            net.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.k)
+            .drop("_rn")
+        )
+
+    def merge(self, a_batch: DataFrame, b_batch: DataFrame, batch_id: int) -> None:
+        jv = self.join
+
+        def _side(batch, store, pk):
+            cdc = batch.localCheckpoint()
+            old = cdc_state(store, batch_id, pk, prune=cdc)
+            return cdc, cdc_delta(cdc, old, pk, "_w").localCheckpoint()
+
+        (da_cdc, da), (db_cdc, db) = _concurrently(
+            lambda: _side(a_batch, jv.a_store, jv.a_pk),
+            lambda: _side(b_batch, jv.b_store, jv.b_pk),
+        )
+        a_by_key, b_by_key = _concurrently(
+            lambda: alive_images(jv.ak_store, batch_id, prune=db.select(jv.key)),
+            lambda: alive_images(jv.bk_store, batch_id, prune=da.select(jv.key)),
+        )
+        dm = jv._view_delta(
+            da.withColumnRenamed("_w", "_wa"),
+            db.withColumnRenamed("_w", "_wb"),
+            a_by_key,
+            b_by_key,
+        )
+        # layer 2: the join's weighted delta IS a changelog — one linear
+        # aggregate, no-op groups dropped so they can't widen layer 3's
+        # touched set (a group whose count AND sum both net to zero
+        # cannot change any ranking)
+        dv = (
+            dm.groupBy(self.pkey, self.gkey)
+            .agg(
+                F.sum("w").cast("bigint").alias("dn"),
+                F.sum(F.col("w") * F.col(self.val)).alias("dtotal"),
+            )
+            .filter((F.col("dn") != 0) | (F.col("dtotal") != 0))
+            .localCheckpoint()
+        )
+        # layer 3: rerank ONLY the rank-partitions this batch's group
+        # deltas touch, from v_store pruned to those partitions' shards
+        touched = dv.select(self.pkey).distinct().localCheckpoint()
+        topk = self._topk(
+            dv, touched, pruned_before(self.v_store, batch_id, prune=touched)
+        )
+        data = topk.select(
+            F.lit(False).alias("is_marker"),
+            F.lit(int(batch_id)).alias("bseq"),
+            self.pkey,
+            self.gkey,
+            "n",
+            "total",
+        )
+        markers = touched.select(
+            F.lit(True).alias("is_marker"),
+            F.lit(int(batch_id)).alias("bseq"),
+            self.pkey,
+            F.lit(None).cast(topk.schema[self.gkey].dataType).alias(self.gkey),
+            F.lit(None).cast("bigint").alias("n"),
+            F.lit(None).cast(topk.schema["total"].dataType).alias("total"),
+        )
+        _concurrently(
+            lambda: self.t_store.land(data.unionByName(markers), batch_id),
+            lambda: self.v_store.land(dv, batch_id),
+            lambda: land_image_delta(jv.ak_store, da, "_w", batch_id),
+            lambda: land_image_delta(jv.bk_store, db, "_w", batch_id),
+            lambda: jv.a_store.land(da_cdc, batch_id),
+            lambda: jv.b_store.land(db_cdc, batch_id),
+        )
+
+    def snapshot(self) -> DataFrame:
+        """(pkey, gkey, n, total) — each rank-partition's latest top-k
+        recompute, equal to the batch join + GROUP BY + row_number ≤ k
+        over the CDC-upserted final tables (q226)."""
+        rows = self.t_store.rows()
+        if rows is None:
+            raise ValueError("no batches have landed yet")
+        latest = (
+            rows.filter("is_marker")
+            .groupBy(self.pkey)
+            .agg(F.max("bseq").alias("bseq"))
+        )
+        return (
+            rows.filter(~F.col("is_marker"))
+            .join(latest, [self.pkey, "bseq"], "inner")
+            .drop("bseq", "is_marker")
+        )
+
+    def agg_snapshot(self) -> DataFrame:
+        """(pkey, gkey, n, total) for EVERY net-present group — the
+        layer-2 maintained aggregate, folded from the same v_store the
+        top-k recompute reads (one store, two layers)."""
+        rows = self.v_store.rows()
+        if rows is None:
+            raise ValueError("no batches have landed yet")
+        return (
+            rows.groupBy(self.pkey, self.gkey)
+            .agg(
+                F.sum("dn").cast("bigint").alias("n"),
+                F.sum("dtotal").alias("total"),
+            )
+            .filter(F.col("n") > 0)
+        )
+
+    def n_partials(self) -> int:
+        return self.t_store.n_partials()
+
+    def compact_view_stores(self) -> None:
+        """Top-k view first (latest recompute per rank-partition), then
+        the aggregate partials (folded by sums, dead groups dropped) —
+        the family's dependency order, outermost layer first."""
+        rows = self.t_store.rows()
+        if rows is not None:
+            latest = (
+                rows.filter("is_marker")
+                .groupBy(self.pkey)
+                .agg(F.max("bseq").alias("bseq"))
+            )
+            folded = rows.join(latest, [self.pkey, "bseq"], "left_semi")
+            self.t_store.compact(folded)
+        rows = self.v_store.rows()
+        if rows is not None:
+            folded = (
+                rows.groupBy(self.pkey, self.gkey)
+                .agg(
+                    F.sum("dn").cast("bigint").alias("dn"),
+                    F.sum("dtotal").alias("dtotal"),
+                )
+                .filter((F.col("dn") != 0) | (F.col("dtotal") != 0))
+            )
+            self.v_store.compact(folded)
+
+    def compact_source_stores(self) -> None:
+        self.join.compact_source_stores()
+
+    def compact(self) -> None:
+        self.compact_view_stores()
+        self.compact_source_stores()
+
+
 class CdcGroupedRecomputeView:
     """CDC-aware incremental GROUP-BY view for an ARBITRARY NON-LINEAR
     per-group aggregate: V = recompute(alive rows) per key, under
