@@ -31,8 +31,18 @@ multi-second stateful pipelines:
    means only those files are opened) vs the store's total bytes: the
    bytes ratio is the per-merge read cost the r9 verdict flagged,
    fixed, as a number.
+6. The SCALING curve (r10 verdict task #4 — one point is not a curve):
+   the same one-row tail-merge probe against accumulated state grown
+   1×/4×/16× by key-shifted synthetic changelog copies, for CdcJoinView
+   AND CdcVectorIndex. Per point: total state bytes, the bytes a pruned
+   merge read can open at all, and tail-merge wall. The claim under
+   test: read bytes track the TOUCHED SHARDS (≈ total/n_buckets ×
+   touched, so the total/read ratio holds ≈ constant as state grows
+   s-fold) while the per-shard fixed overhead amortizes — wall must
+   grow far slower than state.
 
 Usage: python scripts/bench_streaming_stores.py [sf_dir] [n_batches]
+       python scripts/bench_streaming_stores.py [sf_dir] --scaling-only
 """
 
 from __future__ import annotations
@@ -67,9 +77,203 @@ def _rewritten_bytes(root: str, before: dict) -> int:
     return sum(s for rel, (s, m) in after.items() if before.get(rel) != (s, m))
 
 
+def _store_bytes(store, buckets=None):
+    """Total data-file bytes of a store, or only the bytes under the
+    named kbucket partitions (what a pruned scan can open at all).
+    Files outside any kbucket dir (unpartitioned empty base) count
+    fully in both modes."""
+    import os
+
+    total = 0
+    for dirpath, _, files in os.walk(store.base_dir):
+        parts = dirpath.split(os.sep)
+        kb = next(
+            (int(p.split("=", 1)[1]) for p in parts if p.startswith("kbucket=")),
+            None,
+        )
+        if buckets is not None and kb is not None and kb not in buckets:
+            continue
+        for fname in files:
+            if fname.startswith(("_", ".")):
+                continue
+            total += os.stat(os.path.join(dirpath, fname)).st_size
+    return total
+
+
+def _scaling_section(spark, sf_dir: str, out: dict) -> None:
+    """§6: tail-merge read-bytes + wall at 1×/4×/16× accumulated state.
+
+    Growth is synthetic changelog replication: s key-shifted disjoint
+    copies of the base changelog (pks and join keys offset per copy so
+    state cardinality genuinely grows; the probe row exists in copy 0
+    only). The tail merge is ONE update; per point we record the store
+    bytes a pruned merge read can open, total state bytes, and wall."""
+    from pyspark.sql import functions as F
+
+    from stream_cdc_gps_spark.operators.common import t
+    from stream_cdc_gps_spark.streaming.join_view import CdcJoinView
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("oid"),
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        F.col("o_orderpriority").alias("c"),
+    )
+    ok = F.col("oid")
+    max_oid = o.agg(F.max("oid")).first()[0] + 1
+    max_k = o.agg(F.max("k")).first()[0] + 1
+
+    def scaled_changelog(s: int):
+        parts = []
+        for i in range(s):
+            parts.append(
+                o.select(
+                    F.lit("c").alias("op"),
+                    (ok + i * max_oid).alias("seq"),
+                    (ok + i * max_oid).alias("oid"),
+                    (F.col("k") + i * max_k).alias("k"),
+                    "v",
+                    "c",
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df.localCheckpoint()
+
+    probe = (
+        o.orderBy("oid")
+        .limit(1)
+        .select(
+            F.lit("u").alias("op"),
+            (F.lit(9_000_000_000) + ok).alias("seq"),
+            ok,
+            F.col("k"),
+            (F.col("v") + F.lit(2.0e0)).cast("decimal(18,2)").alias("v"),
+            F.lit("0-TAIL").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    b_schema = "op string, seq bigint, k bigint"
+    empty_b = spark.createDataFrame([], b_schema).localCheckpoint()
+
+    curve = []
+    for s in (1, 4, 16):
+        base = tempfile.mkdtemp(prefix=f"scal_join_{s}x_")
+        try:
+            jv = CdcJoinView(
+                spark, base, key="k", a_pk="oid", b_pk="k", n_buckets=64
+            )
+            b0 = (
+                scaled_changelog(s)
+                .select("k")
+                .distinct()
+                .select(F.lit("c").alias("op"), F.col("k").alias("seq"), "k")
+                .localCheckpoint()
+            )
+            jv.merge(scaled_changelog(s), b0, 0)
+            t0 = time.perf_counter()
+            jv.merge(probe, empty_b, 1)
+            wall = round(time.perf_counter() - t0, 2)
+            a_kb = jv.a_store.touched_buckets(probe)
+            k_kb = jv.ak_store.touched_buckets(probe.select("k"))
+            read = (
+                _store_bytes(jv.a_store, a_kb)
+                + _store_bytes(jv.ak_store, k_kb)
+                + _store_bytes(jv.bk_store, k_kb)
+            )
+            total = (
+                _store_bytes(jv.a_store)
+                + _store_bytes(jv.ak_store)
+                + _store_bytes(jv.bk_store)
+            )
+            curve.append(
+                {"s": s, "state_bytes": total, "read_bytes": read, "tail_sec": wall}
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    out["scaling_cdc_join"] = curve
+
+    # CdcVectorIndex: same shape over the embeddings table; the merge's
+    # only state READ is the pk-pruned latest-image snapshot (the code
+    # store is write-only in a merge), so read bytes = the probe pk's
+    # vec-store shards; search-side pruning is §5's cell probe.
+    from stream_cdc_gps_spark.operators.similarity import (
+        _lloyd_train_pq,
+        _seed_centroids,
+        as_double,
+    )
+    from stream_cdc_gps_spark.streaming.vector_index import CdcVectorIndex
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    ).localCheckpoint()
+    max_vid = e.agg(F.max("vec_id")).first()[0] + 1
+    cents = _seed_centroids(e)
+    cbs = _lloyd_train_pq(e, iters=0)
+    vid = F.col("vec_id")
+
+    def scaled_vecs(s: int):
+        parts = [
+            e.select(
+                F.lit("c").alias("op"),
+                (vid + i * max_vid).alias("seq"),
+                (vid + i * max_vid).alias("vec_id"),
+                "emb",
+            )
+            for i in range(s)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df.localCheckpoint()
+
+    vprobe = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit("u").alias("op"),
+            (F.lit(9_000_000_000) + vid).alias("seq"),
+            "vec_id",
+            F.transform("emb", lambda x: -x).alias("emb"),
+        )
+        .localCheckpoint()
+    )
+    curve = []
+    for s in (1, 4, 16):
+        base = tempfile.mkdtemp(prefix=f"scal_vec_{s}x_")
+        try:
+            idx = CdcVectorIndex(spark, base, cents, cbs)
+            idx.merge(scaled_vecs(s), 0)
+            t0 = time.perf_counter()
+            idx.merge(vprobe, 1)
+            wall = round(time.perf_counter() - t0, 2)
+            v_kb = idx.vec_store.touched_buckets(vprobe)
+            read = _store_bytes(idx.vec_store, v_kb)
+            total = _store_bytes(idx.vec_store)
+            curve.append(
+                {"s": s, "state_bytes": total, "read_bytes": read, "tail_sec": wall}
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    out["scaling_cdc_vector"] = curve
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    scaling_only = "--scaling-only" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    n_batches = int(args[1]) if len(args) > 1 else 4
+
+    if scaling_only:
+        from stream_cdc_gps_spark.session import get_spark
+
+        spark = get_spark(app_name="bench_streaming_stores")
+        spark.sparkContext.setLogLevel("ERROR")
+        out: dict = {"sf_dir": sf_dir}
+        _scaling_section(spark, sf_dir, out)
+        print(json.dumps(out))
+        return
 
     from pyspark.sql import functions as F
 
@@ -238,28 +442,6 @@ def main() -> None:
         shutil.rmtree(base, ignore_errors=True)
 
     # 5. CDC tail-merge probe: one updated order vs full accumulated state
-    import os
-
-    def _store_bytes(store, buckets=None):
-        """Total data-file bytes of a store, or only the bytes under the
-        named kbucket partitions (what a pruned scan can open at all).
-        Files outside any kbucket dir (unpartitioned empty base) count
-        fully in both modes."""
-        total = 0
-        for dirpath, _, files in os.walk(store.base_dir):
-            parts = dirpath.split(os.sep)
-            kb = next(
-                (int(p.split("=", 1)[1]) for p in parts if p.startswith("kbucket=")),
-                None,
-            )
-            if buckets is not None and kb is not None and kb not in buckets:
-                continue
-            for fname in files:
-                if fname.startswith(("_", ".")):
-                    continue
-                total += os.stat(os.path.join(dirpath, fname)).st_size
-        return total
-
     one_upd = (
         o.orderBy("oid")
         .limit(1)
@@ -313,6 +495,9 @@ def main() -> None:
                 )
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+    # 6. the scaling curve (1×/4×/16× accumulated state)
+    _scaling_section(spark, sf_dir, out)
 
     print(json.dumps(out))
 

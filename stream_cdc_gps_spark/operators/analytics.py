@@ -773,23 +773,42 @@ def q125_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     key distribution — the numbers that decide whether a join needs salting
     (operators/skew.py) before it runs.
 
-    Scale: the count aggregation is the only data-sized shuffle; the Gini
-    rank window sorts the KEY-COUNT table (O(keys), not O(rows)). The rank
-    weighted sum stays in exact integer arithmetic until the final
-    ratios."""
+    Scale: the count aggregation is the only data-sized shuffle. The Gini
+    rank-weighted sum is compressed to DISTINCT COUNT VALUES before its
+    cumulative window (the q178/q138/q223 move, r11 — previously the rank
+    ran over the O(keys) key-count table, a single-task WindowExec over
+    every user at cluster scale): under the (cnt, user_id) rank order a
+    tie group of m equal counts holds the consecutive ranks
+    off+1 … off+m, so Σ rn·cnt = Σ_groups cnt·(m·off + m(m+1)/2), and the
+    window walks only |distinct cnt| rows (bounded by the max events per
+    key, not by keys). Exact integer arithmetic until the final ratios,
+    in the same bigint envelope as the direct rank sum."""
     e = t(spark, sf_dir, "events")
     c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    r = c.select(
-        "cnt", F.row_number().over(Window.orderBy("cnt", "user_id")).alias("rn")
+    g = c.groupBy("cnt").agg(F.count(F.lit(1)).alias("m"))
+    off = F.coalesce(
+        F.sum("m").over(
+            Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
     )
-    s = r.agg(
+    wsum_df = (
+        g.select("cnt", "m", off.alias("off"))
+        .select(
+            (
+                F.col("cnt")
+                * (F.col("m") * F.col("off") + F.expr("(m * (m + 1)) div 2"))
+            ).alias("w")
+        )
+        .agg(F.sum("w").alias("wsum"))
+    )
+    s = c.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cnt").alias("total"),
         F.max("cnt").alias("mx"),
-        F.sum(F.col("rn") * F.col("cnt")).alias("wsum"),
         F.avg(F.col("cnt").cast("double")).alias("m"),
         F.stddev_samp(F.col("cnt").cast("double")).alias("sd"),
-    )
+    ).crossJoin(F.broadcast(wsum_df))
     total_d = F.col("total").cast("double")
     n = F.col("n")
     gini = 2.0 * F.col("wsum") / (n * total_d) - (n + 1.0) / n

@@ -14,7 +14,14 @@ Differential-testing ground rules (see SURVEY.md §5.2):
   DuckDB's accumulation orders without weakening the check);
 - every ORDER BY ... LIMIT has a total tiebreak key so top-k is deterministic;
 - integer aggregates are cast to BIGINT on both sides (DuckDB sums to
-  HUGEINT).
+  HUGEINT);
+- libm-derived scalars (ln/log10/exp) that feed an exact comparison are
+  rounded to 12 dp before any DECIMAL quantization (q214/q219/q224's idiom).
+  KNOWN PITFALL (r10 advice, accepted): Spark's Java Math and DuckDB's C
+  libm are not guaranteed ulp-identical, so an input landing within 1 ulp
+  of a 12-dp rounding boundary could flip the quantized term. No flake has
+  ever materialized; if one does, quantize at a coarser dp or compare with
+  1-ulp tolerance in the driver rather than chasing the libm.
 """
 
 from __future__ import annotations
@@ -72,23 +79,27 @@ DRIVER_WINDOW = 50
 # (a) queries changed this round — the staleness gate forces these:
 #     q138/q223/q225 (the r10 verdict's three single-partition-window
 #     rewrites: KS and Mann-Whitney onto per-distinct-value compression,
-#     Gini onto a two-pass bucketed distributed rank) and q226 (new:
+#     Gini onto a two-pass bucketed distributed rank), q226 (new:
 #     three-layer cascaded IVM — maintained top-k over the maintained
-#     join-aggregate);
+#     join-aggregate), and q125 (its Gini rank sum compressed from the
+#     O(keys) key-count table to distinct count values — the verdict's
+#     "adjacent" fold-in);
 # (b) the stalest official rows, oldest first: the NINETEEN r4-era rows
 #     that rotated out under the r10 slack rule (q11-q13, q46, q80/q82,
 #     q132, q139, q141-q144, q148/q149, q151, q156-q159) and the
-#     25 oldest r5-era rows (q14-q29 battery, q34-q37, q105, q163,
-#     q169-q171) — a green row older than six rounds of tree churn is a
-#     weak certificate (r10 verdict task #3). q172's newest row stays
-#     r5-era one more round (slack rule: ≤ cap−2 = 48 entries), covered
-#     by the tri-scale full-sim certificates; front it in r12.
+#     24 oldest r5-era rows (q14-q29 battery, q34-q37, q105, q163,
+#     q169-q170) — a green row older than six rounds of tree churn is a
+#     weak certificate (r10 verdict task #3). q171's and q172's newest
+#     rows stay r5-era one more round (slack rule: ≤ cap−2 = 48 entries;
+#     q171 displaced by the q125 rewrite's staleness slot), covered by
+#     the tri-scale full-sim certificates; front them in r12.
 _PRIORITY: list[str] = [
     # (a) changed or added in r11
     "q138_ks_test",
     "q223_mann_whitney_u",
     "q225_gini_spend",
     "q226_cdc_cascade_topk",
+    "q125_skew_diagnostics",
     # (b) stalest official rows: r4-era first (19), then oldest r5 (25)
     "q11_count_distinct",
     "q12_rollup",
@@ -133,7 +144,6 @@ _PRIORITY: list[str] = [
     "q163_gps_pipeline",
     "q169_hourly_acf",
     "q170_cusum_changepoint",
-    "q171_seasonal_anomaly",
 ]
 
 
