@@ -281,3 +281,105 @@ def test_cascade_topk_matches_python_replay_on_generated(spark):
             shutil.rmtree(base, ignore_errors=True)
 
     run()
+
+
+def test_cascade_restart_resume_from_checkpoint_heals_torn_batch(spark, tmp_path):
+    """RESTART ≠ REPLAY (the r10 suite-restart discipline applied to the
+    three-layer view): drive CdcCascadeTopKView through a real
+    checkpointed readStream → foreachBatch (availableNow,
+    maxFilesPerTrigger=1 → one epoch per file), CRASH the handler
+    mid-epoch-1 after a TORN prefix of its six landings (the join
+    stage's four source landings durable, the two view layers' gone —
+    outer layers behind the sources, the worst restart state), then
+    start a NEW query on the SAME checkpoint. Structured Streaming must
+    re-deliver epoch 1 (offsets never committed), the re-run merge must
+    overwrite the torn prefix idempotently, and the snapshot must equal
+    the batch recompute golden."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def _a(op, seq, okey, ck, v):
+        return {"side": "a", "op": op, "seq": seq, "order_key": okey,
+                "cust_key": ck, "total_price": v}
+
+    def _b(op, seq, ck, nm, sg):
+        return {"side": "b", "op": op, "seq": seq, "cust_key": ck,
+                "cust_name": nm, "segment": sg}
+
+    e0 = [
+        _a("c", 1, 1, 10, "5.00"), _a("c", 2, 2, 11, "4.00"),
+        _a("c", 3, 3, 12, "3.00"), _a("c", 4, 4, 13, "2.00"),
+        _a("c", 5, 5, 20, "9.00"), _a("c", 6, 6, 10, "1.00"),
+        _b("c", 1, 10, "acme", "S1"), _b("c", 2, 11, "bob", "S1"),
+        _b("c", 3, 12, "carl", "S1"), _b("c", 4, 13, "dora", "S1"),
+        _b("c", 5, 20, "eve", "S2"),
+    ]
+    e1 = [
+        _a("d", 10, 1, 10, "5.00"), _a("u", 11, 2, 11, "2.50"),
+        _b("u", 10, 12, "carl", "S2"), _b("u", 11, 13, "dora2", "S1"),
+        _b("d", 12, 20, "eve", "S2"),
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in e0))
+    (src / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in e1))
+    now = _time.time()
+    _os.utime(src / "b0.jsonl", (now - 100, now - 100))
+    _os.utime(src / "b1.jsonl", (now, now))
+
+    schema = (
+        "side string, op string, seq long, order_key long, cust_key long, "
+        "total_price decimal(18,2), cust_name string, segment string"
+    )
+    view = CdcCascadeTopKView(
+        spark, str(tmp_path / "cv"), key="cust_key", a_pk="order_key",
+        b_pk="cust_key", pkey="segment", gkey="cust_name",
+        val="total_price", k=2, n_buckets=4,
+    )
+    epochs: list[tuple[int, int]] = []
+    crash_armed = [True]
+
+    def handler(df, epoch_id):
+        df = df.localCheckpoint()
+        a = df.filter(F.col("side") == "a").select(
+            "op", "seq", "order_key", "cust_key", "total_price"
+        )
+        b = df.filter(F.col("side") == "b").select(
+            "op", "seq", "cust_key", "cust_name", "segment"
+        )
+        view.merge(a, b, int(epoch_id))
+        if int(epoch_id) == 1 and crash_armed[0]:
+            # tear the two VIEW layers back out, keep the four source
+            # landings — a durable subset of the concurrent wave — and
+            # crash before the epoch's offsets commit
+            shutil.rmtree(str(tmp_path / "cv" / "t" / "partials" / "batch_id=1"))
+            shutil.rmtree(str(tmp_path / "cv" / "v" / "partials" / "batch_id=1"))
+            epochs.append((1, -1))
+            raise RuntimeError("injected crash mid-cascade-merge")
+        epochs.append((int(epoch_id), 1))
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(420), "stream did not terminate"
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run()
+    assert epochs == [(0, 1), (1, -1)]
+    assert _snap(view) != _WANT1  # the torn state is visibly wrong
+    crash_armed[0] = False
+    run()  # SAME checkpoint: epoch 1 re-delivered, not skipped
+    assert epochs == [(0, 1), (1, -1), (1, 1)]
+    assert _snap(view) == _WANT1
