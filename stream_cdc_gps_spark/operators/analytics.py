@@ -3042,3 +3042,213 @@ def q225_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx.alias("total_spend"),
         F.round(2.0e0 * six / (n * sx) - (n + 1.0e0) / n, 6).alias("gini"),
     )
+
+
+@query(
+    "q227_km_survival",
+    oracle="""
+WITH bound AS (SELECT max(ts) - INTERVAL 7 DAY AS obs_end FROM events),
+u AS (
+    SELECT user_id,
+           CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS dur,
+           CASE WHEN max(ts) < (SELECT obs_end FROM bound)
+                THEN 1 ELSE 0 END AS churned
+    FROM events GROUP BY user_id
+),
+g AS (
+    SELECT dur, CAST(sum(churned) AS BIGINT) AS deaths,
+           CAST(count(*) AS BIGINT) AS ending
+    FROM u GROUP BY dur
+),
+k AS (
+    SELECT dur, deaths,
+           sum(ending) OVER (ORDER BY dur
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS at_risk
+    FROM g
+),
+s AS (
+    SELECT dur, deaths, at_risk,
+           1.0e0 - deaths / CAST(at_risk AS DOUBLE) AS factor
+    FROM k
+),
+c AS (
+    SELECT dur, deaths, at_risk,
+           exp(sum(CASE WHEN factor > 0 THEN ln(factor) ELSE 0.0e0 END)
+               OVER (ORDER BY dur)) AS s_raw,
+           max(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur) AS zeroed
+    FROM s
+)
+SELECT dur                       AS duration_days,
+       CAST(at_risk AS BIGINT)   AS n_at_risk,
+       deaths                    AS n_deaths,
+       CASE WHEN zeroed = 1 THEN 0.0e0 ELSE round(s_raw, 6) END AS survival
+FROM c WHERE deaths > 0
+""",
+)
+def q227_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve with right censoring — the lifetime
+    statistic (user retention, hardware failure, label decay) the
+    battery lacked next to q111's fixed-step retention: per user the
+    observed lifetime is days between first and last event, an
+    observation is an EVENT (churn) when the user's last activity
+    predates the corpus end by >7 days and CENSORED otherwise (still
+    active at observation end — the right-censoring KM exists to handle;
+    naive churn rates over censored data are biased low). Estimator
+    S(d) = Π_{t≤d} (1 − deaths_t / at_risk_t) over event times t.
+
+    Scale — the whole curve lives in distinct-lifetime space (the
+    round's q178/q138/q223/q125 compression): one user-keyed aggregate,
+    one |distinct dur|-row groupBy, then at-risk counts as a SUFFIX sum
+    and the product as exp(cumsum(ln factor)) over the same bounded
+    frame — no per-user window anywhere, and the un-partitioned windows
+    walk |distinct lifetimes| rows (bounded by the observation span in
+    days, not by users). A factor of exactly 0 (everyone at risk dies)
+    poisons ln() differently per engine (Spark null, DuckDB -inf), so
+    the zeroed flag short-circuits survival to 0 identically on both.
+    The observation-end bound joins as a 1-row broadcast (q118's
+    max-day-bound move)."""
+    e = t(spark, sf_dir, "events")
+    bound = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("obs_end")
+    )
+    u = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(bound))
+        .select(
+            F.datediff("last_ts", "first_ts").cast("bigint").alias("dur"),
+            F.when(F.col("last_ts") < F.col("obs_end"), 1)
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    g = u.groupBy("dur").agg(
+        F.sum("churned").cast("bigint").alias("deaths"),
+        F.count(F.lit(1)).cast("bigint").alias("ending"),
+    )
+    w_suffix = Window.orderBy("dur").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    k = g.select(
+        "dur",
+        "deaths",
+        F.sum("ending").over(w_suffix).alias("at_risk"),
+    )
+    factor = F.lit(1.0e0) - F.col("deaths") / F.col("at_risk").cast("double")
+    s = k.select("dur", "deaths", "at_risk", factor.alias("factor"))
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = s.select(
+        "dur",
+        "deaths",
+        "at_risk",
+        F.exp(
+            F.sum(
+                F.when(F.col("factor") > 0, F.log("factor")).otherwise(0.0e0)
+            ).over(w_cum)
+        ).alias("s_raw"),
+        F.max(F.when(F.col("factor") <= 0, 1).otherwise(0)).over(w_cum).alias(
+            "zeroed"
+        ),
+    )
+    return c.filter(F.col("deaths") > 0).select(
+        F.col("dur").alias("duration_days"),
+        F.col("at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("deaths").alias("n_deaths"),
+        F.when(F.col("zeroed") == 1, F.lit(0.0e0))
+        .otherwise(F.round("s_raw", 6))
+        .alias("survival"),
+    )
+
+
+@query(
+    "q228_spearman_corr",
+    oracle="""
+WITH u AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events GROUP BY user_id
+),
+gx AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM u GROUP BY x),
+rx AS (
+    SELECT x, 2 * coalesce(sum(m) OVER (ORDER BY x
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1 AS r2x
+    FROM gx
+),
+gy AS (SELECT y, CAST(count(*) AS BIGINT) AS m FROM u GROUP BY y),
+ry AS (
+    SELECT y, 2 * coalesce(sum(m) OVER (ORDER BY y
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1 AS r2y
+    FROM gy
+),
+j AS (SELECT r2x, r2y FROM u JOIN rx USING (x) JOIN ry USING (y)),
+s AS (
+    SELECT CAST(count(*) AS HUGEINT)         AS n,
+           sum(CAST(r2x AS HUGEINT))         AS sx,
+           sum(CAST(r2y AS HUGEINT))         AS sy,
+           sum(CAST(r2x AS HUGEINT) * r2y)   AS sxy,
+           sum(CAST(r2x AS HUGEINT) * r2x)   AS sxx,
+           sum(CAST(r2y AS HUGEINT) * r2y)   AS syy
+    FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho
+FROM s
+""",
+)
+def q228_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation, EXACT and distributed — the monotone-
+    association statistic next to q181's Pearson matrix (Pearson on
+    values assumes linearity; Spearman on ranks is what a skewed
+    activity metric actually supports): ρ between per-user event volume
+    and per-user click count, with textbook tie-averaged ranks.
+
+    Scale — no global rank over users (the exact trap q223/q225/q125
+    were rewritten out of this round): a tie group of m equal values
+    under the rank order holds consecutive ranks off+1 … off+m, so its
+    shared average rank is off + (m+1)/2 — computed on the |distinct
+    value| GROUPED table (window walks distinct values, lint-bounded),
+    DOUBLED so it stays integer (2·avg = 2·off + m + 1), and joined
+    back to users by an equi join that Spark distributes freely. All
+    moment sums then run in DECIMAL (DuckDB: HUGEINT) so ρ's numerator
+    and variance terms are EXACT integers; the only doubles are the two
+    final casts and one sqrt, identical on both engines before the 6-dp
+    round. The doubling cancels: ρ is scale-invariant in the ranks."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def rank2(col: str, out: str) -> DataFrame:
+        g = u.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return g.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("m").over(w), F.lit(0)) + F.col("m") + 1
+            ).alias(out),
+        )
+
+    j = u.join(rank2("x", "r2x"), "x").join(rank2("y", "r2y"), "y")
+    dx = F.col("r2x").cast("decimal(18,0)")
+    dy = F.col("r2y").cast("decimal(18,0)")
+    s = j.agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    vx = (n * F.col("sxx") - sx * sx).cast("double")
+    vy = (n * F.col("syy") - sy * sy).cast("double")
+    return s.select(
+        n.cast("bigint").alias("n_users"),
+        F.round(num / F.sqrt(vx * vy), 6).alias("spearman_rho"),
+    )

@@ -85,6 +85,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q224_benford_audit",  # broadcast 1-row total count
         "q225_gini_spend",  # broadcast 1-row range-boundary array (two-pass rank)
         "q125_skew_diagnostics",  # broadcast 1-row compressed rank-weighted sum
+        "q227_km_survival",  # broadcast 1-row observation-end bound (q118's move)
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
