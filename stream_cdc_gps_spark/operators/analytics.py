@@ -3047,10 +3047,10 @@ def q225_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q227_km_survival",
     oracle="""
-WITH bound AS (SELECT max(ts) - INTERVAL 7 DAY AS obs_end FROM events),
+WITH bound AS (SELECT max(ts) - INTERVAL 6 HOUR AS obs_end FROM events),
 u AS (
     SELECT user_id,
-           CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS dur,
+           CAST(date_diff('hour', min(ts), max(ts)) AS BIGINT) AS dur,
            CASE WHEN max(ts) < (SELECT obs_end FROM bound)
                 THEN 1 ELSE 0 END AS churned
     FROM events GROUP BY user_id
@@ -3079,7 +3079,7 @@ c AS (
                OVER (ORDER BY dur) AS zeroed
     FROM s
 )
-SELECT dur                       AS duration_days,
+SELECT dur                       AS duration_hours,
        CAST(at_risk AS BIGINT)   AS n_at_risk,
        deaths                    AS n_deaths,
        CASE WHEN zeroed = 1 THEN 0.0e0 ELSE round(s_raw, 6) END AS survival
@@ -3090,9 +3090,11 @@ def q227_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KAPLAN-MEIER survival curve with right censoring — the lifetime
     statistic (user retention, hardware failure, label decay) the
     battery lacked next to q111's fixed-step retention: per user the
-    observed lifetime is days between first and last event, an
+    observed lifetime is hour boundaries between first and last event
+    (DuckDB's date_diff('hour') counts hour-boundary crossings; the Spark
+    mirror diffs hour-truncated epochs — identical integers), an
     observation is an EVENT (churn) when the user's last activity
-    predates the corpus end by >7 days and CENSORED otherwise (still
+    predates the corpus end by >6 hours and CENSORED otherwise (still
     active at observation end — the right-censoring KM exists to handle;
     naive churn rates over censored data are biased low). Estimator
     S(d) = Π_{t≤d} (1 − deaths_t / at_risk_t) over event times t.
@@ -3103,21 +3105,29 @@ def q227_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the product as exp(cumsum(ln factor)) over the same bounded
     frame — no per-user window anywhere, and the un-partitioned windows
     walk |distinct lifetimes| rows (bounded by the observation span in
-    days, not by users). A factor of exactly 0 (everyone at risk dies)
+    hours, not by users). A factor of exactly 0 (everyone at risk dies)
     poisons ln() differently per engine (Spark null, DuckDB -inf), so
     the zeroed flag short-circuits survival to 0 identically on both.
     The observation-end bound joins as a 1-row broadcast (q118's
     max-day-bound move)."""
     e = t(spark, sf_dir, "events")
     bound = e.agg(
-        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("obs_end")
+        (F.max("ts") - F.expr("INTERVAL 6 HOUR")).alias("obs_end")
     )
     u = (
         e.groupBy("user_id")
         .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
         .crossJoin(F.broadcast(bound))
         .select(
-            F.datediff("last_ts", "first_ts").cast("bigint").alias("dur"),
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("hour", "last_ts"))
+                    - F.unix_timestamp(F.date_trunc("hour", "first_ts"))
+                )
+                / 3600
+            )
+            .cast("bigint")
+            .alias("dur"),
             F.when(F.col("last_ts") < F.col("obs_end"), 1)
             .otherwise(0)
             .alias("churned"),
@@ -3150,7 +3160,7 @@ def q227_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return c.filter(F.col("deaths") > 0).select(
-        F.col("dur").alias("duration_days"),
+        F.col("dur").alias("duration_hours"),
         F.col("at_risk").cast("bigint").alias("n_at_risk"),
         F.col("deaths").alias("n_deaths"),
         F.when(F.col("zeroed") == 1, F.lit(0.0e0))
