@@ -3262,3 +3262,90 @@ def q228_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_users"),
         F.round(num / F.sqrt(vx * vy), 6).alias("spearman_rho"),
     )
+
+
+@query(
+    "q229_fulfillment_sweepline",
+    oracle="""
+WITH iv AS (
+    SELECT CAST(o.o_orderdate AS DATE) AS s, CAST(l.l_shipdate AS DATE) AS e
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+),
+days AS (SELECT DISTINCT s AS d FROM iv UNION SELECT DISTINCT e FROM iv),
+st AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM iv GROUP BY s),
+sh AS (SELECT e, CAST(count(*) AS BIGINT) AS c FROM iv GROUP BY e),
+nv AS (
+    SELECT d.d, CAST(count(*) AS BIGINT) AS c
+    FROM days d JOIN iv ON iv.s <= d.d AND iv.e > d.d
+    GROUP BY d.d
+)
+SELECT d.d                          AS day,
+       coalesce(st.c, 0)            AS n_started,
+       coalesce(sh.c, 0)            AS n_shipped,
+       coalesce(nv.c, 0)            AS in_fulfillment
+FROM days d
+LEFT JOIN st ON st.s = d.d
+LEFT JOIN sh ON sh.e = d.d
+LEFT JOIN nv ON nv.d = d.d
+""",
+)
+def q229_fulfillment_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL CARDINALITY BY SWEEP LINE — "how many order lines were
+    in fulfillment on each day" (order date ≤ d < ship date), the
+    operational-backlog metric whose naive form is an INTERVAL JOIN of
+    every day against every interval (the oracle SQL runs exactly that
+    O(days × intervals) inequality join — an independent formulation,
+    not a mirror). The engine never joins on the inequality: each
+    interval contributes +1 at its start day and −1 at its end day, one
+    groupBy(day) nets the boundary deltas, and a cumulative sum over
+    the DISTINCT-DAY table is the active count — the sweep-line
+    algorithm as a dataflow, and the round's distinct-value-compression
+    idiom applied to intervals (q227's at-risk suffix sum is the same
+    move with one boundary). Intervals with ship ≤ order date (half the
+    SYNTHETIC lineitems — the generator draws the dates independently)
+    are excluded on BOTH sides: they never satisfy s ≤ d < e, but their
+    sweep deltas would transit through −1 before the matching +1, so
+    the filter is what keeps sweep ≡ containment on dirty data — the
+    same reason a production backlog metric rejects negative
+    intervals.
+
+    Scale: one co-keyed equi join (lineitem ⋈ orders on orderkey — at
+    100 TB a bucketed layout makes it shuffle-free), two map-side
+    boundary projections, one |distinct days|-key aggregate; the only
+    un-partitioned window walks the bounded day table (the calendar,
+    never the data). An interval that starts and ends the same day nets
+    to zero on its boundary — identical to the half-open containment
+    count, so empty intervals need no special case."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("e")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("s")
+    )
+    iv = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select("s", "e")
+        .filter(F.col("e") > F.col("s"))
+    )
+    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("w")).unionByName(
+        iv.select(F.col("e").alias("day"), F.lit(-1).alias("w"))
+    )
+    g = deltas.groupBy("day").agg(
+        F.sum("w").alias("delta"),
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_started"),
+        F.sum(F.when(F.col("w") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_shipped"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "day",
+        "n_started",
+        "n_shipped",
+        F.sum("delta").over(w_cum).cast("bigint").alias("in_fulfillment"),
+    )
