@@ -88,50 +88,31 @@ PERMANENT = SHARED21 + [
 
 # Rotates each round (BASELINE.md records the per-round pick): queries
 # added or materially changed this round get a tracked number here.
-# r10: the whole CDC/IVM family (bucketed partition-pruned state reads
-# + key-bucketed image arrangements — expect the 2-batch toy scripts to
-# pay the indexed-state landings; the per-merge READ bytes ratio in
-# BASELINE.md is the quantity that scales), the cell-bucketed vector
-# index (q190/q195 now probe-pruned), the new q204 GPS×CDC rollup, and
-# q202 (reaches the store layer's empty-fold fix). q189/q201 stay
-# off-headline, isolated numbers in BASELINE.md like q168/q172.
+# r11: the round's changed/new rows (the three single-partition-window
+# rewrites q138/q223/q225 + the q125 compression, the three-layer
+# cascade q226, and the new statistics family q227-q229), plus the
+# eight heaviest CDC/vector reps carried from r10 for round-over-round
+# comparability. The other late-r10 spotlight rows (q193/q196/q197/
+# q199/q202-q204/q207-q222/q224) rotate off — each has isolated
+# BASELINE.md numbers and its correctness rides the driver window.
 SPOTLIGHT = [
+    "q125_skew_diagnostics",
+    "q138_ks_test",
+    "q223_mann_whitney_u",
+    "q225_gini_spend",
+    "q226_cdc_cascade_topk",
+    "q227_km_survival",
+    "q228_spearman_corr",
+    "q229_fulfillment_sweepline",
+    # carried r10 heavies (comparability anchors)
     "q190_ivfpq_incremental_index",
-    "q193_incremental_join_view",
     "q194_cdc_join_view",
     "q195_vector_index_retrain",
-    "q196_cdc_aggregate_view",
-    "q197_cdc_minmax_view",
     "q198_cdc_left_join_view",
-    "q199_cdc_distinct_view",
     "q200_cdc_topk_view",
-    "q202_quantile_sketch",
-    "q203_cdc_window_rollup",
-    "q204_gps_cdc_trip_rollup",
     "q205_cdc_vector_index",
     "q206_cdc_lsh_index",
-    "q207_cdc_cms_sketch",
-    "q208_cdc_view_time_travel",
     "q209_cdc_join_agg_cascade",
-    # late-session additions: quantile/HLL maintained views (the
-    # grouped-recompute algebra over events), hybrid BM25+dense RRF
-    # retrieval, and the multi-table point-in-time feature join.
-    "q210_cdc_quantile_view",
-    "q211_hybrid_rrf_search",
-    "q212_point_in_time_features",
-    "q213_cdc_hll_view",
-    "q214_dsir_importance",
-    "q215_kmv_bottomk_sketch",
-    "q216_cdc_session_rollup",
-    "q217_schema_evolution_scan",
-    "q218_cdc_kmv_view",
-    "q219_retrieval_metrics",
-    "q220_skyline_pareto",
-    "q221_winsorized_stats",
-    "q222_calibration_bins",
-    "q223_mann_whitney_u",
-    "q224_benford_audit",
-    "q225_gini_spend",
 ]
 # q201 (composed CDC view suite: 6 views x 2 merges per rep — ~10 s at
 # sf0.1 after the late-r10 concurrent-wave rework, was 18.3 s after the
