@@ -3349,3 +3349,118 @@ def q229_fulfillment_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shipped",
         F.sum("delta").over(w_cum).cast("bigint").alias("in_fulfillment"),
     )
+
+
+@query(
+    "q230_cdc_sweepline_view",
+    oracle="""
+WITH base AS (
+    SELECT l.l_orderkey * 8 + l.l_linenumber AS pk,
+           max(CAST(o.o_orderdate AS DATE)) AS s0,
+           max(CAST(l.l_shipdate AS DATE))  AS e0
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey * 8 + l.l_linenumber
+),
+fin AS (
+    SELECT CAST(CASE WHEN pk % 13 = 0 THEN s0 - INTERVAL 2 DAY
+                     ELSE s0 END AS DATE) AS s,
+           CAST(CASE WHEN pk % 7 = 0 THEN e0 + INTERVAL 3 DAY
+                     ELSE e0 END AS DATE) AS e
+    FROM base WHERE pk % 5 <> 0
+),
+iv AS (SELECT s, e FROM fin WHERE e > s),
+days AS (SELECT DISTINCT s AS d FROM iv UNION SELECT DISTINCT e FROM iv),
+st AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM iv GROUP BY s),
+sh AS (SELECT e, CAST(count(*) AS BIGINT) AS c FROM iv GROUP BY e),
+nv AS (
+    SELECT d.d, CAST(count(*) AS BIGINT) AS c
+    FROM days d JOIN iv ON iv.s <= d.d AND iv.e > d.d
+    GROUP BY d.d
+)
+SELECT d.d               AS day,
+       coalesce(st.c, 0) AS n_started,
+       coalesce(sh.c, 0) AS n_shipped,
+       coalesce(nv.c, 0) AS in_fulfillment
+FROM days d
+LEFT JOIN st ON st.s = d.d
+LEFT JOIN sh ON sh.e = d.d
+LEFT JOIN nv ON nv.d = d.d
+""",
+)
+def q230_cdc_sweepline_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED INTERVAL CARDINALITY — q229's sweep line under
+    churn (streaming/join_view.CdcSweepLineView), the linearity
+    taxonomy's missing instance: the boundary encoding is a 1→2 row
+    EXPANSION of each interval image, and an explode is LINEAR in the
+    weighted relation, so the whole view maintains with q196's signed
+    partials even though every row contributes to TWO keys — no
+    recompute, no arrangement. The wave exercises each transition:
+    ship-date slips (pk % 7 → e+3 days: the old end boundary retracts,
+    the new one asserts — the backlog curve RISES between them),
+    order-date corrections (pk % 13 → s−2: the start boundary moves
+    earlier), deletes (pk % 5: both boundaries retract), and — the
+    dirty-data case the per-image filter exists for — degenerate
+    synthetic intervals (e ≤ s, half the base rows) whose CORRECTION
+    makes them valid: the create image contributed nothing, the update
+    image enters the sweep. The synthetic lineitem REPEATS line
+    numbers within an order (~24% of rows), so the changelog pk
+    (orderkey·8 + linenumber) is deduped to one interval per pk by a
+    max-aggregate that the oracle mirrors — a changelog's pk must be
+    unique or last-writer-wins silently drops rows. Oracle is the naive O(days × intervals)
+    containment join over the CDC-upserted final intervals (q229's
+    independent formulation, applied to the post-churn table).
+
+    Scale: per merge, one pk-pruned latest-image read + a map-side 1→2
+    expansion + one |Δ|-keyed aggregate (q196's exact cost shape);
+    snapshot folds per-day partials and runs one cumulative sum over
+    the bounded calendar table."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcSweepLineView
+
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("pk"),
+        "l_orderkey",
+        F.to_date("l_shipdate").alias("e0"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("s0")
+    )
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("pk")
+        .agg(F.max("s0").alias("s0"), F.max("e0").alias("e0"))
+        .localCheckpoint()
+    )
+    pk = F.col("pk")
+    a0 = base.select(
+        F.lit("c").alias("op"),
+        pk.alias("seq"),
+        "pk",
+        F.col("s0").alias("s"),
+        F.col("e0").alias("e"),
+    )
+    upd = base.filter((pk % 7 == 0) | (pk % 13 == 0)).select(
+        F.lit("u").alias("op"),
+        (F.lit(1_000_000_000_000) + pk).alias("seq"),
+        "pk",
+        F.when(pk % 13 == 0, F.date_sub("s0", 2)).otherwise(F.col("s0")).alias("s"),
+        F.when(pk % 7 == 0, F.date_add("e0", 3)).otherwise(F.col("e0")).alias("e"),
+    )
+    dels = base.filter(pk % 5 == 0).select(
+        F.lit("d").alias("op"),
+        (F.lit(3_000_000_000_000) + pk).alias("seq"),
+        "pk",
+        F.col("s0").alias("s"),
+        F.col("e0").alias("e"),
+    )
+    state_dir = tempfile.mkdtemp(prefix="cdc_sweep_")
+    try:
+        view = CdcSweepLineView(spark, state_dir, pk="pk")
+        view.merge(a0, 0)
+        view.merge(upd.unionByName(dels), 1)
+        # materialize before the temp state dir is removed
+        return view.snapshot().localCheckpoint()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)

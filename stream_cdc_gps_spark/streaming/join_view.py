@@ -697,6 +697,143 @@ class CdcAggregateView:
         self.compact_source_stores()
 
 
+class CdcSweepLineView:
+    """CDC-maintained INTERVAL CARDINALITY (the q229 sweep line under
+    churn): V(day) = |{alive intervals with s ≤ day < e}|, maintained
+    over a changelog of (pk, s, e) interval rows — the linearity
+    taxonomy's missing instance: the sweep's boundary encoding is a
+    1→2 row EXPANSION of each image (+w at its start day, −w at its
+    end day), and an EXPLODE IS LINEAR in the weighted relation, so the
+    whole view maintains with q196's signed partials — no recompute, no
+    arrangement, even though each row contributes to TWO keys:
+
+        ΔV_t = SELECT day, sum(start contribs), sum(end contribs)
+               FROM explode_boundaries(Δ̂A_t) GROUP BY day
+
+    A ship-date correction retracts the old end boundary (+w flips the
+    old image's −1 through the expansion) and asserts the new one; a
+    delete retracts both boundaries; every transition is weight
+    algebra. Degenerate images (e ≤ s) are filtered PER IMAGE on the
+    delta — an image that never satisfied s ≤ d < e contributes nothing
+    whether asserted or retracted, which keeps sweep ≡ containment on
+    dirty data exactly as q229's batch filter does.
+
+    ``snapshot()`` folds per-day net started/shipped counts (both ≥ 0
+    over any valid changelog prefix; a day where both net to zero is no
+    boundary of any alive interval and is dropped, matching the batch
+    recompute's day set) and derives the active count as a cumulative
+    sum over the BOUNDED day table — the calendar, never the data.
+    Parity driver-checked by q230 against the naive O(days × intervals)
+    containment join over the CDC-upserted final intervals. Storage,
+    replay, torn-write healing, and compaction follow the family
+    contract (pk-bucketed changelog; per-day view deltas folded by
+    sums)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        pk: str,
+        s: str = "s",
+        e: str = "e",
+        *,
+        n_buckets: int = N_BUCKETS,
+    ):
+        self.spark = spark
+        self.pk = pk
+        self.s = s
+        self.e = e
+        self.a_store = BatchPartialStore(
+            spark, f"{base}/a", bucket_cols=[pk], n_buckets=n_buckets
+        )
+        self.v_store = BatchPartialStore(spark, f"{base}/v")
+
+    def merge(self, batch: DataFrame, batch_id: int) -> None:
+        cdc = batch.localCheckpoint()
+        state = cdc_state(self.a_store, batch_id, self.pk, prune=cdc)
+        delta = cdc_delta(cdc, state, self.pk, "_w").filter(
+            F.col(self.e) > F.col(self.s)
+        )
+        # the linear expansion: one start and one end contribution per
+        # ±1 image; the end's weight is NEGATED so retract/assert flows
+        # through the same sum
+        starts = delta.select(
+            F.col(self.s).alias("day"),
+            F.col("_w").alias("dstarted"),
+            F.lit(0).alias("dshipped"),
+        )
+        ends = delta.select(
+            F.col(self.e).alias("day"),
+            F.lit(0).alias("dstarted"),
+            F.col("_w").alias("dshipped"),
+        )
+        dv = (
+            starts.unionByName(ends)
+            .groupBy("day")
+            .agg(
+                F.sum("dstarted").cast("bigint").alias("dstarted"),
+                F.sum("dshipped").cast("bigint").alias("dshipped"),
+            )
+        )
+        _concurrently(
+            lambda: self.v_store.land(dv, batch_id),
+            lambda: self.a_store.land(cdc, batch_id),
+        )
+
+    def snapshot(self) -> DataFrame:
+        """(day, n_started, n_shipped, in_fulfillment) over the alive
+        intervals' boundary days — equal to q229's batch sweep (and the
+        naive containment join) over the CDC-upserted final table."""
+        rows = self.v_store.rows()
+        if rows is None:
+            raise ValueError("no batches have landed yet")
+        g = (
+            rows.groupBy("day")
+            .agg(
+                F.sum("dstarted").cast("bigint").alias("n_started"),
+                F.sum("dshipped").cast("bigint").alias("n_shipped"),
+            )
+            .filter((F.col("n_started") != 0) | (F.col("n_shipped") != 0))
+        )
+        w = Window.orderBy("day").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return g.select(
+            "day",
+            "n_started",
+            "n_shipped",
+            F.sum(F.col("n_started") - F.col("n_shipped"))
+            .over(w)
+            .cast("bigint")
+            .alias("in_fulfillment"),
+        )
+
+    def n_partials(self) -> int:
+        return self.v_store.n_partials()
+
+    def compact_view_stores(self) -> None:
+        rows = self.v_store.rows()
+        if rows is not None:
+            folded = (
+                rows.groupBy("day")
+                .agg(
+                    F.sum("dstarted").cast("bigint").alias("dstarted"),
+                    F.sum("dshipped").cast("bigint").alias("dshipped"),
+                )
+                .filter((F.col("dstarted") != 0) | (F.col("dshipped") != 0))
+            )
+            self.v_store.compact(folded)
+
+    def compact_source_stores(self) -> None:
+        rows = self.a_store.rows()
+        if rows is not None:
+            self.a_store.compact(cdc_latest(rows, self.pk))
+
+    def compact(self) -> None:
+        self.compact_view_stores()
+        self.compact_source_stores()
+
+
 class CdcLeftJoinView:
     """CDC-aware incremental LEFT OUTER join view: M = A ⟕ B on ``key``
     under op ∈ {c,u,d} on both sides — the outer-join face of the IVM
