@@ -95,3 +95,59 @@ def test_sweepline_mutations_and_replay(spark, tmp_path):
     assert _snap(replay) == golden
     replay.merge(a1, 1)
     assert _snap(replay) == golden
+
+
+def test_sweepline_matches_python_replay_on_generated(spark):
+    """Hypothesis fuzz: any generated two-batch c/u/d script over a
+    small interval pool (including degenerate e ≤ s images) must land
+    exactly the Python last-writer-wins replay's batch sweep golden,
+    and a replayed batch must be a no-op."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    opname = {0: "c", 1: "u", 2: "d"}
+
+    ops_st = st.lists(
+        st.tuples(
+            st.integers(0, 2),   # op
+            st.integers(0, 4),   # pk
+            st.integers(1, 6),   # start day
+            st.integers(1, 9),   # end day (may be <= start: degenerate)
+        ),
+        max_size=8,
+    )
+
+    @given(ops=ops_st, split_raw=st.integers(0, 9))
+    @settings(max_examples=5, deadline=None)
+    def run(ops, split_raw):
+        rows = [
+            (opname[t_], i, pk, _d(s), _d(e)) for i, (t_, pk, s, e) in enumerate(ops)
+        ]
+        split = split_raw % (len(rows) + 1)
+
+        final: dict[int, tuple] = {}
+        for t_, pk, s, e in ops:
+            if t_ == 2:
+                final.pop(pk, None)
+            else:
+                final[pk] = (_d(s), _d(e))
+        golden = _batch_sweep(final.values())
+
+        base = tempfile.mkdtemp(prefix="sweep_prop_")
+        try:
+            view = CdcSweepLineView(spark, base, pk="pk", n_buckets=4)
+            view.merge(spark.createDataFrame(rows[:split], SCHEMA), 0)
+            b1 = spark.createDataFrame(rows[split:], SCHEMA)
+            view.merge(b1, 1)
+            view.merge(b1, 1)  # replay must be a no-op
+            try:
+                got = _snap(view)
+            except ValueError:
+                got = []
+            assert got == golden
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    run()
