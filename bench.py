@@ -105,6 +105,7 @@ SPOTLIGHT = [
     "q228_spearman_corr",
     "q229_fulfillment_sweepline",
     "q230_cdc_sweepline_view",
+    "q231_cdc_stable_sample",
     # carried r10 heavies (comparability anchors)
     "q190_ivfpq_incremental_index",
     "q194_cdc_join_view",

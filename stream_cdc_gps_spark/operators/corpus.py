@@ -1068,3 +1068,133 @@ def q214_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("logw_exact"), 4).cast("double").alias("logw"),
         )
     )
+
+
+# q231's per-source sample size: small against the 25-docs-per-source
+# sf0.01 groups so churn visibly rotates membership, large enough that a
+# single re-crawl rarely replaces the whole sample.
+_SAMPLE_K = 5
+
+
+def stable_sample_recompute(after: DataFrame) -> DataFrame:
+    """Per-source deterministic bottom-K sample over (doc_id, source,
+    text) rows: row count + the K doc_ids with the smallest
+    md5(doc_id || text) — the pluggable recompute of the q231 maintained
+    view. Hash order is content-addressed, so membership is a pure
+    function of the alive set (no positional dependence), and sources
+    under K degrade to the full group."""
+    h = after.select(
+        "source",
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.col("text"))).alias("hv"),
+    )
+    n = h.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("source").orderBy("hv", "doc_id")
+    samp = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SAMPLE_K)
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hv", "doc_id"))),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("sample_ids")
+        )
+    )
+    return n.join(samp, "source")
+
+
+@query(
+    "q231_cdc_stable_sample",
+    oracle=f"""
+WITH fin AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN 'src0' ELSE source END AS source,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 5 <> 0
+),
+h AS (
+    SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR) || text) AS hv FROM fin
+),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_alive FROM h GROUP BY source),
+r AS (
+    SELECT source, doc_id, hv,
+           row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+    FROM h
+),
+s AS (
+    SELECT source,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hv, doc_id)
+               AS sample_ids
+    FROM r WHERE rn <= {_SAMPLE_K} GROUP BY source
+)
+SELECT n.source, n.n_alive, s.sample_ids
+FROM n JOIN s ON n.source = s.source
+""",
+)
+def q231_cdc_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED STABLE EVAL SAMPLE — a deterministic per-source
+    bottom-K-by-hash document sample maintained under corpus churn, the
+    heldout-subset contract a training pipeline actually needs: eval
+    membership must be CONTENT-ADDRESSED (a pure function of the alive
+    set, so two pipelines agree without coordination) and must move
+    only when the underlying documents do. Bottom-K by md5(doc_id ||
+    text) is MIN-merged state — a delete can evict a sample member
+    whose successor was already truncated away, and a re-crawl CHANGES
+    a member's hash — so like q218's KMV the only correct maintenance
+    is the touched-key recompute from alive rows
+    (streaming/join_view.CdcGroupedRecomputeView with the bottom-K
+    sampler as the recompute). The sample is hash-deterministic, so the
+    oracle reproduces every member id bit-for-bit over the CDC-upserted
+    final table. Member ids are emitted as a comma-joined string in
+    hash order (the q35 contract: array-typed result columns crash
+    pandas-side canonicalizers).
+
+    Churn script (the shared churn_script scaffold): creates; % 7
+    re-crawls (text || ' v2' — the hash moves, so sample membership
+    rotates exactly for touched docs); % 13 source moves into the
+    EXISTING source 'src0' (the doc leaves one source's sample race and
+    enters another's); % 5 deletes (potential member evictions); % 11
+    duplicate re-delivery (no-op). The % 13 move composes the % 7
+    re-crawl where both hit.
+
+    Scale: per-batch work is O(touched sources' docs) — the changelog
+    read prunes to the batch's pk shards, the alive images come from
+    the source-bucketed arrangement pruned to touched source shards,
+    and the rerank windows only those sources' rows. The sample view
+    itself is K ids per source."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.operators.common import churn_script
+    from stream_cdc_gps_spark.streaming.join_view import CdcGroupedRecomputeView
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    did = F.col("doc_id")
+    recrawl = F.when(did % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+        F.col("text")
+    )
+    a0, a1 = churn_script(
+        d,
+        "doc_id",
+        u1_cols={"text": F.concat(F.col("text"), F.lit(" v2"))},
+        u2_cols={"source": F.lit("src0"), "text": recrawl},
+    )
+    base = tempfile.mkdtemp(prefix="cdc_sample_")
+    try:
+        view = CdcGroupedRecomputeView(
+            spark, base, key="source", pk="doc_id",
+            recompute=stable_sample_recompute,
+        )
+        view.merge(a0, 0)
+        view.merge(a1, 1)
+        out = view.snapshot().select(
+            "source", F.col("n").alias("n_alive"), "sample_ids"
+        )
+        # materialize before the temp state dir is removed
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
