@@ -258,6 +258,113 @@ def _scaling_section(spark, sf_dir: str, out: dict) -> None:
             shutil.rmtree(base, ignore_errors=True)
     out["scaling_cdc_vector"] = curve
 
+    # CdcCascadeTopKView (r11): the three-layer view's tail merge reads
+    # FOUR pruned stores — the two pk-pruned changelogs, the key-pruned
+    # arrangements, and the pkey-pruned per-group partials feeding the
+    # layer-3 rerank. One order's price update touches one customer's
+    # segment: the rerank must open O(1 segment shard) of v regardless
+    # of total state.
+    from stream_cdc_gps_spark.streaming.join_view import CdcCascadeTopKView
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("g"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    max_ck = c.agg(F.max("k")).first()[0] + 1
+
+    def scaled_b(s: int):
+        parts = [
+            c.select(
+                F.lit("c").alias("op"),
+                (F.col("k") + i * max_ck).alias("seq"),
+                (F.col("k") + i * max_ck).alias("k"),
+                F.concat(F.col("g"), F.lit(f"#{i}")).alias("g"),
+                "seg",
+            )
+            for i in range(s)
+        ]
+        df = parts[0]
+        for p_ in parts[1:]:
+            df = df.unionByName(p_)
+        return df.localCheckpoint()
+
+    def scaled_a(s: int):
+        parts = []
+        for i in range(s):
+            parts.append(
+                o.select(
+                    F.lit("c").alias("op"),
+                    (ok + i * max_oid).alias("seq"),
+                    (ok + i * max_oid).alias("oid"),
+                    (F.col("k") + i * max_ck).alias("k"),
+                    "v",
+                )
+            )
+        df = parts[0]
+        for p_ in parts[1:]:
+            df = df.unionByName(p_)
+        return df.localCheckpoint()
+
+    cprobe = (
+        o.orderBy("oid")
+        .limit(1)
+        .select(
+            F.lit("u").alias("op"),
+            (F.lit(9_000_000_000) + ok).alias("seq"),
+            ok.alias("oid"),
+            F.col("k"),
+            (F.col("v") + F.lit(2.0e0)).cast("decimal(18,2)").alias("v"),
+        )
+        .localCheckpoint()
+    )
+    cb_schema = "op string, seq bigint, k bigint, g string, seg string"
+    empty_cb = spark.createDataFrame([], cb_schema).localCheckpoint()
+    curve = []
+    for s in (1, 4, 16):
+        base = tempfile.mkdtemp(prefix=f"scal_casc_{s}x_")
+        try:
+            cv = CdcCascadeTopKView(
+                spark, base, key="k", a_pk="oid", b_pk="k",
+                pkey="seg", gkey="g", val="v", k=3, n_buckets=64,
+            )
+            cv.merge(scaled_a(s), scaled_b(s), 0)
+            t0 = time.perf_counter()
+            cv.merge(cprobe, empty_cb, 1)
+            wall = round(time.perf_counter() - t0, 2)
+            # the five pruned reads of this tail merge: a changelog by
+            # the probe pk, both arrangements by the probe's join key,
+            # and the per-group partials by the touched segment (one
+            # customer -> one segment; 5 segments total, so the v read
+            # is <= 1/5 of v even before hashing)
+            jv = cv.join
+            a_kb = jv.a_store.touched_buckets(cprobe.select("oid"))
+            k_kb = jv.ak_store.touched_buckets(cprobe.select("k"))
+            seg_of = (
+                scaled_b(1)
+                .join(cprobe.select("k"), "k", "left_semi")
+                .select("seg")
+            )
+            v_kb = cv.v_store.touched_buckets(seg_of)
+            read = (
+                _store_bytes(jv.a_store, a_kb)
+                + _store_bytes(jv.ak_store, k_kb)
+                + _store_bytes(jv.bk_store, k_kb)
+                + _store_bytes(cv.v_store, v_kb)
+            )
+            total = (
+                _store_bytes(jv.a_store)
+                + _store_bytes(jv.ak_store)
+                + _store_bytes(jv.bk_store)
+                + _store_bytes(cv.v_store)
+            )
+            curve.append(
+                {"s": s, "state_bytes": total, "read_bytes": read, "tail_sec": wall}
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    out["scaling_cdc_cascade"] = curve
+
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
