@@ -106,6 +106,7 @@ SPOTLIGHT = [
     "q229_fulfillment_sweepline",
     "q230_cdc_sweepline_view",
     "q231_cdc_stable_sample",
+    "q232_theil_sen_trend",
     # carried r10 heavies (comparability anchors)
     "q190_ivfpq_incremental_index",
     "q194_cdc_join_view",

@@ -3464,3 +3464,95 @@ def q230_cdc_sweepline_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return view.snapshot().localCheckpoint()
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
+
+
+@query(
+    "q232_theil_sen_trend",
+    oracle="""
+WITH series AS (
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type,
+           (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+    FROM series a JOIN series b
+      ON a.event_type = b.event_type AND b.x > a.x
+),
+sl AS (
+    SELECT event_type, quantile_cont(slope, 0.5e0) AS slope
+    FROM pairs GROUP BY event_type
+)
+SELECT s.event_type,
+       CAST(count(*) AS BIGINT)                              AS n_points,
+       round(sl.slope, 6)                                    AS slope,
+       round(quantile_cont(s.y - sl.slope * s.x, 0.5e0), 6)  AS intercept
+FROM series s JOIN sl ON s.event_type = sl.event_type
+GROUP BY s.event_type, sl.slope
+""",
+)
+def q232_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN ROBUST TREND per group — the median-of-pairwise-slopes
+    estimator (Sen 1968), the robust sibling of q184's per-group OLS: a
+    single outlier hour can drag a least-squares slope arbitrarily, but
+    the median slope has a 29.3% breakdown point — the estimator
+    monitoring pipelines actually fit to bursty rate series. Fitted per
+    event type over the HOURLY EVENT-COUNT series; intercept = median
+    of (y − slope·x) residual levels (the standard companion).
+
+    Exactness: x (epoch hour) and y (hourly count) are both BIGINT, so
+    every pairwise slope (Δy integer / Δx integer, one double divide)
+    is bit-identical on both engines, and `percentile(…, 0.5)` ==
+    DuckDB `quantile_cont` interpolates identically (the q110 idiom) —
+    no accumulation-order exposure anywhere before the 6-dp round.
+
+    Scale: the corpus compresses to |types × hours| rows BEFORE the
+    quadratic step (the round's distinct-value discipline — the pair
+    join never sees events), so pairs are bounded by the calendar span
+    squared per type, not by data volume; at multi-year horizons the
+    published refinement is slope sampling over a bounded pair subset —
+    this exact estimator is the ≤ O(10⁶)-pairs regime, which a 30-day
+    hourly series is at any corpus size."""
+    e = t(spark, sf_dir, "events")
+    series = (
+        e.groupBy(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .localCheckpoint()
+    )
+    a = series.select(
+        "event_type", F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = series.select(
+        "event_type", F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("xb") > F.col("xa")).select(
+        "event_type",
+        (
+            (F.col("yb") - F.col("ya"))
+            / (F.col("xb") - F.col("xa")).cast("double")
+        ).alias("slope"),
+    )
+    sl = pairs.groupBy("event_type").agg(
+        F.expr("percentile(slope, 0.5)").alias("slope")
+    )
+    return (
+        series.join(sl, "event_type")
+        .groupBy("event_type", "slope")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(
+                F.expr("percentile(y - slope * x, 0.5)"), 6
+            ).alias("intercept"),
+        )
+        .select(
+            "event_type",
+            "n_points",
+            F.round("slope", 6).alias("slope"),
+            "intercept",
+        )
+    )
