@@ -107,6 +107,7 @@ SPOTLIGHT = [
     "q230_cdc_sweepline_view",
     "q231_cdc_stable_sample",
     "q232_theil_sen_trend",
+    "q233_mann_kendall",
     # carried r10 heavies (comparability anchors)
     "q190_ivfpq_incremental_index",
     "q194_cdc_join_view",

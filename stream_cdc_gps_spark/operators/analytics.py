@@ -3556,3 +3556,114 @@ def q232_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept",
         )
     )
+
+
+@query(
+    "q233_mann_kendall",
+    oracle="""
+WITH series AS (
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+s_stat AS (
+    SELECT a.event_type,
+           CAST(sum(CASE WHEN b.y > a.y THEN 1
+                         WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+    FROM series a JOIN series b
+      ON a.event_type = b.event_type AND b.x > a.x
+    GROUP BY a.event_type
+),
+nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM series GROUP BY 1),
+ties AS (
+    SELECT event_type,
+           CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tsum
+    FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+          FROM series GROUP BY event_type, y)
+    GROUP BY event_type
+)
+SELECT n.event_type,
+       n.n AS n_points,
+       s.s AS s_stat,
+       round(CASE WHEN s.s > 0 THEN (s.s - 1)
+                  WHEN s.s < 0 THEN (s.s + 1)
+                  ELSE 0 END
+             / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - t.tsum) / 18.0e0),
+             6) AS z
+FROM nn n
+JOIN s_stat s ON n.event_type = s.event_type
+JOIN ties t  ON n.event_type = t.event_type
+""",
+)
+def q233_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST — the significance companion to q232's
+    Theil-Sen estimator (the pair every monitoring textbook ships
+    together: Theil-Sen says HOW steep, Mann-Kendall says WHETHER the
+    monotone trend is real): S = Σ_{i<j} sign(y_j − y_i) over the
+    hourly-count series per event type, tie-corrected variance
+    (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18, continuity-corrected normal
+    z. Rank-based, so it needs no distributional assumption and is
+    immune to the bursty outliers that wreck a parametric slope test.
+
+    Exactness: S and both variance terms are EXACT BIGINT sums (signs
+    are ±1, tie-group sizes are counts); the only doubles are the final
+    /18 and sqrt — bit-identical on both engines before the 6-dp round.
+
+    Scale: same shape as q232 — the corpus compresses to
+    |types × hours| rows before the quadratic step, so the sign-pair
+    join is bounded by the calendar span squared per type, never by
+    data volume; the tie correction is one |types × distinct counts|
+    aggregate."""
+    e = t(spark, sf_dir, "events")
+    series = (
+        e.groupBy(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .localCheckpoint()
+    )
+    a = series.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = series.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    s_stat = (
+        a.join(b, "event_type")
+        .filter(F.col("xb") > F.col("xa"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    nn = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tt = F.col("t")
+    ties = (
+        series.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(F.sum(tt * (tt - 1) * (2 * tt + 5)), F.lit(0))
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    n, s = F.col("n"), F.col("s")
+    var = (n * (n - 1) * (2 * n + 5) - F.col("tsum")) / 18.0e0
+    num = F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(0)
+    return (
+        nn.join(s_stat, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            n.alias("n_points"),
+            s.alias("s_stat"),
+            F.round(num / F.sqrt(var), 6).alias("z"),
+        )
+    )

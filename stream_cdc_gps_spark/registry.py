@@ -87,17 +87,17 @@ DRIVER_WINDOW = 50
 # (b) the stalest official rows, oldest first: the NINETEEN r4-era rows
 #     that rotated out under the r10 slack rule (q11-q13, q46, q80/q82,
 #     q132, q139, q141-q144, q148/q149, q151, q156-q159) and the
-#     18 oldest r5-era rows (q14-q29 battery, q34-q35) — a green row
-#     older than six rounds of tree churn is a weak certificate (r10
-#     verdict task #3). q36, q37, q105, q163 and q169-q172's newest rows
+#     17 oldest r5-era rows (q14-q29 battery, q34) — a green row older
+#     than six rounds of tree churn is a weak certificate (r10 verdict
+#     task #3). q35, q36, q37, q105, q163 and q169-q172's newest rows
 #     stay r5-era one more round (slack rule: ≤ cap−2 = 48 entries; each
-#     of the round's eight changed/new rows beyond q226 displaced one
+#     of the round's nine changed/new rows beyond q226 displaced one
 #     stale slot — q125↔q171, q227↔q169, q228↔q170, q229↔q163,
-#     q230↔q105, q231↔q37, q232↔q36, q172 deferred since the rotation
-#     was drawn), all eight deferred rows bridge-certified through the
-#     driver-exact canonicalizer on the closing tree (BASELINE.md r11)
-#     in addition to the tri-scale full-sim certificates; front them in
-#     r12.
+#     q230↔q105, q231↔q37, q232↔q36, q233↔q35, q172 deferred since the
+#     rotation was drawn), all nine deferred rows bridge-certified
+#     through the driver-exact canonicalizer on the closing tree
+#     (BASELINE.md r11) in addition to the tri-scale full-sim
+#     certificates; front them in r12.
 _PRIORITY: list[str] = [
     # (a) changed or added in r11
     "q138_ks_test",
@@ -111,6 +111,7 @@ _PRIORITY: list[str] = [
     "q230_cdc_sweepline_view",
     "q231_cdc_stable_sample",
     "q232_theil_sen_trend",
+    "q233_mann_kendall",
     # (b) stalest official rows: r4-era first (19), then oldest r5 (25)
     "q11_count_distinct",
     "q12_rollup",
@@ -148,7 +149,6 @@ _PRIORITY: list[str] = [
     "q28_pivot",
     "q29_min_max_by",
     "q34_asof_join",
-    "q35_collect_sorted",
 ]
 
 
