@@ -90,7 +90,7 @@ PERMANENT = SHARED21 + [
 # added or materially changed this round get a tracked number here.
 # r11: the round's changed/new rows (the three single-partition-window
 # rewrites q138/q223/q225 + the q125 compression, the three-layer
-# cascade q226, and the new statistics family q227-q230), plus the
+# cascade q226, and the new statistics/CDC family q227-q233), plus the
 # eight heaviest CDC/vector reps carried from r10 for round-over-round
 # comparability. The other late-r10 spotlight rows (q193/q196/q197/
 # q199/q202-q204/q207-q222/q224) rotate off — each has isolated

@@ -941,20 +941,67 @@ GROUP BY tile
 """,
 )
 def q133_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-DEPTH histogram (10 equal-count buckets via ntile) — the
-    planner-statistics counterpart to q117's equi-width bins: bucket
+    """Equi-DEPTH histogram (10 equal-count buckets via ntile semantics) —
+    the planner-statistics counterpart to q117's equi-width bins: bucket
     boundaries are the observed deciles, so skewed distributions get
     resolution where the mass is.
 
-    Scale: exact ntile totally orders the column (one global sort) —
-    correct for the stats-collection pass it models; a streaming-scale
-    variant would bucket by percentile_approx boundaries (q15's sketch)
-    instead, trading exact equal counts for a map-only plan. Ties broken
-    by o_orderkey so bucket membership is deterministic."""
-    o = t(spark, sf_dir, "orders")
-    tile = F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey"))
+    Scale (r12 rewrite — this was the last `GLOBAL_WINDOW_OK` allowlist
+    entry): the exact global rank behind ntile is now q225's TWO-PASS
+    DISTRIBUTED rank. Pass 1 draws ~31 range boundaries from a mergeable
+    approx_percentile sketch (boundary values only steer bucketing — the
+    global rank of each row is identical under ANY bucket split, so
+    sketch nondeterminism cannot change a tile assignment). Pass 2
+    buckets each order map-side by `size(filter(bounds, b -> b < x))`
+    (monotone in x, ties share a bucket), ranks WITHIN buckets
+    (partitioned window, o_orderkey tiebreak), and adds per-bucket
+    offsets from a ≤32-row cumulative count. The exact ntile(10) tile is
+    then a closed-form expression over (global rank i, total n): the
+    first n%10 tiles hold floor(n/10)+1 rows, the rest floor(n/10) —
+    bit-identical to the window function, no global sort anywhere. All
+    rank/size arithmetic stays in bigint-exact doubles (n ≪ 2^53). The
+    oracle keeps the one-shot ntile formulation DuckDB runs single-node
+    anyway."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    qs = ",".join(str(i / 32.0) for i in range(1, 32))
+    bounds = o.agg(
+        F.expr(
+            "array_sort(array_distinct("
+            f"approx_percentile(o_totalprice, array({qs}), 1000)))"
+        ).alias("bs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bucketed = o.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        "o_orderkey",
+        "n",
+        F.expr("size(filter(bs, b -> b < o_totalprice))").alias("bkt"),
+    )
+    counts = bucketed.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("m"), F.max("n").alias("n")
+    )
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "bkt", "n", F.coalesce(F.sum("m").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
+    ranked = bucketed.drop("n").join(F.broadcast(offs), "bkt").select(
+        "o_totalprice",
+        "n",
+        (F.col("off") + F.row_number().over(w_in)).alias("i"),
+    )
+    # exact ntile(10): first r = n%10 tiles take big = floor(n/10)+1 rows
+    small = F.floor(F.col("n") / 10)
+    r = F.col("n") % 10
+    big = small + 1
+    i = F.col("i")
+    tile = (
+        F.when(i <= r * big, F.floor((i - 1) / big) + 1)
+        .otherwise(r + F.floor((i - r * big - 1) / small) + 1)
+        .cast("int")
+    )
     return (
-        o.select("o_totalprice", tile.alias("tile"))
+        ranked.select("o_totalprice", tile.alias("tile"))
         .groupBy("tile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
@@ -3073,7 +3120,7 @@ s AS (
 ),
 c AS (
     SELECT dur, deaths, at_risk,
-           exp(sum(CASE WHEN factor > 0 THEN ln(factor) ELSE 0.0e0 END)
+           exp(sum(CASE WHEN factor > 0 THEN round(ln(factor), 12) ELSE 0.0e0 END)
                OVER (ORDER BY dur)) AS s_raw,
            max(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
                OVER (ORDER BY dur) AS zeroed
@@ -3105,7 +3152,12 @@ def q227_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the product as exp(cumsum(ln factor)) over the same bounded
     frame — no per-user window anywhere, and the un-partitioned windows
     walk |distinct lifetimes| rows (bounded by the observation span in
-    hours, not by users). A factor of exactly 0 (everyone at risk dies)
+    hours, not by users). Each ln(factor) term is rounded to 12 dp on
+    BOTH engines before the cumulative sum (the q214/q219/q224 libm
+    idiom, applied per-term here because the cumsum over up to |distinct
+    durations| ln terms would otherwise widen the 1-ulp Java-Math-vs-C-
+    libm divergence window beyond the single-scalar case the registry
+    note accepts — r11 advice). A factor of exactly 0 (everyone at risk dies)
     poisons ln() differently per engine (Spark null, DuckDB -inf), so
     the zeroed flag short-circuits survival to 0 identically on both.
     The observation-end bound joins as a 1-row broadcast (q118's
@@ -3152,7 +3204,9 @@ def q227_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "at_risk",
         F.exp(
             F.sum(
-                F.when(F.col("factor") > 0, F.log("factor")).otherwise(0.0e0)
+                F.when(
+                    F.col("factor") > 0, F.round(F.log("factor"), 12)
+                ).otherwise(0.0e0)
             ).over(w_cum)
         ).alias("s_raw"),
         F.max(F.when(F.col("factor") <= 0, 1).otherwise(0)).over(w_cum).alias(

@@ -84,6 +84,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q222_calibration_bins",  # broadcast 1-row global max extent
         "q224_benford_audit",  # broadcast 1-row total count
         "q225_gini_spend",  # broadcast 1-row range-boundary array (two-pass rank)
+        "q133_equidepth_histogram",  # broadcast 1-row boundary array (two-pass rank)
         "q125_skew_diagnostics",  # broadcast 1-row compressed rank-weighted sum
         "q227_km_survival",  # broadcast 1-row observation-end bound (q118's move)
     }
@@ -107,13 +108,11 @@ def test_no_row_at_a_time_python_udfs(plans):
 # aggregate/limit/literal auto-pass (the q178 distinct-value-compression
 # shape: cardinality = distinct keys, not rows — the key-cardinality
 # argument lives in each query's docstring). Everything else must be
-# pinned here with a justification, like the BNLJ list.
-GLOBAL_WINDOW_OK = {
-    # q133 is the documented one-shot EXACT equi-depth pass (stats
-    # collection, not a pipeline operator); its 100 TB-safe sketch pair
-    # q145 ships alongside and the docstring names the tradeoff.
-    "q133_equidepth_histogram",
-}
+# pinned here with a justification, like the BNLJ list. EMPTY since r12:
+# the last entry (q133's one-shot exact ntile) was rewritten onto q225's
+# two-pass distributed rank — keep it empty; a new entry needs a written
+# case the two-pass rank genuinely cannot cover.
+GLOBAL_WINDOW_OK: set[str] = set()
 
 
 def test_no_unpartitioned_row_level_windows(plan_pair):
