@@ -1198,3 +1198,236 @@ def q231_cdc_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# Composed document churn shared by the r12 CDC corpus-gate rows (q234,
+# q235): creates; %7 re-crawls appending _REV; %13 rewrites appending _REW
+# (composing the %7 change where both hit); %5 deletes; %11 duplicate
+# re-delivery of unchanged rows (churn_script's exclusion terms apply).
+# The oracle-side CASE mirror of the upserted FINAL corpus lives in
+# _FINAL_DOCS_SQL — both gate oracles run the batch SQL over it.
+_REV = " REVISED REVISED REVISED REVISED"
+_REW = " REWRITTEN REWRITTEN"
+_FINAL_DOCS_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN
+                    (CASE WHEN doc_id % 7 = 0 THEN text || '{_REV}'
+                          ELSE text END) || '{_REW}'
+                WHEN doc_id % 7 = 0 THEN text || '{_REV}'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 5 != 0
+"""
+
+
+def _doc_churn_batches(d: DataFrame):
+    """(batch 0, batch 1) of the composed churn over (doc_id, text)."""
+    from stream_cdc_gps_spark.operators.common import churn_script
+
+    rev = F.concat(F.col("text"), F.lit(_REV))
+    rew_base = F.when(F.col("doc_id") % 7 == 0, rev).otherwise(F.col("text"))
+    return churn_script(
+        d,
+        "doc_id",
+        u1_cols={"text": rev},
+        u2_cols={"text": F.concat(rew_base, F.lit(_REW))},
+    )
+
+
+@query(
+    "q234_cdc_decontamination",
+    oracle=f"""
+WITH final AS ({_FINAL_DOCS_SQL}),
+base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+    FROM final
+),
+sh AS (
+    SELECT doc_id, b, u.s AS shingle
+    FROM base, UNNEST(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+             i -> array_to_string(toks[i:i+4], ' '))) AS u(s)
+),
+train_sh AS (SELECT DISTINCT shingle FROM sh WHERE b < {_TRAIN_BUCKET_LT}),
+bench_sh AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE b >= {_BENCH_BUCKET_GE})
+SELECT bs.doc_id,
+       CAST(count(*) AS BIGINT)              AS n_shingles,
+       CAST(count(tr.shingle) AS BIGINT)     AS n_contaminated,
+       floor(count(tr.shingle) / CAST(count(*) AS DOUBLE) * 10000 + 0.5e0) / 10000.0
+                                             AS contamination_rate,
+       count(tr.shingle) / CAST(count(*) AS DOUBLE) >= 0.5e0 AS contaminated
+FROM bench_sh bs LEFT JOIN train_sh tr ON bs.shingle = tr.shingle
+GROUP BY bs.doc_id
+""",
+)
+def q234_cdc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED DECONTAMINATION GATE — q105's benchmark-overlap
+    screen kept current under corpus churn (r11 verdict task #5): the
+    train-split shingle membership the screen joins against is df_train(s)
+    > 0 over the MAINTAINED per-shingle document frequencies
+    (streaming/shingle_df_index.CdcShingleDfView scoped by the train-bucket
+    predicate), not a rescan. DF is linear in the document multiset, so the
+    q207 signed-partial algebra applies directly: a re-crawled train doc
+    retracts its OLD text's shingles and asserts the new ones in one merge;
+    a deleted doc's shingles leave the gate; shingles whose every source
+    died net to zero and stop flagging — the drift an append-only member
+    set accumulates forever (a benchmark doc would stay "contaminated" by
+    a long-deleted training document).
+
+    Script: the composed churn (creates; %7 re-crawls; %13 rewrites
+    composing %7; %5 deletes; %11 duplicate re-deliveries netting to
+    zero), two merges, then q105's per-benchmark-doc readout — distinct
+    5-gram shingles of the FINAL corpus's bench split, membership from the
+    maintained net counts — against the identical screen DuckDB computes
+    from scratch over the upserted final corpus.
+
+    Scale: per merge the pre-image read is pk-pruned, shingling runs over
+    the ±images only, and the landed partial is bounded by the delta's
+    distinct shingles landing in touched shingle shards; the readout's
+    membership join is a plain shingle-keyed equi join (never the
+    broadcast-vs-shuffle gate decision q105 documents — the maintained
+    table is corpus-scale by construction). Reference: the corpus churns
+    under exactly these Debezium semantics (cmd/main.go:197-240)."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.shingle_df_index import CdcShingleDfView
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    a0, a1 = _doc_churn_batches(d)
+    base = tempfile.mkdtemp(prefix="cdc_decon_")
+    try:
+        view = CdcShingleDfView(
+            spark, base, df_pred=_split_bucket() < _TRAIN_BUCKET_LT
+        )
+        view.merge(a0, 0)
+        view.merge(a1, 1)
+        train_df = view.df().localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    final_docs = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(_REV)),
+                ).otherwise(F.col("text")),
+                F.lit(_REW),
+            ),
+        )
+        .when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_REV)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bench_sh = final_docs.filter(_split_bucket() >= _BENCH_BUCKET_GE).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), _DECONTAM_N))
+        ).alias("shingle"),
+    )
+    rate = F.count("n_docs") / F.count(F.lit(1)).cast("double")
+    return (
+        bench_sh.join(train_df, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count("n_docs").cast("bigint").alias("n_contaminated"),
+            (F.floor(rate * 10000 + 0.5e0) / 10000.0).alias("contamination_rate"),
+            (rate >= 0.5e0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "q235_cdc_shingle_novelty",
+    oracle=f"""
+WITH final AS ({_FINAL_DOCS_SQL}),
+sh AS (
+    SELECT DISTINCT doc_id, u.s AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM final),
+         UNNEST(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                i -> array_to_string(toks[i:i+4], ' '))) AS u(s)
+),
+df AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT)                               AS n_shingles,
+       CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                              AS n_shared,
+       floor((1.0 - sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE)) * 10000 + 0.5e0) / 10000.0
+                                                              AS novelty_rate
+FROM sh s JOIN df d ON d.shingle = s.shingle
+GROUP BY s.doc_id
+""",
+)
+def q235_cdc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED SHINGLE NOVELTY — q152's per-document novelty score
+    with the document-frequency side MAINTAINED under churn instead of
+    rebuilt (r11 verdict task #5's second half): "shingle is shared" is
+    df(s) > 1 over the unscoped CdcShingleDfView's net counts, so a
+    re-crawl or delete updates every other document's novelty basis
+    WITHOUT the inverted-index rebuild q152 runs per batch — the DF side
+    is the expensive side at corpus scale, and it is exactly the side
+    that is linear.
+
+    Same composed churn and merge script as q234; readout joins the FINAL
+    corpus's per-doc distinct shingles against the maintained DF and
+    scores novelty = fraction of the doc's shingles with df == 1, checked
+    against q152's batch SQL over the upserted final corpus.
+
+    Scale: merge costs as q234 (pk-pruned pre-image read, ±image
+    shingling, touched-shard partial); the readout is q152's linear
+    shape — one shingle-keyed equi join, one doc-keyed aggregate —
+    with the df-build shuffle replaced by a pruned state read."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.shingle_df_index import CdcShingleDfView
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    a0, a1 = _doc_churn_batches(d)
+    base = tempfile.mkdtemp(prefix="cdc_novelty_")
+    try:
+        view = CdcShingleDfView(spark, base)
+        view.merge(a0, 0)
+        view.merge(a1, 1)
+        df_tbl = view.df().localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    final_docs = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(_REV)),
+                ).otherwise(F.col("text")),
+                F.lit(_REW),
+            ),
+        )
+        .when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_REV)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sh = final_docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), _DECONTAM_N))
+        ).alias("shingle"),
+    )
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    total = F.count(F.lit(1))
+    return (
+        sh.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            total.cast("bigint").alias("n_shingles"),
+            shared.cast("bigint").alias("n_shared"),
+            (
+                F.floor((1.0 - shared / total.cast("double")) * 10000 + 0.5e0)
+                / 10000.0
+            ).alias("novelty_rate"),
+        )
+    )

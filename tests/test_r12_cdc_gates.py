@@ -1,0 +1,123 @@
+"""r12 additions: the CDC-maintained shingle-DF view behind the
+decontamination (q234) and novelty (q235) corpus gates — exactness of the
+signed-partial DF under re-crawl/delete/duplicate delivery, predicate
+scoping, and the maintained-view family replay contract (torn writes heal,
+compaction invariant, folded replays refused)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from stream_cdc_gps_spark.functions.text import tokens, word_shingles
+from stream_cdc_gps_spark.streaming.shingle_df_index import CdcShingleDfView
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, seq bigint, doc_id bigint, text string"
+    )
+
+
+def _df_dict(df):
+    return {r["shingle"]: r["n_docs"] for r in df.collect()}
+
+
+def _batch_df(final_docs, n=2):
+    """DF table built from scratch over an image frame — the oracle shape."""
+    return (
+        final_docs.select(
+            F.explode(
+                F.array_distinct(word_shingles(tokens(F.col("text")), n))
+            ).alias("shingle")
+        )
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def test_cdc_shingle_df_equals_batch_df_of_final_corpus(spark, tmp_path):
+    """Maintained net counts == the from-scratch DF over the upserted
+    final corpus: re-crawl retracts the OLD text's shingles, delete
+    retracts everything, duplicate re-delivery nets to zero."""
+    base = str(tmp_path / "sdf")
+    view = CdcShingleDfView(spark, base, n=2, n_doc_buckets=4, n_shingle_buckets=4)
+    view.merge(
+        _docs(
+            spark,
+            [
+                ("c", 1, 1, "a b c"),
+                ("c", 2, 2, "a b"),
+                ("c", 3, 3, "c d e"),
+            ],
+        ),
+        0,
+    )
+    view.merge(
+        _docs(
+            spark,
+            [
+                ("u", 10, 1, "a b x"),  # re-crawl: 'b c' retracts, 'b x' asserts
+                ("d", 11, 3, "c d e"),  # delete: all its shingles retract
+                ("u", 12, 2, "a b"),  # duplicate re-delivery: zero partial
+            ],
+        ),
+        1,
+    )
+    final = spark.createDataFrame(
+        [(1, "a b x"), (2, "a b")], "doc_id bigint, text string"
+    )
+    assert _df_dict(view.df()) == _df_dict(_batch_df(final))
+    # fully-retracted shingles are GONE (df 0), not present at 0 — the
+    # dead-membership drift the maintained gate exists to rule out
+    assert "c d" not in _df_dict(view.df())
+    # the changelog side still answers the full alive snapshot
+    alive = {r["doc_id"]: r["text"] for r in view.alive_docs().collect()}
+    assert alive == {1: "a b x", 2: "a b"}
+
+
+def test_cdc_shingle_df_pred_scopes_the_counts(spark, tmp_path):
+    """df_pred scopes WHICH documents count (the q234 train-bucket move)
+    while the changelog keeps the whole stream."""
+    base = str(tmp_path / "sdf_scoped")
+    view = CdcShingleDfView(
+        spark,
+        base,
+        n=2,
+        df_pred=F.col("doc_id") % 2 == 0,
+        n_doc_buckets=4,
+        n_shingle_buckets=4,
+    )
+    view.merge(
+        _docs(spark, [("c", 1, 1, "a b"), ("c", 2, 2, "a b"), ("c", 3, 4, "a b")]),
+        0,
+    )
+    # only docs 2 and 4 count toward DF; doc 1 (odd) is out of scope
+    assert _df_dict(view.df()) == {"a b": 2}
+    view.merge(_docs(spark, [("d", 10, 2, "a b")]), 1)
+    assert _df_dict(view.df()) == {"a b": 1}
+    # the full stream is still in the changelog (scope is a DF concern)
+    assert {r["doc_id"] for r in view.alive_docs().collect()} == {1, 4}
+
+
+def test_cdc_shingle_df_torn_write_heals_and_compaction_invariant(spark, tmp_path):
+    base = str(tmp_path / "sdf2")
+    view = CdcShingleDfView(spark, base, n=2, n_doc_buckets=4, n_shingle_buckets=4)
+    b0 = _docs(spark, [("c", 1, 1, "x y z"), ("c", 2, 2, "x y")])
+    b1 = _docs(spark, [("u", 10, 1, "x y w"), ("d", 11, 2, "x y")])
+    view.merge(b0, 0)
+    view.merge(b1, 1)
+    want = _df_dict(view.df())
+    # torn write: batch 1's DF partial vanished, the changelog landing
+    # survived — replay recomputes the identical delta and heals
+    shutil.rmtree(f"{base}/df/partials/batch_id=1")
+    replay = CdcShingleDfView(spark, base, n=2, n_doc_buckets=4, n_shingle_buckets=4)
+    replay.merge(b1, 1)
+    assert _df_dict(replay.df()) == want
+    # compaction preserves the merged table and refuses a folded replay
+    replay.compact()
+    assert _df_dict(replay.df()) == want
+    assert not replay.df_store.land(replay._signed_partial(
+        b0.select(F.lit(1).alias("_w"), "doc_id", "text")
+    ), 1)
