@@ -3721,3 +3721,113 @@ def q233_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / F.sqrt(var), 6).alias("z"),
         )
     )
+
+
+@query(
+    "q236_binned_ks",
+    oracle="""
+WITH assigned AS (
+    SELECT value,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 0 AS in_a
+    FROM events WHERE event_type = 'purchase'
+),
+ext AS (SELECT min(value) AS lo, max(value) AS hi FROM assigned),
+binned AS (
+    SELECT least(CAST(floor((value - lo) / (hi - lo) * 256) AS BIGINT), 255) AS bin,
+           in_a
+    FROM assigned, ext
+),
+by_bin AS (
+    SELECT bin,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a_v,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b_v
+    FROM binned GROUP BY bin
+),
+c AS (
+    SELECT sum(a_v) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+           sum(b_v) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+           sum(a_v) OVER () AS na,
+           sum(b_v) OVER () AS nb
+    FROM by_bin
+)
+SELECT CAST(max(na) AS BIGINT)                  AS n_a,
+       CAST(max(nb) AS BIGINT)                  AS n_b,
+       CAST(count(*) AS BIGINT)                 AS n_bins_occupied,
+       round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 4)
+           AS ks_d_binned,
+       max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb))
+           > 1.358e0 * sqrt((max(na) + max(nb))
+                            / (CAST(max(na) AS DOUBLE) * max(nb))) AS reject_05
+FROM c
+""",
+)
+def q236_binned_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINNED two-sample KS — q138's sketch-path companion (the q133↔q145
+    exact/sketch pairing, closing the r11 verdict's domain-cardinality
+    loophole): q138's distinct-value compression is only 100 TB-safe
+    because events.value is 2-dp quantized (domain-bounded distinct
+    count — the pinned guard in tests/test_compression_cardinality.py
+    measures it); over a genuinely CONTINUOUS column the compressed
+    sweep silently degrades back to O(n) rows through one task. This
+    variant evaluates both empirical CDFs on a fixed 256-cell equi-width
+    grid over the global [min, max] (1-row broadcast), so the cumulative
+    window walks ≤256 rows BY CONSTRUCTION, whatever the column's
+    cardinality. The price is one-sided: D_binned ≤ D_exact always (the
+    sup is taken over a subset of evaluation points), so a binned REJECT
+    is definitive while a binned accept can miss a gap confined to one
+    cell's interior — the conservative direction for a drift alarm.
+    All bin arithmetic is IEEE-deterministic (sub/div/mul/floor — no
+    libm), so bin membership is bit-identical across engines."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    in_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast(
+            "bigint"
+        )
+        % 2
+        == 0
+    )
+    assigned = e.select("value", in_a.alias("in_a"))
+    ext = assigned.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = assigned.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 256
+            ).cast("bigint"),
+            F.lit(255).cast("bigint"),
+        ).alias("bin"),
+        "in_a",
+    )
+    by_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("a_v"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("bigint").alias("b_v"),
+    )
+    wrun = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    c = by_bin.select(
+        F.sum("a_v").over(wrun).alias("ca"),
+        F.sum("b_v").over(wrun).alias("cb"),
+        F.sum("a_v").over(wall).alias("na"),
+        F.sum("b_v").over(wall).alias("nb"),
+    )
+    gap = F.abs(
+        F.col("ca").cast("double") / F.col("na")
+        - F.col("cb").cast("double") / F.col("nb")
+    )
+    crit = F.lit(1.358e0) * F.sqrt(
+        (F.max("na") + F.max("nb"))
+        / (F.max("na").cast("double") * F.max("nb"))
+    )
+    return c.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_occupied"),
+        F.round(F.max(gap), 4).alias("ks_d_binned"),
+        (F.max(gap) > crit).alias("reject_05"),
+    )

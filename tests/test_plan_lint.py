@@ -85,6 +85,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q224_benford_audit",  # broadcast 1-row total count
         "q225_gini_spend",  # broadcast 1-row range-boundary array (two-pass rank)
         "q133_equidepth_histogram",  # broadcast 1-row boundary array (two-pass rank)
+        "q236_binned_ks",  # broadcast 1-row global [min,max] bin extent
         "q125_skew_diagnostics",  # broadcast 1-row compressed rank-weighted sum
         "q227_km_survival",  # broadcast 1-row observation-end bound (q118's move)
     }
@@ -108,7 +109,12 @@ def test_no_row_at_a_time_python_udfs(plans):
 # aggregate/limit/literal auto-pass (the q178 distinct-value-compression
 # shape: cardinality = distinct keys, not rows — the key-cardinality
 # argument lives in each query's docstring). Everything else must be
-# pinned here with a justification, like the BNLJ list. EMPTY since r12:
+# pinned here with a justification, like the BNLJ list. The aggregate-fed
+# auto-pass is itself guarded: tests/test_compression_cardinality.py
+# MEASURES each compression query's distinct-count growth across a 10x
+# scale step (and demonstrates a continuous column trips the guard) — the
+# auto-pass alone would accept a continuous column whose "compression"
+# compresses nothing. EMPTY since r12:
 # the last entry (q133's one-shot exact ntile) was rewritten onto q225's
 # two-pass distributed rank — keep it empty; a new entry needs a written
 # case the two-pass rank genuinely cannot cover.
