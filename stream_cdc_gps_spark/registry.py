@@ -75,80 +75,75 @@ DRIVER_WINDOW = 50
 # instead require a committed full driver-sim artifact
 # (artifacts/driver_sim_full.json certifying a 0-fail run from this round).
 #
-# Round 11 front-loads, in order:
-# (a) queries changed this round — the staleness gate forces these:
-#     q138/q223/q225 (the r10 verdict's three single-partition-window
-#     rewrites: KS and Mann-Whitney onto per-distinct-value compression,
-#     Gini onto a two-pass bucketed distributed rank), q226 (new:
-#     three-layer cascaded IVM — maintained top-k over the maintained
-#     join-aggregate), and q125 (its Gini rank sum compressed from the
-#     O(keys) key-count table to distinct count values — the verdict's
-#     "adjacent" fold-in);
-# (b) the stalest official rows, oldest first: the NINETEEN r4-era rows
-#     that rotated out under the r10 slack rule (q11-q13, q46, q80/q82,
-#     q132, q139, q141-q144, q148/q149, q151, q156-q159) and the
-#     17 oldest r5-era rows (q14-q29 battery, q34) — a green row older
-#     than six rounds of tree churn is a weak certificate (r10 verdict
-#     task #3). q35, q36, q37, q105, q163 and q169-q172's newest rows
-#     stay r5-era one more round (slack rule: ≤ cap−2 = 48 entries; each
-#     of the round's nine changed/new rows beyond q226 displaced one
-#     stale slot — q125↔q171, q227↔q169, q228↔q170, q229↔q163,
-#     q230↔q105, q231↔q37, q232↔q36, q233↔q35, q172 deferred since the
-#     rotation was drawn), all nine deferred rows bridge-certified
-#     through the driver-exact canonicalizer on the closing tree
-#     (BASELINE.md r11) in addition to the tri-scale full-sim
-#     certificates; front them in r12.
+# Round 12 front-loads, in order:
+# (a) queries changed or added this round — the staleness gate forces
+#     these: q133 (the last GLOBAL_WINDOW_OK entry, rewritten onto q225's
+#     two-pass distributed rank), q227 (per-term 12-dp ln rounding, the
+#     r11 advice), and the new rows q234/q235 (CDC-maintained
+#     decontamination / shingle-novelty gates over CdcShingleDfView) and
+#     q236 (binned KS — the domain-cardinality-loophole companion);
+# (b) the NINE rows the r11 slack cap deferred with a promise (r11
+#     verdict task #1): q35, q36, q37, q105, q163, q169-q172 — their
+#     newest driver rows were r4/r5-era, bridge-certified at r11 close;
+# (c) the remaining r5-era rows (q38, q39, q43, q47-q51, q86, q90, q91,
+#     q97 — twelve), then the OLDEST r6-era rows in query order up to
+#     the slack cap (48 = window - 2) — the staleness rotation the r11
+#     verdict's task #2 prescribes (no certificate older than ~6 rounds
+#     of tree churn). Next-stalest after the cut: q150, q153, then the
+#     rest of the r6 cohort — r13's (c) tier.
 _PRIORITY: list[str] = [
-    # (a) changed or added in r11
-    "q138_ks_test",
-    "q223_mann_whitney_u",
-    "q225_gini_spend",
-    "q226_cdc_cascade_topk",
-    "q125_skew_diagnostics",
+    # (a) changed or added in r12
+    "q133_equidepth_histogram",
     "q227_km_survival",
-    "q228_spearman_corr",
-    "q229_fulfillment_sweepline",
-    "q230_cdc_sweepline_view",
-    "q231_cdc_stable_sample",
-    "q232_theil_sen_trend",
-    "q233_mann_kendall",
-    # (b) stalest official rows: r4-era first (19), then oldest r5 (25)
-    "q11_count_distinct",
-    "q12_rollup",
-    "q13_cube",
-    "q46_session_window_native",
-    "q80_media_metadata",
-    "q82_media_frames",
-    "q132_fixed_k_sample",
-    "q139_token_entropy",
-    "q141_bm25",
-    "q142_bigram_lm_score",
-    "q143_spatial_knn",
-    "q144_corpus_pipeline",
-    "q148_hard_negative_mining",
-    "q149_weighted_sample",
-    "q151_split_centroid_drift",
-    "q156_stop_detection",
-    "q157_od_matrix",
-    "q158_zorder_morton",
-    "q159_pq_codes",
-    "q14_grouping_sets",
-    "q15_percentiles",
-    "q16_having",
-    "q17_conditional_agg",
-    "q18_intersect",
-    "q19_except",
-    "q20_union_all",
-    "q21_distinct",
-    "q22_string_funcs",
-    "q23_date_funcs",
-    "q24_json_funcs",
-    "q25_hash_funcs",
-    "q26_approx_stats",
-    "q27_correlated_subquery",
-    "q28_pivot",
-    "q29_min_max_by",
-    "q34_asof_join",
+    "q234_cdc_decontamination",
+    "q235_cdc_shingle_novelty",
+    "q236_binned_ks",
+    # (b) the nine promised r11 deferrals
+    "q35_collect_sorted",
+    "q36_map_functions",
+    "q37_set_ops_all",
+    "q105_decontamination",
+    "q163_gps_pipeline",
+    "q169_hourly_acf",
+    "q170_cusum_changepoint",
+    "q171_seasonal_anomaly",
+    "q172_association_rules",
+    # (c) remaining r5-era rows
+    "q38_except_all",
+    "q39_uncorrelated_subquery",
+    "q43_tumbling_hourly",
+    "q47_hypertable_rollup",
+    "q48_array_functions",
+    "q49_unpivot",
+    "q50_dedup_exact",
+    "q51_dedup_fingerprint",
+    "q86_cdc_snapshot_upsert",
+    "q90_exists_subqueries",
+    "q91_cross_join",
+    "q97_sliding_window_rate",
+    # (c) oldest r6-era rows, query order, filling to the 50-row window
+    "q30_topk_per_group",
+    "q31_rank_dense_ntile",
+    "q32_lag_lead",
+    "q33_window_frames",
+    "q52_minhash_signatures",
+    "q53_lsh_candidate_pairs",
+    "q54_ngram_jaccard",
+    "q56_embedding_near_dup",
+    "q57_neardup_components",
+    "q58_simhash_pairs",
+    "q59_dedup_keep_one",
+    "q60_cosine_topk",
+    "q61_ann_bucketed_topk",
+    "q62_embedding_stats",
+    "q63_ivf_topk",
+    "q64_ann_recall",
+    "q65_label_centroids",
+    "q70_lang_stats",
+    "q71_token_quality",
+    "q79_lev_verify_pairs",
+    "q146_minhash_jaccard_estimate",
+    "q147_neardup_cluster_stats",
 ]
 
 
