@@ -3831,3 +3831,249 @@ def q236_binned_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(gap), 4).alias("ks_d_binned"),
         (F.max(gap) > crit).alias("reject_05"),
     )
+
+
+@query(
+    "q240_kruskal_wallis",
+    oracle="""
+WITH gv AS (
+    SELECT value, event_type, CAST(count(*) AS BIGINT) AS n_gv
+    FROM events GROUP BY value, event_type
+),
+m AS (SELECT value, CAST(sum(n_gv) AS BIGINT) AS m FROM gv GROUP BY value),
+r2 AS (
+    SELECT value,
+           2 * coalesce(sum(m) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1 AS r2
+    FROM m
+),
+rg AS (
+    SELECT event_type,
+           sum(CAST(n_gv AS HUGEINT) * r2) AS r2sum,
+           CAST(sum(n_gv) AS BIGINT)       AS n_g
+    FROM gv JOIN r2 USING (value) GROUP BY event_type
+),
+tot AS (
+    SELECT CAST(sum(m) AS BIGINT)                  AS n,
+           sum(CAST(m AS HUGEINT) * m * m - m)     AS tiesum
+    FROM m
+),
+dev AS (
+    SELECT n_g,
+           CAST(r2sum AS DOUBLE) / (2 * n_g) - (n + 1) / 2.0e0 AS d,
+           n, tiesum
+    FROM rg CROSS JOIN tot
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           max(n)                   AS n,
+           sum(n_g * d * d)         AS ssq,
+           max(CAST(tiesum AS DOUBLE)) AS tiesum
+    FROM dev
+)
+SELECT n_groups,
+       CAST(n AS BIGINT) AS n_total,
+       round(12.0e0 / (n * (n + 1.0e0)) * ssq, 6) AS h_stat,
+       round(12.0e0 / (n * (n + 1.0e0)) * ssq
+             / (1.0e0 - tiesum / (CAST(n AS DOUBLE) * n * n - n)), 6)
+           AS h_tie_corrected,
+       12.0e0 / (n * (n + 1.0e0)) * ssq
+           / (1.0e0 - tiesum / (CAST(n AS DOUBLE) * n * n - n))
+           > 9.487729036781154e0 AS reject_05
+FROM s
+""",
+)
+def q240_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H test across the five event types' value
+    distributions — the k-group extension of q223's Mann-Whitney (one-way
+    ANOVA on midranks): H = 12/(N(N+1)) Σ n_g (r̄_g − (N+1)/2)², divided
+    by the tie correction 1 − Σ(m³−m)/(N³−N), against the χ²(k−1) 5%
+    critical value.
+
+    Scale — the same distinct-value compression as q223/q228 (guarded by
+    tests/test_compression_cardinality.py: events.value is 2-dp
+    quantized): per-(value, group) counts aggregate first, doubled
+    midranks r2 = 2·below + m + 1 come from one cumulative window over
+    |distinct values| rows (aggregate-fed), and each group's rank sum is
+    an exact integer join-aggregate (decimal(38,0) on the Spark side,
+    HUGEINT in DuckDB — at 2e10 rows the doubled rank sums overflow
+    bigint). The H expression uses the mean-rank deviation form rather
+    than Σ R_g²/n_g: deviations are O(spread), so the squared terms stay
+    far from the 2^53 double cliff that the raw squared rank sums hit,
+    and the only cross-engine sum of doubles runs over k=5 group terms —
+    absorbed by the 6-dp rounding. dev² is written as d·d (no libm pow)."""
+    e = t(spark, sf_dir, "events")
+    gv = e.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gv")
+    )
+    m = gv.groupBy("value").agg(F.sum("n_gv").cast("bigint").alias("m"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    r2tab = m.select(
+        "value",
+        "m",
+        (2 * F.coalesce(F.sum("m").over(w), F.lit(0)) + F.col("m") + 1).alias("r2"),
+    )
+    rg = (
+        gv.join(r2tab, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("n_gv").cast("decimal(38,0)") * F.col("r2"))
+            .cast("decimal(38,0)")
+            .alias("r2sum"),
+            F.sum("n_gv").cast("bigint").alias("n_g"),
+        )
+    )
+    tot = m.agg(
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("m") * F.col("m") - F.col("m"))
+        .cast("decimal(38,0)")
+        .alias("tiesum"),
+    )
+    d = (
+        F.col("r2sum").cast("double") / (2 * F.col("n_g"))
+        - (F.col("n") + 1) / F.lit(2.0e0)
+    )
+    dev = rg.crossJoin(F.broadcast(tot)).select(
+        "n_g", d.alias("d"), "n", "tiesum"
+    )
+    s = dev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.max("n").alias("n"),
+        F.sum(F.col("n_g") * F.col("d") * F.col("d")).alias("ssq"),
+        F.max(F.col("tiesum").cast("double")).alias("tiesum"),
+    )
+    n = F.col("n")
+    h = F.lit(12.0e0) / (n * (n + F.lit(1.0e0))) * F.col("ssq")
+    c = F.lit(1.0e0) - F.col("tiesum") / (n.cast("double") * n * n - n)
+    return s.select(
+        "n_groups",
+        n.cast("bigint").alias("n_total"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / c, 6).alias("h_tie_corrected"),
+        (h / c > F.lit(9.487729036781154e0)).alias("reject_05"),
+    )
+
+
+@query(
+    "q241_weighted_median",
+    oracle="""
+WITH w AS (
+    SELECT l_returnflag AS g, l_extendedprice AS v,
+           CAST(l_quantity AS DECIMAL(18,2)) AS wt
+    FROM lineitem
+),
+byv AS (SELECT g, v, sum(wt) AS wv FROM w GROUP BY g, v),
+c AS (
+    SELECT g, v,
+           sum(wv) OVER (PARTITION BY g ORDER BY v) AS cw,
+           sum(wv) OVER (PARTITION BY g)            AS tw
+    FROM byv
+),
+med AS (SELECT g, min(v) AS wmedian FROM c WHERE 2 * cw >= tw GROUP BY g),
+tot AS (
+    SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(wt) AS DOUBLE), 2) AS total_qty
+    FROM w GROUP BY g
+)
+SELECT t.g       AS returnflag,
+       t.n_rows,
+       t.total_qty,
+       m.wmedian AS weighted_median_price
+FROM tot t JOIN med m ON t.g = m.g
+""",
+)
+def q241_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED MEDIAN per group (quantity-weighted median line
+    price per returnflag) — the weighted-quantile operator Spark lacks
+    natively (percentile() is unweighted; percentile_approx cannot be
+    exact), built as a CROSSING-BUCKET two-pass: the q225/q133 two-pass
+    distributed rank generalized from counting rows to accumulating
+    weights. Lower weighted median: the smallest v with
+    2·cumweight(≤v) ≥ totalweight.
+
+    Pass 1 sketches ~31 per-group range boundaries (approx_percentile —
+    nondeterminism cannot change the answer: cumulative weight at any v
+    is an exact DECIMAL sum, invariant under every bucket split) and
+    aggregates exact per-(group, bucket) weights; a ≤32·|groups|-row
+    cumulative window (aggregate-fed, partitioned by group) locates the
+    ONE bucket per group where the half-weight crossing happens. Pass 2
+    touches ONLY the crossing buckets (~1/32 of each group, the
+    broadcast-semi prune), compresses to per-(group, value) weights, and
+    walks the crossing bucket's distinct values to the first qualifying
+    v. No stage sorts a whole group: the group-partitioned windows run
+    over bucket tables and one bucket's distinct values — the knob at
+    100 TB is the boundary count (more buckets, smaller pass 2). All
+    weight arithmetic is DECIMAL-exact end to end; the oracle keeps the
+    one-shot per-group cumulative DuckDB runs single-node anyway."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+    )
+    qs = ",".join(str(i / 32.0) for i in range(1, 32))
+    bstats = li.groupBy("g").agg(
+        F.expr(
+            f"array_sort(array_distinct(approx_percentile(v, array({qs}), 1000)))"
+        ).alias("bs"),
+        F.sum("wt").alias("tw"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    bucketed = li.join(F.broadcast(bstats.select("g", "bs")), "g").select(
+        "g", "v", "wt", F.expr("size(filter(bs, b -> b < v))").alias("bkt")
+    )
+    bw = bucketed.groupBy("g", "bkt").agg(F.sum("wt").alias("bwt"))
+    w_off = (
+        Window.partitionBy("g").orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    zero = F.lit(0).cast("decimal(28,2)")
+    offs = bw.select(
+        "g",
+        "bkt",
+        "bwt",
+        F.coalesce(F.sum("bwt").over(w_off), zero).alias("cb"),
+    )
+    crossing = (
+        offs.join(F.broadcast(bstats.select("g", "tw")), "g")
+        .filter(2 * (F.col("cb") + F.col("bwt")) >= F.col("tw"))
+        .groupBy("g")
+        .agg(
+            F.min("bkt").alias("cbkt"),
+            F.min_by("cb", "bkt").alias("cb"),
+            F.max("tw").alias("tw"),
+        )
+    )
+    crossing_r = crossing.select(
+        F.col("g").alias("cg"), "cbkt", "cb", "tw"
+    )
+    sel = bucketed.join(
+        F.broadcast(crossing_r),
+        (F.col("g") == F.col("cg")) & (F.col("bkt") == F.col("cbkt")),
+    ).select("g", "v", "wt", "cb", "tw")
+    byv = sel.groupBy("g", "v").agg(
+        F.sum("wt").alias("wv"), F.max("cb").alias("cb"), F.max("tw").alias("tw")
+    )
+    w_in = (
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    med = (
+        byv.select(
+            "g",
+            "v",
+            (F.col("cb") + F.sum("wv").over(w_in)).alias("cw"),
+            "tw",
+        )
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("g")
+        .agg(F.min("v").alias("wmedian"))
+    )
+    return (
+        bstats.select("g", "n_rows", F.round(F.col("tw").cast("double"), 2).alias("total_qty"))
+        .join(med, "g")
+        .select(
+            F.col("g").alias("returnflag"),
+            "n_rows",
+            "total_qty",
+            F.col("wmedian").alias("weighted_median_price"),
+        )
+    )

@@ -1431,3 +1431,161 @@ def q235_cdc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+@query(
+    "q237_truncation_loss",
+    oracle="""
+WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+j AS (SELECT CAST(u.l AS BIGINT) AS ctx_len, n_tok
+      FROM d CROSS JOIN UNNEST([16, 32, 64, 96]) AS u(l))
+SELECT ctx_len,
+       CAST(count(*) AS BIGINT)                              AS n_docs,
+       CAST(sum(CASE WHEN n_tok > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_truncated,
+       CAST(sum(n_tok) AS BIGINT)                            AS total_tokens,
+       CAST(sum(greatest(n_tok - ctx_len, 0)) AS BIGINT)     AS tokens_lost,
+       floor(sum(greatest(n_tok - ctx_len, 0))
+             / CAST(sum(n_tok) AS DOUBLE) * 100000 + 0.5e0) / 100000.0
+                                                             AS frac_tokens_lost
+FROM j GROUP BY ctx_len
+""",
+)
+def q237_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-LENGTH TRUNCATION LOSS curve: for each candidate training
+    context length L, how many documents exceed L tokens and what
+    fraction of the corpus's tokens a hard-truncate-at-L policy throws
+    away — the number that decides between truncating and sequence
+    packing (q103 is the packing side; this row is why you run it). The
+    corpus's doc lengths sit at 10-99 tokens, so the 16/32/64/96 grid
+    brackets the knee of the curve.
+
+    Plan: pure map-side — one token count per document, one 4-element
+    literal-array explode (no join of any kind), one 4-key groupBy with
+    map-side partials. Counts stay integer-exact; the loss fraction is
+    the only double, rounded half-up at 5 dp (the portable idiom)."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    j = d.select(
+        n_tok.alias("n_tok"),
+        F.explode(
+            F.array(*[F.lit(x).cast("bigint") for x in (16, 32, 64, 96)])
+        ).alias("ctx_len"),
+    )
+    lost = F.greatest(F.col("n_tok") - F.col("ctx_len"), F.lit(0))
+    return j.groupBy("ctx_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_tok") > F.col("ctx_len"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_truncated"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum(lost).cast("bigint").alias("tokens_lost"),
+        (
+            F.floor(
+                F.sum(lost) / F.sum("n_tok").cast("double") * 100000 + 0.5e0
+            )
+            / 100000.0
+        ).alias("frac_tokens_lost"),
+    )
+
+
+@query(
+    "q239_cdc_mixture_weights",
+    oracle="""
+WITH final AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN 'src0' ELSE source END AS source,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' REVISED REVISED REVISED REVISED'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 5 != 0
+),
+src AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT)                          AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+    FROM final GROUP BY source
+),
+w AS (SELECT source, n_docs, tokens, sqrt(CAST(tokens AS DOUBLE)) AS wt FROM src)
+SELECT source, n_docs, tokens,
+       floor(wt / sum(wt) OVER () * 10000 + 0.5e0) / 10000.0         AS weight,
+       CAST(floor(wt / sum(wt) OVER () * 1000000 + 0.5e0) AS BIGINT) AS tokens_per_million
+FROM w
+""",
+)
+def q239_cdc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED SOURCE MIXTURE WEIGHTS — q108's temperature-scaled
+    sampling weights kept current under corpus churn by COMPOSING the
+    existing ``CdcAggregateView`` (key=source, val=token count): per-source
+    token totals are linear in the document multiset, so the maintained
+    (n, total) pairs equal the batch GROUP BY over the upserted final
+    corpus exactly, and the alpha=0.5 weight formula is a handful-of-rows
+    readout on top. A re-crawl that lengthens a document moves its token
+    delta; a source-moving correction lands (−tokens, old source) and
+    (+tokens, new source) in one merge; a delete retracts — the mixture a
+    training job samples from tomorrow reflects today's corpus without a
+    rescan (the operational gap between q108 and a live corpus).
+
+    Script: q231's churn shape — creates; %7 re-crawls appending _REV
+    (token count +4); %13 source moves to 'src0' (composing the %7 text
+    where both hit); %5 deletes; %11 duplicate re-deliveries netting to
+    zero. No new view class and no new algebra: the row certifies that
+    the aggregate-view building block composes into the corpus-curation
+    taxonomy unchanged.
+
+    Scale: per merge O(|Δ|) map + one |Δ|-keyed partial (the q196 cost
+    shape); the readout walks |sources| rows. Reference: the corpus
+    churns under these Debezium semantics (cmd/main.go:197-240)."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.operators.common import churn_script
+    from stream_cdc_gps_spark.streaming.join_view import CdcAggregateView
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    rev = F.concat(F.col("text"), F.lit(_REV))
+    recrawl = F.when(F.col("doc_id") % 7 == 0, rev).otherwise(F.col("text"))
+    a0, a1 = churn_script(
+        d,
+        "doc_id",
+        u1_cols={"text": rev},
+        u2_cols={"source": F.lit("src0"), "text": recrawl},
+    )
+
+    def as_counts(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            "op",
+            "seq",
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        )
+
+    base = tempfile.mkdtemp(prefix="cdc_mixture_")
+    try:
+        view = CdcAggregateView(
+            spark, base, key="source", pk="doc_id", val="n_tok"
+        )
+        view.merge(as_counts(a0), 0)
+        view.merge(as_counts(a1), 1)
+        src = view.snapshot().localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    base = src.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("total").cast("bigint").alias("tokens"),
+    )
+    # normalizer as a 1-row broadcast aggregate, not a global window: the
+    # snapshot is localCheckpoint-ed (the state dir is gone), so the plan
+    # lint cannot see the aggregate that bounds it — q224's move instead
+    wt = F.sqrt(F.col("tokens").cast("double"))
+    tot = base.agg(F.sum(wt).alias("twt"))
+    share = wt / F.col("twt")
+    return base.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        (F.floor(share * 10000 + 0.5e0) / 10000.0).alias("weight"),
+        F.floor(share * 1000000 + 0.5e0).cast("bigint").alias("tokens_per_million"),
+    )

@@ -80,8 +80,11 @@ DRIVER_WINDOW = 50
 #     these: q133 (the last GLOBAL_WINDOW_OK entry, rewritten onto q225's
 #     two-pass distributed rank), q227 (per-term 12-dp ln rounding, the
 #     r11 advice), and the new rows q234/q235 (CDC-maintained
-#     decontamination / shingle-novelty gates over CdcShingleDfView) and
-#     q236 (binned KS — the domain-cardinality-loophole companion);
+#     decontamination / shingle-novelty gates over CdcShingleDfView),
+#     q236 (binned KS — the domain-cardinality-loophole companion),
+#     q237 (truncation-loss curve), q239 (CDC-maintained mixture weights
+#     composing CdcAggregateView), q240 (Kruskal-Wallis on the midrank
+#     idiom), q241 (exact weighted median via crossing-bucket two-pass);
 # (b) the NINE rows the r11 slack cap deferred with a promise (r11
 #     verdict task #1): q35, q36, q37, q105, q163, q169-q172 — their
 #     newest driver rows were r4/r5-era, bridge-certified at r11 close;
@@ -89,8 +92,10 @@ DRIVER_WINDOW = 50
 #     q97 — twelve), then the OLDEST r6-era rows in query order up to
 #     the slack cap (48 = window - 2) — the staleness rotation the r11
 #     verdict's task #2 prescribes (no certificate older than ~6 rounds
-#     of tree churn). Next-stalest after the cut: q150, q153, then the
-#     rest of the r6 cohort — r13's (c) tier.
+#     of tree churn). Next-stalest after the cut (displaced one-for-one
+#     by the round's new rows, bridge-certified at close): q71, q79,
+#     q146, q147, q150, q153, then the rest of the r6 cohort — r13's
+#     (c) tier.
 _PRIORITY: list[str] = [
     # (a) changed or added in r12
     "q133_equidepth_histogram",
@@ -98,6 +103,10 @@ _PRIORITY: list[str] = [
     "q234_cdc_decontamination",
     "q235_cdc_shingle_novelty",
     "q236_binned_ks",
+    "q237_truncation_loss",
+    "q239_cdc_mixture_weights",
+    "q240_kruskal_wallis",
+    "q241_weighted_median",
     # (b) the nine promised r11 deferrals
     "q35_collect_sorted",
     "q36_map_functions",
@@ -140,10 +149,6 @@ _PRIORITY: list[str] = [
     "q64_ann_recall",
     "q65_label_centroids",
     "q70_lang_stats",
-    "q71_token_quality",
-    "q79_lev_verify_pairs",
-    "q146_minhash_jaccard_estimate",
-    "q147_neardup_cluster_stats",
 ]
 
 

@@ -86,6 +86,8 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q225_gini_spend",  # broadcast 1-row range-boundary array (two-pass rank)
         "q133_equidepth_histogram",  # broadcast 1-row boundary array (two-pass rank)
         "q236_binned_ks",  # broadcast 1-row global [min,max] bin extent
+        "q240_kruskal_wallis",  # broadcast 1-row N/tie-sum into the 5-group frame
+        "q239_cdc_mixture_weights",  # broadcast 1-row sqrt-weight normalizer
         "q125_skew_diagnostics",  # broadcast 1-row compressed rank-weighted sum
         "q227_km_survival",  # broadcast 1-row observation-end bound (q118's move)
     }
