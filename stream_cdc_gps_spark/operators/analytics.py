@@ -4077,3 +4077,150 @@ def q241_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wmedian").alias("weighted_median_price"),
         )
     )
+
+
+@query(
+    "q238_cdc_drift_monitor",
+    oracle="""
+WITH final AS (
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 13 = 0 THEN
+                    CASE WHEN event_type = 'purchase' THEN 'view'
+                         ELSE 'purchase' END
+                ELSE event_type END AS event_type,
+           CASE WHEN event_id % 7 = 0 THEN value + 1.11e0 ELSE value END AS value
+    FROM events WHERE event_id % 5 != 0
+),
+assigned AS (
+    SELECT value,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 0 AS in_a
+    FROM final WHERE event_type = 'purchase'
+),
+by_value AS (
+    SELECT value,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a_v,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b_v
+    FROM assigned GROUP BY value
+),
+c AS (
+    SELECT sum(a_v) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+           sum(b_v) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+           sum(a_v) OVER () AS na,
+           sum(b_v) OVER () AS nb
+    FROM by_value
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 4)
+           AS ks_d,
+       max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb))
+           > 1.358e0 * sqrt((max(na) + max(nb))
+                            / (CAST(max(na) AS DOUBLE) * max(nb))) AS reject_05
+FROM c
+""",
+)
+def q238_cdc_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED DISTRIBUTION-DRIFT MONITOR — q138's two-sample KS
+    kept current under event churn: the per-distinct-value arm counts the
+    KS sweep reads are LINEAR in the event multiset, so they live in one
+    composed ``CdcAggregateView`` (key = the monitored value for purchase
+    rows, NULL otherwise; val = the A-arm indicator) — n per key is the
+    purchase count at that value, total is the A-arm count, B = n − total.
+    A late value correction moves counts between value keys in one merge;
+    an event re-typed into or out of 'purchase' moves its key to/from
+    NULL (retract + assert, the same Z-set move as any key change); a
+    delete retracts — the drift alarm a pipeline polls reflects the
+    corrected stream without rescanning history, where the batch q138
+    re-reads every event per evaluation.
+
+    Script: churn_script over events (pk = event_id, unique in this
+    corpus — unlike lineitem's repeated pairs): %7 value corrections
+    (+1.11, bare double add — NO round(): both engines then group
+    bit-identical doubles; round() at near-half doubles is the known
+    portability trap), %13 re-types purchase↔view (composing the %7
+    value where both hit), %5 deletes, %11 duplicate re-deliveries
+    netting to zero. Readout = q138's compressed KS sweep over the
+    MAINTAINED counts (re-aggregated per value — the checkpointed
+    snapshot hides the bounding aggregate from the plan lint, and the
+    |distinct values| re-aggregate restores the proof), driver-checked
+    against the batch KS DuckDB computes from scratch over the upserted
+    final events.
+
+    Scale: per merge O(|Δ|) map + one |Δ|-keyed partial; the readout
+    walks |distinct monitored values| rows (domain-bounded — the
+    test_compression_cardinality guard's pinned class)."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.operators.common import churn_script
+    from stream_cdc_gps_spark.streaming.join_view import CdcAggregateView
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    flip = F.when(F.col("event_type") == "purchase", F.lit("view")).otherwise(
+        F.lit("purchase")
+    )
+    bumped = F.when(
+        F.col("event_id") % 7 == 0, F.col("value") + F.lit(1.11e0)
+    ).otherwise(F.col("value"))
+    a0, a1 = churn_script(
+        e,
+        "event_id",
+        u1_cols={"value": F.col("value") + F.lit(1.11e0)},
+        u2_cols={"event_type": flip, "value": bumped},
+    )
+
+    def as_arm_counts(batch: DataFrame) -> DataFrame:
+        in_a = (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+            ).cast("bigint")
+            % 2
+            == 0
+        )
+        return batch.select(
+            "op",
+            "seq",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.col("value")).alias("pval"),
+            F.when(in_a, 1).otherwise(0).cast("bigint").alias("ina"),
+        )
+
+    base = tempfile.mkdtemp(prefix="cdc_drift_")
+    try:
+        view = CdcAggregateView(spark, base, key="pval", pk="event_id", val="ina")
+        view.merge(as_arm_counts(a0), 0)
+        view.merge(as_arm_counts(a1), 1)
+        snap = view.snapshot().filter(F.col("pval").isNotNull()).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    by_value = snap.groupBy("pval").agg(
+        F.sum("total").cast("bigint").alias("a_v"),
+        (F.sum("n") - F.sum("total")).cast("bigint").alias("b_v"),
+    )
+    wrun = (
+        Window.orderBy("pval")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    c = by_value.select(
+        F.sum("a_v").over(wrun).alias("ca"),
+        F.sum("b_v").over(wrun).alias("cb"),
+        F.sum("a_v").over(wall).alias("na"),
+        F.sum("b_v").over(wall).alias("nb"),
+    )
+    gap = F.abs(
+        F.col("ca").cast("double") / F.col("na")
+        - F.col("cb").cast("double") / F.col("nb")
+    )
+    crit = F.lit(1.358e0) * F.sqrt(
+        (F.max("na") + F.max("nb"))
+        / (F.max("na").cast("double") * F.max("nb"))
+    )
+    return c.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.round(F.max(gap), 4).alias("ks_d"),
+        (F.max(gap) > crit).alias("reject_05"),
+    )

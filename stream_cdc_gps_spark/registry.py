@@ -84,7 +84,8 @@ DRIVER_WINDOW = 50
 #     q236 (binned KS — the domain-cardinality-loophole companion),
 #     q237 (truncation-loss curve), q239 (CDC-maintained mixture weights
 #     composing CdcAggregateView), q240 (Kruskal-Wallis on the midrank
-#     idiom), q241 (exact weighted median via crossing-bucket two-pass);
+#     idiom), q241 (exact weighted median via crossing-bucket two-pass),
+#     q238 (CDC-maintained KS drift monitor composing CdcAggregateView);
 # (b) the NINE rows the r11 slack cap deferred with a promise (r11
 #     verdict task #1): q35, q36, q37, q105, q163, q169-q172 — their
 #     newest driver rows were r4/r5-era, bridge-certified at r11 close;
@@ -93,7 +94,7 @@ DRIVER_WINDOW = 50
 #     the slack cap (48 = window - 2) — the staleness rotation the r11
 #     verdict's task #2 prescribes (no certificate older than ~6 rounds
 #     of tree churn). Next-stalest after the cut (displaced one-for-one
-#     by the round's new rows, bridge-certified at close): q71, q79,
+#     by the round's new rows, bridge-certified at close): q70, q71, q79,
 #     q146, q147, q150, q153, then the rest of the r6 cohort — r13's
 #     (c) tier.
 _PRIORITY: list[str] = [
@@ -104,6 +105,7 @@ _PRIORITY: list[str] = [
     "q235_cdc_shingle_novelty",
     "q236_binned_ks",
     "q237_truncation_loss",
+    "q238_cdc_drift_monitor",
     "q239_cdc_mixture_weights",
     "q240_kruskal_wallis",
     "q241_weighted_median",
@@ -148,7 +150,6 @@ _PRIORITY: list[str] = [
     "q63_ivf_topk",
     "q64_ann_recall",
     "q65_label_centroids",
-    "q70_lang_stats",
 ]
 
 
