@@ -88,27 +88,29 @@ PERMANENT = SHARED21 + [
 
 # Rotates each round (BASELINE.md records the per-round pick): queries
 # added or materially changed this round get a tracked number here.
-# r11: the round's changed/new rows (the three single-partition-window
-# rewrites q138/q223/q225 + the q125 compression, the three-layer
-# cascade q226, and the new statistics/CDC family q227-q233), plus the
-# eight heaviest CDC/vector reps carried from r10 for round-over-round
-# comparability. The other late-r10 spotlight rows (q193/q196/q197/
-# q199/q202-q204/q207-q222/q224) rotate off — each has isolated
-# BASELINE.md numbers and its correctness rides the driver window.
+# r12: the round's changed/new rows (the q133 two-pass-rank rewrite, the
+# q227 per-term rounding, and the new family q234-q244: CDC corpus
+# gates, binned KS, truncation loss, CDC drift monitor, CDC mixture
+# weights, Kruskal-Wallis, weighted median), plus the eight heaviest
+# CDC/vector reps carried again for round-over-round comparability. The
+# r11 spotlight statistics rows (q125/q138/q223/q225/q226/q228-q233)
+# rotate off — each keeps isolated BASELINE.md numbers (q226/q230/q231
+# re-probed at r12 round start) and correctness rides the driver window.
 SPOTLIGHT = [
-    "q125_skew_diagnostics",
-    "q138_ks_test",
-    "q223_mann_whitney_u",
-    "q225_gini_spend",
-    "q226_cdc_cascade_topk",
+    "q133_equidepth_histogram",
     "q227_km_survival",
-    "q228_spearman_corr",
-    "q229_fulfillment_sweepline",
-    "q230_cdc_sweepline_view",
-    "q231_cdc_stable_sample",
-    "q232_theil_sen_trend",
-    "q233_mann_kendall",
-    # carried r10 heavies (comparability anchors)
+    "q234_cdc_decontamination",
+    "q235_cdc_shingle_novelty",
+    "q236_binned_ks",
+    "q237_truncation_loss",
+    "q238_cdc_drift_monitor",
+    "q239_cdc_mixture_weights",
+    "q240_kruskal_wallis",
+    "q241_weighted_median",
+    "q242_bloom_filter",
+    "q243_cdc_counting_bloom",
+    "q244_prefix_filter_join",
+    # carried heavies (comparability anchors since r10)
     "q190_ivfpq_incremental_index",
     "q194_cdc_join_view",
     "q195_vector_index_retrain",

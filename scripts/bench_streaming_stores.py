@@ -365,6 +365,78 @@ def _scaling_section(spark, sf_dir: str, out: dict) -> None:
             shutil.rmtree(base, ignore_errors=True)
     out["scaling_cdc_cascade"] = curve
 
+    # CdcShingleDfView (r12): state = the doc changelog + the per-shingle
+    # net counts. Growth: s copies with doc_ids shifted AND every token
+    # suffixed per copy, so the DF table's key cardinality genuinely
+    # grows s× (same text would only grow the counts). The tail merge's
+    # only state read is the pk-pruned pre-image (the DF store is
+    # write-only in a merge); the GATE read (membership lookup for the
+    # probe doc's shingles) prunes by shingle shard — record both sides.
+    from stream_cdc_gps_spark.functions.text import tokens as _toks
+    from stream_cdc_gps_spark.streaming.shingle_df_index import CdcShingleDfView
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    max_did = d.agg(F.max("doc_id")).first()[0] + 1
+
+    def scaled_docs(s: int):
+        parts = []
+        for i in range(s):
+            retok = F.array_join(
+                F.transform(_toks(F.col("text")), lambda x: F.concat(x, F.lit(f"_{i}"))),
+                " ",
+            )
+            parts.append(
+                d.select(
+                    F.lit("c").alias("op"),
+                    (did + i * max_did).alias("seq"),
+                    (did + i * max_did).alias("doc_id"),
+                    retok.alias("text"),
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df.localCheckpoint()
+
+    dprobe = (
+        scaled_docs(1)
+        .orderBy("doc_id")
+        .limit(1)
+        .select(
+            F.lit("u").alias("op"),
+            (F.lit(9_000_000_000) + F.col("doc_id")).alias("seq"),
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" TAIL TAIL TAIL TAIL TAIL")).alias("text"),
+        )
+        .localCheckpoint()
+    )
+    curve = []
+    for s in (1, 4, 16):
+        base = tempfile.mkdtemp(prefix=f"scal_sdf_{s}x_")
+        try:
+            sv = CdcShingleDfView(spark, base)
+            sv.merge(scaled_docs(s), 0)
+            t0 = time.perf_counter()
+            sv.merge(dprobe, 1)
+            wall = round(time.perf_counter() - t0, 2)
+            pk_kb = sv.doc_store.touched_buckets(dprobe)
+            # the gate lookup's shingle shards: use the view's own shingler
+            probe_sh = sv._signed_partial(
+                dprobe.select(F.lit(1).alias("_w"), "doc_id", "text")
+            ).select("shingle")
+            sh_kb = sv.df_store.touched_buckets(probe_sh)
+            read = _store_bytes(sv.doc_store, pk_kb) + _store_bytes(
+                sv.df_store, sh_kb
+            )
+            total = _store_bytes(sv.doc_store) + _store_bytes(sv.df_store)
+            curve.append(
+                {"s": s, "state_bytes": total, "read_bytes": read, "tail_sec": wall}
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    out["scaling_shingle_df"] = curve
+
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]

@@ -1422,3 +1422,97 @@ def q206_cdc_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return idx.pairs().localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_PF_T = 0.5  # prefix-filter Jaccard threshold
+
+
+@query(
+    "q244_prefix_filter_join",
+    oracle=f"""
+WITH sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {_PF_T}
+""",
+)
+def q244_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERED set-similarity self-join (AllPairs / PPJoin —
+    Bayardo et al. WWW'07, Xiao et al. WWW'08): the EXACT Jaccard-≥-t
+    join with NO posting-list cap — the guarantee q54's inverted-index
+    sweep trades away (its MAX_POSTING stop-shingle drop is a documented
+    approximation; this operator never misses a qualifying pair).
+
+    The filter: order all shingles globally by (document frequency ASC,
+    shingle) — rarest first — and keep only each doc's PREFIX of length
+    n − ceil(t·n) + 1 under that order. If J(A,B) ≥ t the two prefixes
+    must share an element (skipping a whole prefix leaves fewer than
+    t·|A| ≤ |A∩B| common elements — contradiction), so candidates =
+    pairs sharing a PREFIX shingle only. Prefix postings are small by
+    construction (the rarest shingles), which is what kills the hot
+    buckets the cap existed for; the LENGTH filter (J ≥ t forces
+    t·max(n_a,n_b) ≤ min(n_a,n_b)) prunes again before verification,
+    and the exact |A∩B| check runs as array_intersect over the two
+    ~50-element shingle arrays per surviving candidate — never a
+    re-scan. The oracle runs the UNcapped all-pairs inverted-index join
+    (an independent formulation): a single missed pair hash-fails the
+    row, so the prefix theorem is driver-checked, not trusted.
+
+    Scale: one df aggregate, one per-doc sort of its own shingle array,
+    one explode of prefixes (≈ half the shingle volume at t=0.5), one
+    prefix-keyed bucket expand, one candidate-keyed verify join.
+    Adversarial near-identical corpora make prefix buckets dense — but
+    then the OUTPUT is itself quadratic; PPJoin's positional filter is
+    the production tightening, noted not needed at this threshold."""
+    d = _shingle_arrays(spark, sf_dir)
+    docs = d.select("doc_id", F.array_distinct("shs").alias("shs")).withColumn(
+        "n", F.size("shs")
+    )
+    ex = docs.select("doc_id", "n", F.explode("shs").alias("sh"))
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(dfreq, "sh")
+    lists = ranked.groupBy("doc_id").agg(
+        F.max("n").alias("n"),
+        F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("sorted"),
+    )
+    plen = (F.col("n") - F.ceil(F.col("n") * F.lit(_PF_T)) + 1).cast("int")
+    pref = lists.select(
+        "doc_id", "n", F.explode(F.slice("sorted", F.lit(1), plen)).alias("e")
+    ).select("doc_id", "n", F.col("e.sh").alias("sh"))
+    buckets = (
+        pref.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        bucket_pair_expand(buckets)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .filter(
+            F.least("na", "nb")
+            >= F.greatest("na", "nb") * F.lit(_PF_T)
+        )
+        .distinct()
+    )
+    sets_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sets_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .filter(jac >= _PF_T)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -3329,3 +3329,284 @@ def q220_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_retailprice") == F.col("f_price"))
         & (F.col("p_size") == F.col("f_size")),
     ).select("p_partkey", "p_size", "p_retailprice")
+
+
+_BLOOM_M = 65536  # bit-array width
+_BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos(key: "F.Column", i: int) -> "F.Column":
+    """Row-i Bloom position: independent md5-derived hash (the CMS salt
+    idiom, engine-portable)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_M
+    )
+
+
+@query(
+    "q242_bloom_filter",
+    oracle=f"""
+WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+bits AS (
+    SELECT DISTINCT ('0x' || substr(md5('bf' || CAST(u.i AS VARCHAR) || ':'
+               || CAST(k AS VARCHAR)), 1, 8))::BIGINT % {_BLOOM_M} AS pos
+    FROM keys, UNNEST([0, 1, 2, 3]) AS u(i)
+),
+present AS (SELECT k FROM keys ORDER BY k LIMIT 10),
+absent AS (SELECT k + 1000000000 AS k FROM keys ORDER BY k LIMIT 1000),
+cand AS (
+    SELECT k, TRUE AS is_present FROM present
+    UNION ALL
+    SELECT k, FALSE FROM absent
+),
+probe AS (
+    SELECT c.k, c.is_present,
+           ('0x' || substr(md5('bf' || CAST(u.i AS VARCHAR) || ':'
+               || CAST(c.k AS VARCHAR)), 1, 8))::BIGINT % {_BLOOM_M} AS pos
+    FROM cand c, UNNEST([0, 1, 2, 3]) AS u(i)
+),
+hit AS (
+    SELECT k, is_present,
+           CAST(min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS found
+    FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+    GROUP BY k, is_present
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM bits)           AS n_bits_set,
+       CAST(sum(CASE WHEN is_present THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_present_checked,
+       CAST(min(CASE WHEN is_present THEN found ELSE 1 END) AS BOOLEAN)
+                                                             AS no_false_negatives,
+       CAST(sum(CASE WHEN is_present THEN 0 ELSE 1 END) AS BIGINT)
+                                                             AS n_absent_checked,
+       CAST(sum(CASE WHEN NOT is_present THEN found ELSE 0 END) AS BIGINT)
+                                                             AS n_false_positives,
+       floor(sum(CASE WHEN NOT is_present THEN found ELSE 0 END)
+             / CAST(sum(CASE WHEN is_present THEN 0 ELSE 1 END) AS DOUBLE)
+             * 10000 + 0.5e0) / 10000.0                      AS fp_rate
+FROM hit
+""",
+)
+def q242_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM FILTER membership sketch — the classic the sketch family
+    (CMS q113, HLL q131, KMV q215, quantile q202) was missing: a
+    {_BLOOM_K}-hash, {_BLOOM_M}-bit filter over the distinct order
+    custkeys, built as a distinct-position table (the bit array as data —
+    mergeable across partitions by set union, which is why a Bloom build
+    is one distinct aggregate at any scale). The readout checks the two
+    defining properties IN-QUERY: zero false negatives on 10 known-present
+    keys (admissibility — a Bloom can only err toward presence), and the
+    measured false-positive rate over 1000 derived definitely-absent keys
+    (custkey + 1e9 — outside the key domain). With n≈10k keys the fill is
+    ~0.45-ish and the FPR lands around (fill)^k — the measured rate is
+    emitted as exact integers plus one rounded ratio; everything is
+    md5-deterministic, so the oracle reproduces the filter bit-for-bit.
+
+    Scale: build = one distinct + one {_BLOOM_K}-way explode + one
+    distinct-position aggregate, output bounded by {_BLOOM_M} rows
+    whatever the key count; probes join the bounded position table
+    (broadcast at any corpus size). A production filter ships the
+    position table as the compact bitmap; the relational form here is the
+    engine-checkable equivalent."""
+    o = t(spark, sf_dir, "orders")
+    keys = o.select(F.col("o_custkey").alias("k")).distinct()
+    bits = (
+        keys.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("k"), i) for i in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    present = keys.orderBy("k").limit(10).select("k", F.lit(True).alias("is_present"))
+    absent = (
+        keys.orderBy("k")
+        .limit(1000)
+        .select((F.col("k") + 1_000_000_000).alias("k"), F.lit(False).alias("is_present"))
+    )
+    cand = present.unionByName(absent)
+    probe = cand.select(
+        "k",
+        "is_present",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("k"), i) for i in range(_BLOOM_K)])
+        ).alias("pos"),
+    )
+    hit = (
+        probe.join(F.broadcast(bits.withColumn("b", F.lit(1))), "pos", "left")
+        .groupBy("k", "is_present")
+        .agg(F.min(F.when(F.col("b").isNull(), 0).otherwise(1)).cast("bigint").alias("found"))
+    )
+    nbits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    fp = F.sum(F.when(~F.col("is_present"), F.col("found")).otherwise(0))
+    na = F.sum(F.when(F.col("is_present"), 0).otherwise(1))
+    return hit.agg(
+        F.sum(F.when(F.col("is_present"), 1).otherwise(0)).cast("bigint").alias("n_present_checked"),
+        F.min(F.when(F.col("is_present"), F.col("found")).otherwise(1))
+        .cast("boolean")
+        .alias("no_false_negatives"),
+        na.cast("bigint").alias("n_absent_checked"),
+        fp.cast("bigint").alias("n_false_positives"),
+        (F.floor(fp / na.cast("double") * 10000 + 0.5e0) / 10000.0).alias("fp_rate"),
+    ).crossJoin(F.broadcast(nbits)).select(
+        "n_bits_set",
+        "n_present_checked",
+        "no_false_negatives",
+        "n_absent_checked",
+        "n_false_positives",
+        "fp_rate",
+    )
+
+
+@query(
+    "q243_cdc_counting_bloom",
+    oracle=f"""
+WITH final AS (
+    SELECT CASE WHEN o_orderkey % 13 = 0 THEN 1
+                WHEN o_orderkey % 7 = 0 THEN o_custkey + 200000
+                ELSE o_custkey END AS k
+    FROM orders WHERE o_orderkey % 5 != 0
+),
+counters AS (
+    SELECT pos, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT ('0x' || substr(md5('bf' || CAST(u.i AS VARCHAR) || ':'
+                   || CAST(k AS VARCHAR)), 1, 8))::BIGINT % {_BLOOM_M} AS pos
+        FROM final, UNNEST([0, 1, 2, 3]) AS u(i)
+    ) GROUP BY pos
+),
+dk AS (SELECT DISTINCT k FROM final),
+present AS (SELECT k FROM dk ORDER BY k LIMIT 10),
+absent AS (SELECT k + 1000000000 AS k FROM dk ORDER BY k LIMIT 1000),
+cand AS (
+    SELECT k, TRUE AS is_present FROM present
+    UNION ALL
+    SELECT k, FALSE FROM absent
+),
+probe AS (
+    SELECT c.k, c.is_present,
+           ('0x' || substr(md5('bf' || CAST(u.i AS VARCHAR) || ':'
+               || CAST(c.k AS VARCHAR)), 1, 8))::BIGINT % {_BLOOM_M} AS pos
+    FROM cand c, UNNEST([0, 1, 2, 3]) AS u(i)
+),
+hit AS (
+    SELECT k, is_present,
+           CAST(min(CASE WHEN ct.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS found
+    FROM probe p LEFT JOIN counters ct ON p.pos = ct.pos
+    GROUP BY k, is_present
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM counters)      AS n_positions_set,
+       (SELECT CAST(sum(cnt) AS BIGINT) FROM counters)      AS total_count,
+       CAST(sum(CASE WHEN is_present THEN 1 ELSE 0 END) AS BIGINT)
+                                                            AS n_present_checked,
+       CAST(min(CASE WHEN is_present THEN found ELSE 1 END) AS BOOLEAN)
+                                                            AS no_false_negatives,
+       CAST(sum(CASE WHEN NOT is_present THEN found ELSE 0 END) AS BIGINT)
+                                                            AS n_false_positives
+FROM hit
+""",
+)
+def q243_cdc_counting_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED COUNTING BLOOM FILTER — q242's membership sketch
+    made retraction-safe (streaming/bloom_index.CdcCountingBloom): a
+    plain Bloom cannot delete (clearing a bit clears every key hashing
+    there), so under churn its FPR only rises as dead keys' bits
+    accumulate; per-position COUNTERS are linear in the tracked multiset,
+    so the q207 signed-partial algebra maintains the filter exactly — a
+    key-moving order correction retracts the old custkey's 4 cells and
+    asserts the new custkey's in one merge, a delete decrements exactly,
+    and membership (all positions' net counts > 0) tests against the
+    ALIVE order set only.
+
+    Script: churn_script over orders (pk = o_orderkey; %7 reassigns the
+    order to custkey+200000, %13 reassigns to custkey 1 — u2 overrides
+    the same column u1 changes, so the final image is u2's outright;
+    %5 deletes; %11 duplicate re-deliveries netting to zero), two
+    merges, then q242's readout over the MAINTAINED counters: zero
+    false negatives on the 10 smallest alive keys, false-positive count
+    over 1000 derived absent keys, both against the identical counters
+    DuckDB builds from scratch over the upserted final orders
+    (counter-exactness: net of the partials == counters of the net).
+
+    Scale: per merge the landed partial is ≤ 4·|Δ| cells collapsing
+    map-side; the pre-image read is pk-pruned; the counter table is
+    bounded by {_BLOOM_M} positions however many orders exist."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.operators.common import churn_script
+    from stream_cdc_gps_spark.streaming.bloom_index import CdcCountingBloom
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    a0, a1 = churn_script(
+        o,
+        "o_orderkey",
+        u1_cols={"o_custkey": F.col("o_custkey") + 200000},
+        u2_cols={"o_custkey": F.lit(1).cast("bigint")},
+    )
+    base = tempfile.mkdtemp(prefix="cdc_bloom_")
+    try:
+        bloom = CdcCountingBloom(spark, base, pk="o_orderkey", key="o_custkey")
+        bloom.merge(a0, 0)
+        bloom.merge(a1, 1)
+        counters = bloom.counters().localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    ok = F.col("o_orderkey")
+    final_k = (
+        o.filter(ok % 5 != 0)
+        .select(
+            F.when(ok % 13 == 0, F.lit(1).cast("bigint"))
+            .when(ok % 7 == 0, F.col("o_custkey") + 200000)
+            .otherwise(F.col("o_custkey"))
+            .alias("k")
+        )
+        .distinct()
+    )
+    present = final_k.orderBy("k").limit(10).select("k", F.lit(True).alias("is_present"))
+    absent = (
+        final_k.orderBy("k")
+        .limit(1000)
+        .select((F.col("k") + 1_000_000_000).alias("k"), F.lit(False).alias("is_present"))
+    )
+    probe = present.unionByName(absent).select(
+        "k",
+        "is_present",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("k"), i) for i in range(_BLOOM_K)])
+        ).alias("pos"),
+    )
+    hit = (
+        probe.join(F.broadcast(counters), "pos", "left")
+        .groupBy("k", "is_present")
+        .agg(
+            F.min(F.when(F.col("cnt").isNull(), 0).otherwise(1))
+            .cast("bigint")
+            .alias("found")
+        )
+    )
+    stats = counters.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_positions_set"),
+        F.sum("cnt").cast("bigint").alias("total_count"),
+    )
+    return hit.agg(
+        F.sum(F.when(F.col("is_present"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_present_checked"),
+        F.min(F.when(F.col("is_present"), F.col("found")).otherwise(1))
+        .cast("boolean")
+        .alias("no_false_negatives"),
+        F.sum(F.when(~F.col("is_present"), F.col("found")).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_positives"),
+    ).crossJoin(F.broadcast(stats)).select(
+        "n_positions_set",
+        "total_count",
+        "n_present_checked",
+        "no_false_negatives",
+        "n_false_positives",
+    )

@@ -85,7 +85,9 @@ DRIVER_WINDOW = 50
 #     q237 (truncation-loss curve), q239 (CDC-maintained mixture weights
 #     composing CdcAggregateView), q240 (Kruskal-Wallis on the midrank
 #     idiom), q241 (exact weighted median via crossing-bucket two-pass),
-#     q238 (CDC-maintained KS drift monitor composing CdcAggregateView);
+#     q238 (CDC-maintained KS drift monitor composing CdcAggregateView),
+#     q242/q243 (Bloom filter + its CDC counting variant), q244
+#     (prefix-filtered exact set-similarity join);
 # (b) the NINE rows the r11 slack cap deferred with a promise (r11
 #     verdict task #1): q35, q36, q37, q105, q163, q169-q172 — their
 #     newest driver rows were r4/r5-era, bridge-certified at r11 close;
@@ -94,7 +96,8 @@ DRIVER_WINDOW = 50
 #     the slack cap (48 = window - 2) — the staleness rotation the r11
 #     verdict's task #2 prescribes (no certificate older than ~6 rounds
 #     of tree churn). Next-stalest after the cut (displaced one-for-one
-#     by the round's new rows, bridge-certified at close): q70, q71, q79,
+#     by the round's new rows, bridge-certified at close): q63-q65,
+#     q70, q71, q79,
 #     q146, q147, q150, q153, then the rest of the r6 cohort — r13's
 #     (c) tier.
 _PRIORITY: list[str] = [
@@ -109,6 +112,9 @@ _PRIORITY: list[str] = [
     "q239_cdc_mixture_weights",
     "q240_kruskal_wallis",
     "q241_weighted_median",
+    "q242_bloom_filter",
+    "q243_cdc_counting_bloom",
+    "q244_prefix_filter_join",
     # (b) the nine promised r11 deferrals
     "q35_collect_sorted",
     "q36_map_functions",
@@ -147,9 +153,6 @@ _PRIORITY: list[str] = [
     "q60_cosine_topk",
     "q61_ann_bucketed_topk",
     "q62_embedding_stats",
-    "q63_ivf_topk",
-    "q64_ann_recall",
-    "q65_label_centroids",
 ]
 
 

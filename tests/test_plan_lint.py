@@ -88,6 +88,8 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q236_binned_ks",  # broadcast 1-row global [min,max] bin extent
         "q240_kruskal_wallis",  # broadcast 1-row N/tie-sum into the 5-group frame
         "q239_cdc_mixture_weights",  # broadcast 1-row sqrt-weight normalizer
+        "q242_bloom_filter",  # broadcast 1-row n_bits_set combine
+        "q243_cdc_counting_bloom",  # broadcast 1-row counter-stats combine
         "q125_skew_diagnostics",  # broadcast 1-row compressed rank-weighted sum
         "q227_km_survival",  # broadcast 1-row observation-end bound (q118's move)
     }

@@ -121,3 +121,77 @@ def test_cdc_shingle_df_torn_write_heals_and_compaction_invariant(spark, tmp_pat
     assert not replay.df_store.land(replay._signed_partial(
         b0.select(F.lit(1).alias("_w"), "doc_id", "text")
     ), 1)
+
+
+# --- CDC counting Bloom (q243) -------------------------------------------
+
+from stream_cdc_gps_spark.operators.relational import _BLOOM_K, _bloom_pos
+from stream_cdc_gps_spark.streaming.bloom_index import CdcCountingBloom
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "op string, seq bigint, rid bigint, k bigint")
+
+
+def _cnt_dict(df):
+    return {r["pos"]: r["cnt"] for r in df.collect()}
+
+
+def _batch_counters(spark, keys):
+    img = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    return (
+        img.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("k"), i) for i in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def test_cdc_counting_bloom_equals_batch_counters(spark, tmp_path):
+    """Maintained net counters == counters over the upserted final key
+    multiset: a key move retracts the old key's cells and asserts the
+    new key's; a delete decrements exactly; membership never carries a
+    dead key's cells (the plain-Bloom drift this class exists to fix)."""
+    base = str(tmp_path / "cbloom")
+    bloom = CdcCountingBloom(spark, base, pk="rid", key="k", n_pk_buckets=4)
+    bloom.merge(
+        _rows(spark, [("c", 1, 1, 100), ("c", 2, 2, 100), ("c", 3, 3, 200)]), 0
+    )
+    bloom.merge(
+        _rows(
+            spark,
+            [
+                ("u", 10, 1, 300),  # key move: 100's cells -1, 300's +1
+                ("d", 11, 3, 200),  # delete: 200 fully retracted
+                ("u", 12, 2, 100),  # duplicate re-delivery: zero partial
+            ],
+        ),
+        1,
+    )
+    want = _cnt_dict(_batch_counters(spark, [300, 100]))
+    assert _cnt_dict(bloom.counters()) == want
+    # 200's cells are GONE — membership over the alive set only
+    dead = _cnt_dict(_batch_counters(spark, [200]))
+    alive = _cnt_dict(bloom.counters())
+    assert any(p not in alive for p in dead)
+
+
+def test_cdc_counting_bloom_torn_write_heals_and_compaction(spark, tmp_path):
+    import shutil as _sh
+
+    base = str(tmp_path / "cbloom2")
+    bloom = CdcCountingBloom(spark, base, pk="rid", key="k", n_pk_buckets=4)
+    b0 = _rows(spark, [("c", 1, 1, 10), ("c", 2, 2, 20)])
+    b1 = _rows(spark, [("u", 10, 1, 30), ("d", 11, 2, 20)])
+    bloom.merge(b0, 0)
+    bloom.merge(b1, 1)
+    want = _cnt_dict(bloom.counters())
+    _sh.rmtree(f"{base}/cnt/partials/batch_id=1")
+    replay = CdcCountingBloom(spark, base, pk="rid", key="k", n_pk_buckets=4)
+    replay.merge(b1, 1)
+    assert _cnt_dict(replay.counters()) == want
+    replay.compact()
+    assert _cnt_dict(replay.counters()) == want
