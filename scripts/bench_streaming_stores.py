@@ -421,17 +421,25 @@ def _scaling_section(spark, sf_dir: str, out: dict) -> None:
             sv.merge(dprobe, 1)
             wall = round(time.perf_counter() - t0, 2)
             pk_kb = sv.doc_store.touched_buckets(dprobe)
-            # the gate lookup's shingle shards: use the view's own shingler
-            probe_sh = sv._signed_partial(
+            # the gate's POINT lookup (one shingle's membership) prunes to
+            # one shard; a whole-document lookup touches min(|shingles|,
+            # n_buckets) shards — at 16 buckets a ~50-shingle doc reads
+            # all of them, so the per-shingle primitive is the claim
+            one_sh = sv._signed_partial(
                 dprobe.select(F.lit(1).alias("_w"), "doc_id", "text")
-            ).select("shingle")
-            sh_kb = sv.df_store.touched_buckets(probe_sh)
-            read = _store_bytes(sv.doc_store, pk_kb) + _store_bytes(
-                sv.df_store, sh_kb
-            )
+            ).select("shingle").limit(1)
+            sh_kb = sv.df_store.touched_buckets(one_sh)
+            merge_read = _store_bytes(sv.doc_store, pk_kb)
+            lookup_read = _store_bytes(sv.df_store, sh_kb)
             total = _store_bytes(sv.doc_store) + _store_bytes(sv.df_store)
             curve.append(
-                {"s": s, "state_bytes": total, "read_bytes": read, "tail_sec": wall}
+                {
+                    "s": s,
+                    "state_bytes": total,
+                    "merge_read_bytes": merge_read,
+                    "lookup_read_bytes": lookup_read,
+                    "tail_sec": wall,
+                }
             )
         finally:
             shutil.rmtree(base, ignore_errors=True)

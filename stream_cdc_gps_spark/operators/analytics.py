@@ -4010,15 +4010,33 @@ def q241_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("v"),
         F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
     )
+    res = weighted_median_by_group(li)
+    return res.select(
+        F.col("g").alias("returnflag"),
+        "n_rows",
+        F.round(F.col("tw").cast("double"), 2).alias("total_qty"),
+        F.col("wmedian").alias("weighted_median_price"),
+    )
+
+
+def weighted_median_by_group(w: "DataFrame") -> "DataFrame":
+    """Crossing-bucket two-pass EXACT lower weighted median per group.
+
+    Input columns: (g, v, wt) with wt a DECIMAL weight; returns one row
+    per group: (g, n_rows, tw, wmedian) where wmedian is the smallest v
+    with 2·cumweight(≤v) ≥ tw. The q241 docstring carries the full plan
+    argument; this helper exists so the property suite can fuzz the
+    machinery against a pure-Python reference on generated frames
+    (tests/test_property_based.py)."""
     qs = ",".join(str(i / 32.0) for i in range(1, 32))
-    bstats = li.groupBy("g").agg(
+    bstats = w.groupBy("g").agg(
         F.expr(
             f"array_sort(array_distinct(approx_percentile(v, array({qs}), 1000)))"
         ).alias("bs"),
         F.sum("wt").alias("tw"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
-    bucketed = li.join(F.broadcast(bstats.select("g", "bs")), "g").select(
+    bucketed = w.join(F.broadcast(bstats.select("g", "bs")), "g").select(
         "g", "v", "wt", F.expr("size(filter(bs, b -> b < v))").alias("bkt")
     )
     bw = bucketed.groupBy("g", "bkt").agg(F.sum("wt").alias("bwt"))
@@ -4067,16 +4085,7 @@ def q241_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(F.min("v").alias("wmedian"))
     )
-    return (
-        bstats.select("g", "n_rows", F.round(F.col("tw").cast("double"), 2).alias("total_qty"))
-        .join(med, "g")
-        .select(
-            F.col("g").alias("returnflag"),
-            "n_rows",
-            "total_qty",
-            F.col("wmedian").alias("weighted_median_price"),
-        )
-    )
+    return bstats.select("g", "n_rows", "tw").join(med, "g")
 
 
 @query(

@@ -746,3 +746,49 @@ def test_quantile_sketch_rank_bound_on_generated(spark, ex):
     finally:
         shutil.rmtree(base1, ignore_errors=True)
         shutil.rmtree(base2, ignore_errors=True)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),   # group
+            st.integers(min_value=0, max_value=6),   # value (small grid -> ties)
+            st.integers(min_value=1, max_value=5),   # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_weighted_median_matches_bruteforce(spark, rows):
+    """q241's crossing-bucket two-pass vs the definition: smallest v with
+    2·cumweight(≤v) ≥ totalweight, per group — ties, single-row groups,
+    and all-equal-value groups included by construction of the generator
+    (sketch nondeterminism must not matter: the answer is a pure function
+    of the weight distribution)."""
+    from decimal import Decimal
+
+    from stream_cdc_gps_spark.operators.analytics import weighted_median_by_group
+
+    df = spark.createDataFrame(
+        [(g, float(v), Decimal(wt)) for g, v, wt in rows],
+        "g int, v double, wt decimal(18,2)",
+    )
+    got = {
+        r["g"]: (r["n_rows"], float(r["tw"]), r["wmedian"])
+        for r in weighted_median_by_group(df).collect()
+    }
+
+    want = {}
+    for g in {g for g, _, _ in rows}:
+        items = sorted((v, wt) for gg, v, wt in rows if gg == g)
+        total = sum(wt for _, wt in items)
+        cum = 0
+        med = None
+        for v, wt in items:
+            cum += wt
+            if 2 * cum >= total:
+                med = float(v)
+                break
+        want[g] = (len(items), float(total), med)
+    assert got == want
