@@ -4233,3 +4233,201 @@ def q238_cdc_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(gap), 4).alias("ks_d"),
         (F.max(gap) > crit).alias("reject_05"),
     )
+
+
+@query(
+    "q245_oneway_anova",
+    oracle="""
+WITH g AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)            AS n_g,
+           sum(CAST(value AS DECIMAL(18,2)))   AS s_g,
+           sum(CAST(value AS DECIMAL(18,2))
+               * CAST(value AS DECIMAL(18,2))) AS q_g
+    FROM events GROUP BY event_type
+),
+tot AS (
+    SELECT CAST(sum(n_g) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(s_g) AS DOUBLE) AS s,
+           CAST(sum(q_g) AS DOUBLE) AS q
+    FROM g
+),
+parts AS (
+    SELECT sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g) AS sb FROM g
+)
+SELECT k                                               AS n_groups,
+       n                                               AS n_total,
+       round(sb - s * s / n, 4)                        AS ss_between,
+       round(q - sb, 4)                                AS ss_within,
+       round(((sb - s * s / n) / (k - 1))
+             / ((q - sb) / (n - k)), 6)                AS f_stat,
+       round((sb - s * s / n) / (q - s * s / n), 6)    AS eta_squared,
+       ((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k))
+           > 2.3719322591952886e0                      AS reject_05
+FROM parts CROSS JOIN tot
+""",
+)
+def q245_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F test across the five event types' value means —
+    the parametric companion to q240's Kruskal-Wallis (same hypothesis,
+    mean- instead of rank-based): F = (SSB/(k-1)) / (SSW/(N-k)) from the
+    sufficient statistics (n_g, Σv, Σv²) per group, against the
+    F(k-1, ∞) 5% critical value (= q240's χ²(4) critical 9.48772903…/4;
+    N-k ≈ 10⁴ makes the ∞-df value exact to 4 dp).
+
+    Scale — the textbook one-pass shape: each group's count/sum/sum-of-
+    squares is a map-side partial combine (NO window, NO second pass —
+    cheaper than every rank test in the family), the F assembly walks
+    k=5 rows. Exactness: value is 2-dp quantized (the corpus invariant
+    tests/test_compression_cardinality.py guards), so Σv and Σv² are
+    DECIMAL-exact and order-independent on both engines; the only
+    cross-engine double sum is the k=5-term Σ S_g²/n_g, absorbed by the
+    rounding exactly as q240's ssq. SSW is assembled as Q − ΣS_g²/n_g
+    (never as Σ(v−m)², which would need the means first)."""
+    e = t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(v).alias("s_g"),
+        F.sum(v * v).alias("q_g"),
+    )
+    return _anova_readout(g)
+
+
+def _anova_readout(g: DataFrame) -> DataFrame:
+    """F-test assembly over per-group sufficient statistics
+    (n_g bigint, s_g decimal, q_g decimal) — shared by q245 (raw values)
+    and q246 (median-centered absolute deviations). Mirrors the oracle
+    CTEs tot/parts verbatim; k-row inputs only."""
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s_g").cast("double").alias("s"),
+        F.sum("q_g").cast("double").alias("q"),
+    )
+    parts = g.agg(
+        F.sum(
+            F.col("s_g").cast("double") * F.col("s_g").cast("double") / F.col("n_g")
+        ).alias("sb")
+    )
+    j = parts.crossJoin(F.broadcast(tot))
+    ssb = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sb")
+    sst = F.col("q") - F.col("s") * F.col("s") / F.col("n")
+    f = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return j.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_total"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(f, 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+        (f > F.lit(2.3719322591952886e0)).alias("reject_05"),
+    )
+
+
+@query(
+    "q246_brown_forsythe",
+    oracle="""
+WITH m AS (
+    SELECT event_type, value, CAST(count(*) AS BIGINT) AS m
+    FROM events GROUP BY event_type, value
+),
+c AS (
+    SELECT event_type, value,
+           sum(m) OVER (PARTITION BY event_type ORDER BY value) AS cw,
+           sum(m) OVER (PARTITION BY event_type)                AS n_g
+    FROM m
+),
+med AS (SELECT event_type, min(value) AS med FROM c WHERE 2 * cw >= n_g
+        GROUP BY event_type),
+z AS (
+    SELECT e.event_type,
+           CAST(abs(CAST(e.value AS DECIMAL(18,2))
+                    - CAST(m.med AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS z
+    FROM events e JOIN med m USING (event_type)
+),
+g AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_g,
+           sum(z)                   AS s_g,
+           sum(z * z)               AS q_g
+    FROM z GROUP BY event_type
+),
+tot AS (
+    SELECT CAST(sum(n_g) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(s_g) AS DOUBLE) AS s,
+           CAST(sum(q_g) AS DOUBLE) AS q
+    FROM g
+),
+parts AS (
+    SELECT sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g) AS sb FROM g
+)
+SELECT k                                               AS n_groups,
+       n                                               AS n_total,
+       round(sb - s * s / n, 4)                        AS ss_between,
+       round(q - sb, 4)                                AS ss_within,
+       round(((sb - s * s / n) / (k - 1))
+             / ((q - sb) / (n - k)), 6)                AS f_stat,
+       round((sb - s * s / n) / (q - s * s / n), 6)    AS eta_squared,
+       ((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k))
+           > 2.3719322591952886e0                      AS reject_05
+FROM parts CROSS JOIN tot
+""",
+)
+def q246_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE homogeneity-of-variance test (Levene's test with
+    median centers — the robust form): are the five event types' value
+    SPREADS equal? z = |v − median_g|, then q245's one-way ANOVA F on
+    the z's. The gate that decides whether q245/q124's equal-variance
+    assumption holds before trusting their p-values.
+
+    Center: the LOWER group median (min v with 2·cum ≥ n_g) — exact,
+    via the q241 crossing rule on the distinct-value compression (the
+    per-group cumulative window is aggregate-fed and partitioned), and
+    cross-engine unambiguous where the textbook interpolated median of
+    an even count would average two doubles. z is then 2-dp-quantized
+    like value itself (difference of two DECIMAL(18,2)), so the
+    sufficient statistics stay DECIMAL-exact — _anova_readout's
+    contract. The median join is a k=5-row broadcast.
+
+    Scale: one distinct-value aggregate + one |distinct values|-row
+    window (events.value is domain-bounded, the guarded idiom) + one
+    broadcast-join map pass + one map-side-combine aggregate."""
+    e = t(spark, sf_dir, "events")
+    m = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    wrun = Window.partitionBy("event_type").orderBy("value")
+    wall = Window.partitionBy("event_type")
+    c = m.select(
+        "event_type",
+        "value",
+        F.sum("m").over(wrun).alias("cw"),
+        F.sum("m").over(wall).alias("n_g"),
+    )
+    med = (
+        c.filter(2 * F.col("cw") >= F.col("n_g"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("med"))
+    )
+    z = (
+        e.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(
+                F.col("value").cast("decimal(18,2)")
+                - F.col("med").cast("decimal(18,2)")
+            )
+            .cast("decimal(18,2)")
+            .alias("z"),
+        )
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).alias("q_g"),
+    )
+    return _anova_readout(g)

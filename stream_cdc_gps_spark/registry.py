@@ -115,6 +115,8 @@ _PRIORITY: list[str] = [
     "q242_bloom_filter",
     "q243_cdc_counting_bloom",
     "q244_prefix_filter_join",
+    "q245_oneway_anova",
+    "q246_brown_forsythe",
     # (b) the nine promised r11 deferrals
     "q35_collect_sorted",
     "q36_map_functions",
