@@ -1589,3 +1589,168 @@ def q239_cdc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(share * 10000 + 0.5e0) / 10000.0).alias("weight"),
         F.floor(share * 1000000 + 0.5e0).cast("bigint").alias("tokens_per_million"),
     )
+
+
+# Unigram-LM quality gate (q247/q248): per-token negative log-likelihood
+# threshold above which a document is flagged high-perplexity. On this
+# corpus nll/token spans ~3.38-3.70 with no document within 2e-4 of the
+# gate at any SF (measured, churned corpus included) — far outside the
+# cross-engine double-noise band, so the flag is deterministic.
+_LM_NLL_GATE = 3.45
+
+
+def _lm_score_sql(final: str) -> str:
+    """Oracle CTE chain scoring ``final`` (doc_id, source, text) against
+    its own unigram LM — the SQL mirror of _lm_gate_readout. Each
+    per-(doc, word) term is an integer count times the 12-dp-rounded
+    ln(total/tf) as DECIMAL(20,12), so the per-doc nll sum is exact and
+    order-independent on both engines (the q214/q227 idiom)."""
+    return f"""
+tok AS (SELECT doc_id, source, u.w AS w
+        FROM {final}, UNNEST(string_split(text, ' ')) AS u(w)),
+tf AS (SELECT w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+dw AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS n_dw
+       FROM tok GROUP BY doc_id, source, w),
+sc AS (
+    SELECT doc_id, source,
+           CAST(sum(n_dw) AS BIGINT) AS n_tok,
+           sum(n_dw * CAST(round(ln(CAST(total AS DOUBLE) / tf), 12)
+                           AS DECIMAL(20,12))) AS nll
+    FROM dw JOIN tf USING (w) CROSS JOIN tot GROUP BY doc_id, source
+),
+rated AS (SELECT source, n_tok, CAST(nll AS DOUBLE) / n_tok AS rate FROM sc)
+SELECT source,
+       CAST(count(*) AS BIGINT)  AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       round(avg(rate), 6)       AS mean_nll,
+       CAST(sum(CASE WHEN rate > {_LM_NLL_GATE}e0 THEN 1 ELSE 0 END)
+            AS BIGINT)           AS n_flagged
+FROM rated GROUP BY source
+"""
+
+
+def _lm_gate_readout(docs: DataFrame, tf_tbl: DataFrame) -> DataFrame:
+    """Per-source unigram-LM perplexity-gate summary: score each document
+    in ``docs`` (doc_id, source, text) against the corpus LM ``tf_tbl``
+    (w, tf) — shared by q247 (batch LM) and q248 (CDC-maintained LM).
+
+    Plan: the vocabulary is domain-bounded (the LM an engine would
+    actually broadcast — a real BPE vocab is ≤ a few hundred k rows),
+    so the tf join and the 1-row total are broadcasts; the only shuffle
+    is the per-(doc, word) count compression, map-side combined. Each
+    scoring term is n_dw · round12(ln(total/tf)) as DECIMAL(20,12):
+    integer times quantized-libm scalar, summed exactly — per-doc nll
+    is bit-identical to the oracle before the final rounded readout."""
+    tot = tf_tbl.agg(F.sum("tf").cast("bigint").alias("total"))
+    dw = (
+        docs.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dw"))
+    )
+    term = F.col("n_dw") * F.round(
+        F.log(F.col("total").cast("double") / F.col("tf")), 12
+    ).cast("decimal(20,12)")
+    sc = (
+        dw.join(F.broadcast(tf_tbl), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n_dw").cast("bigint").alias("n_tok"),
+            F.sum(term).alias("nll"),
+        )
+    )
+    rate = F.col("nll").cast("double") / F.col("n_tok")
+    return sc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.round(F.avg(rate), 6).alias("mean_nll"),
+        F.sum(F.when(rate > F.lit(float(_LM_NLL_GATE)), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+
+
+@query(
+    "q247_lm_quality_gate",
+    oracle=f"""
+WITH f AS (SELECT doc_id, source, text FROM documents),
+{_lm_score_sql("f")}
+""",
+)
+def q247_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM PERPLEXITY QUALITY GATE (the CCNet/Gopher-style LM
+    filter): fit a unigram language model on the corpus itself, score
+    every document by its mean per-token negative log-likelihood
+    nll = (1/|doc|) Σ_w n_w · ln(total/tf_w), and flag documents above
+    the gate — the standard "too weird to train on" screen that catches
+    rare-token-heavy outliers q66's rule battery misses. Output: the
+    per-source gate report (docs, tokens, mean nll, flagged count).
+
+    Scale: the LM fit is one vocab-sized map-side-combined aggregate;
+    scoring is _lm_gate_readout's broadcast-join shape — the corpus is
+    read twice, shuffled (compressed to per-doc-word counts) once. In
+    production the LM usually comes from a reference corpus; fitting
+    and scoring on the same table is the self-perplexity variant."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tf_tbl = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return _lm_gate_readout(d, tf_tbl)
+
+
+@query(
+    "q248_cdc_lm_gate",
+    oracle=f"""
+WITH f AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 13 = 0 THEN
+                    (CASE WHEN doc_id % 7 = 0 THEN text || '{_REV}'
+                          ELSE text END) || '{_REW}'
+                WHEN doc_id % 7 = 0 THEN text || '{_REV}'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 5 != 0
+),
+{_lm_score_sql("f")}
+""",
+)
+def q248_cdc_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED LM QUALITY GATE — q247 kept current under corpus
+    churn by COMPOSING ``CdcTokenTfView``: term frequencies are linear
+    in the document multiset (each occurrence carries the image weight),
+    so the maintained (token, tf) table equals the batch LM fit over the
+    CDC-upserted final corpus exactly, and tomorrow's quality filter
+    scores against today's corpus statistics without a rescan. A
+    re-crawl that appends revision markers shifts the LM AND its own
+    score in one merge; a delete retracts its token multiset; duplicate
+    re-deliveries net to zero — the q239 pattern applied to the quality
+    gate (the reference's corpus churns under these Debezium semantics,
+    cmd/main.go:197-240).
+
+    Script: the standard composed churn (_doc_churn_batches — %7
+    re-crawls, %13 rewrites composing %7, %5 deletes, %11 no-op dupes);
+    both the LM and the scored corpus come out of the view's state (tf
+    partials + alive latest images), so the parity row certifies both
+    faces. Per-merge cost: one pk-pruned latest-image read + one token
+    pass over the ±images + one |Δ tokens|-keyed partial."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.shingle_df_index import CdcTokenTfView
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    a0, a1 = _doc_churn_batches(d)
+    base = tempfile.mkdtemp(prefix="cdc_lm_")
+    try:
+        view = CdcTokenTfView(spark, base)
+        view.merge(a0, 0)
+        view.merge(a1, 1)
+        tf_tbl = view.tf().localCheckpoint()
+        alive = view.alive_docs().select("doc_id", "source", "text").localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return _lm_gate_readout(alive, tf_tbl)

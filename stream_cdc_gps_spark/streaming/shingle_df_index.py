@@ -153,3 +153,45 @@ class CdcShingleDfView:
         rows = self.doc_store.rows()
         if rows is not None:
             self.doc_store.compact(cdc_latest(rows, "doc_id"))
+
+
+class CdcTokenTfView(CdcShingleDfView):
+    """CDC-maintained unigram TERM FREQUENCIES — the corpus language-model
+    index. TF(w) = Σ_docs count(w in doc) is linear in the document
+    multiset exactly like DF, but weights each OCCURRENCE instead of each
+    containing document, so the signed partial is the parent's without
+    the ``array_distinct`` (and the "shingle" is the token itself, n=1):
+
+        Δtf(w) = Σ_images w(image) · count(w in image)
+
+    A re-crawl retracts the old text's full token multiset and asserts
+    the new one; the running net per token equals the batch TF table
+    over the CDC-upserted final corpus EXACTLY. This is the maintained
+    state behind q248's unigram-LM perplexity gate: the quality filter a
+    training pipeline applies tomorrow scores against today's corpus
+    statistics without a rescan (the reference's corpus churns under
+    these Debezium semantics, /root/reference/cmd/main.go:197-240).
+
+    Storage, replay, compaction, and per-merge cost are the parent
+    contract verbatim (the "shingle" store column now holds tokens)."""
+
+    def __init__(self, spark: SparkSession, base: str, **kw):
+        super().__init__(spark, base, n=1, **kw)
+
+    def _signed_partial(self, delta: DataFrame) -> DataFrame:
+        scoped = delta.filter(self.df_pred) if self.df_pred is not None else delta
+        occ = scoped.select(
+            "_w", F.explode(tokens(F.col("text"))).alias("shingle")
+        )
+        return (
+            occ.groupBy("shingle")
+            .agg(F.sum("_w").cast("bigint").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+        )
+
+    def tf(self) -> DataFrame:
+        """The maintained term-frequency table over the alive (scoped)
+        corpus: (w, tf), net occurrence sums > 0."""
+        return self.df().select(
+            F.col("shingle").alias("w"), F.col("n_docs").alias("tf")
+        )

@@ -195,3 +195,61 @@ def test_cdc_counting_bloom_torn_write_heals_and_compaction(spark, tmp_path):
     assert _cnt_dict(replay.counters()) == want
     replay.compact()
     assert _cnt_dict(replay.counters()) == want
+
+
+def test_cdc_token_tf_counts_occurrences_not_membership(spark, tmp_path):
+    """CdcTokenTfView nets OCCURRENCES: the maintained tf equals the
+    from-scratch token count over the upserted final corpus — a re-crawl
+    moves the full multiset delta (not just distinct membership), a
+    delete retracts every occurrence, a duplicate re-delivery nets zero,
+    and a token whose last occurrence retracts drops from the table."""
+    from stream_cdc_gps_spark.streaming.shingle_df_index import CdcTokenTfView
+
+    base = str(tmp_path / "tf")
+    view = CdcTokenTfView(spark, base, n_doc_buckets=4, n_shingle_buckets=4)
+    view.merge(
+        _docs(
+            spark,
+            [
+                ("c", 1, 1, "a a b"),
+                ("c", 2, 2, "b c c c"),
+                ("c", 3, 3, "d"),
+            ],
+        ),
+        0,
+    )
+    view.merge(
+        _docs(
+            spark,
+            [
+                ("u", 10, 1, "a b b b"),  # a: 2->1, b: 1->3
+                ("d", 11, 3, "d"),  # -1 d -> 'd' drops entirely
+                ("u", 12, 2, "b c c c"),  # duplicate: zero partial
+            ],
+        ),
+        1,
+    )
+    got = {r["w"]: r["tf"] for r in view.tf().collect()}
+    assert got == {"a": 1, "b": 4, "c": 3}
+
+
+def test_cdc_token_tf_torn_write_heals_on_replay(spark, tmp_path):
+    """The family replay contract holds for the tf store: a torn landing
+    (tf partial landed, changelog missing) is healed by replaying the
+    same batch — partition overwrite makes the merge idempotent."""
+    from stream_cdc_gps_spark.streaming.shingle_df_index import CdcTokenTfView
+
+    base = str(tmp_path / "tf2")
+    view = CdcTokenTfView(spark, base, n_doc_buckets=2, n_shingle_buckets=2)
+    b0 = _docs(spark, [("c", 1, 1, "a a b"), ("c", 2, 2, "b")])
+    view.merge(b0, 0)
+    b1 = _docs(spark, [("u", 10, 1, "a"), ("c", 11, 3, "c c")])
+    view.merge(b1, 1)
+    # tear batch 1's changelog landing away, keep the tf partial
+    shutil.rmtree(f"{base}/docs/partials/batch_id=1")
+    view2 = CdcTokenTfView(spark, base, n_doc_buckets=2, n_shingle_buckets=2)
+    view2.merge(b1, 1)  # replay heals: both sides overwrite their partition
+    got = {r["w"]: r["tf"] for r in view2.tf().collect()}
+    assert got == {"a": 1, "b": 1, "c": 2}
+    alive = {r["doc_id"]: r["text"] for r in view2.alive_docs().collect()}
+    assert alive == {1: "a", 2: "b", 3: "c c"}
