@@ -2674,3 +2674,147 @@ def q219_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at10"),
         )
     )
+
+
+def _jl_sign_matrix() -> list[list[float]]:
+    """Deterministic 32×64 Rademacher (±1) projection matrix from md5 —
+    generated ONCE at import and embedded as literals in BOTH the Spark
+    plan and the oracle SQL, so cross-engine identity is by construction
+    (no in-engine hashing to keep in sync). Row j is the j-th projection
+    direction; using a PREFIX of rows is itself a valid smaller JL map,
+    so jl16 = first 16 rows of the same matrix (the matryoshka move,
+    mirroring q191's dimension slices)."""
+    import hashlib
+
+    def sgn(i: int, j: int) -> float:
+        h = hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()
+        return 1.0 if int(h[-1], 16) % 2 == 0 else -1.0
+
+    return [[sgn(i, j) for i in range(64)] for j in range(32)]
+
+
+_JL_SIGNS = _jl_sign_matrix()
+_JL_MAT_SQL = (
+    "["
+    + ",".join("[" + ",".join(f"{x:.1f}" for x in row) + "]" for row in _JL_SIGNS)
+    + "]"
+)
+
+
+def _jl_top_sql(name: str, k: int | None) -> str:
+    """Per-query projected-cosine top-3 CTE over the first ``k`` projected
+    dims (full original vector when None) — q191's CTE shape over the
+    projected column."""
+    if k is None:
+        a, b = "q.emb", "c.emb"
+    else:
+        a, b = f"(q.pemb[1:{k}])", f"(c.pemb[1:{k}])"
+    cos = _sql_cosine(a, b)
+    return f"""{name} AS (
+    SELECT query_id, candidate_id FROM (
+        SELECT q.query_id, c.vec_id AS candidate_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY round({cos}, 6) DESC, c.vec_id) AS rn
+        FROM q JOIN p c ON c.vec_id != q.query_id
+    ) WHERE rn <= 3
+)"""
+
+
+@query(
+    "q249_jl_projection_recall",
+    oracle=f"""
+WITH e AS ({EMB_D}),
+sm AS (SELECT {_JL_MAT_SQL}::DOUBLE[][] AS smat),
+p AS (
+    SELECT vec_id, emb,
+           list_transform(range(1, 33), j ->
+               list_reduce(list_transform(range(1, 65), i -> emb[i] * smat[j][i]),
+                           (acc, x) -> acc + x)) AS pemb
+    FROM e CROSS JOIN sm
+),
+q AS (SELECT vec_id AS query_id, emb, pemb FROM p
+      WHERE vec_id >= 100 AND vec_id < 120),
+{_jl_top_sql("exact", None)},
+{_jl_top_sql("j16", 16)},
+{_jl_top_sql("j32", 32)}
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.candidate_id) AS BIGINT) AS hit_jl16,
+       CAST(count(b.candidate_id) AS BIGINT) AS hit_jl32,
+       round(count(a.candidate_id) * 1.0 / count(*), 4) AS recall_jl16,
+       round(count(b.candidate_id) * 1.0 / count(*), 4) AS recall_jl32
+FROM exact x
+LEFT JOIN j16 a ON a.query_id = x.query_id AND a.candidate_id = x.candidate_id
+LEFT JOIN j32 b ON b.query_id = x.query_id AND b.candidate_id = x.candidate_id
+GROUP BY x.query_id
+""",
+)
+def q249_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM-PROJECTION (Johnson-Lindenstrauss) DIMENSION REDUCTION with
+    recall@3 ship-gate — the data-INDEPENDENT compression companion to
+    q191's truncation ablation: project every embedding onto 32 fixed
+    Rademacher directions (cosine is scale-invariant, so no 1/√k), search
+    in the projected space at k=16 and k=32, score against the exact
+    full-dim top-3. Same eval harness as q191, so the two rows answer
+    "truncate or project?" at equal byte budgets directly — measured
+    here: JL-16 beats truncate-16 (~0.12 vs ~0.07 recall@3) and roughly
+    ties at 32 on these unstructured embeddings (top-1 cosine ~0.35 over
+    a ~0.005 median — weak neighbor separation is what makes BOTH lossy).
+
+    Plan: the projection is ONE map-only pass (32 fold-dots per row,
+    whole-stage codegen, no shuffle — at 100 TB this is the cheap write-
+    time transform a serving index applies); search + hit accounting are
+    q191's audited broadcast shapes over the 20-query sample. The sign
+    matrix is an import-time literal on both engines — projections are
+    sequential folds of identical doubles, bit-identical cross-engine."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    pemb = F.array(
+        *[
+            dot_col(F.col("emb"), F.array(*[F.lit(s) for s in row]))
+            for row in _JL_SIGNS
+        ]
+    )
+    p = e.select("vec_id", "emb", pemb.alias("pemb"))
+    qx = p.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("pemb").alias("q_pemb"),
+    )
+    scored_base = p.crossJoin(F.broadcast(qx)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "candidate_id")
+
+    def topk(k: int | None) -> DataFrame:
+        if k is None:
+            a, b = F.col("q_emb"), F.col("emb")
+        else:
+            a, b = F.slice("q_pemb", 1, k), F.slice("pemb", 1, k)
+        return (
+            scored_base.select(
+                "query_id",
+                F.col("vec_id").alias("candidate_id"),
+                F.round(cosine(a, b), 6).alias("cos_sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "candidate_id")
+        )
+
+    exact = topk(None)
+    h16 = topk(16).withColumn("h16", F.lit(1))
+    h32 = topk(32).withColumn("h32", F.lit(1))
+    return (
+        exact.join(h16, ["query_id", "candidate_id"], "left")
+        .join(h32, ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("h16").cast("bigint").alias("hit_jl16"),
+            F.count("h32").cast("bigint").alias("hit_jl32"),
+            F.round(F.count("h16") / F.count(F.lit(1)), 4).alias("recall_jl16"),
+            F.round(F.count("h32") / F.count(F.lit(1)), 4).alias("recall_jl32"),
+        )
+    )
