@@ -4431,3 +4431,320 @@ def q246_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("z") * F.col("z")).alias("q_g"),
     )
     return _anova_readout(g)
+
+
+@query(
+    "q250_welch_ttest",
+    oracle="""
+WITH g AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)            AS n,
+           sum(CAST(value AS DECIMAL(18,2)))   AS s,
+           sum(CAST(value AS DECIMAL(18,2))
+               * CAST(value AS DECIMAL(18,2))) AS q
+    FROM events WHERE event_type IN ('click', 'error') GROUP BY event_type
+),
+d AS (
+    SELECT event_type, n,
+           CAST(s AS DOUBLE) / n AS m,
+           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               / (n - 1)         AS var
+    FROM g
+),
+p AS (
+    SELECT max(CASE WHEN event_type = 'click' THEN n END)   AS n1,
+           max(CASE WHEN event_type = 'error' THEN n END)   AS n2,
+           max(CASE WHEN event_type = 'click' THEN m END)   AS m1,
+           max(CASE WHEN event_type = 'error' THEN m END)   AS m2,
+           max(CASE WHEN event_type = 'click' THEN var END) AS v1,
+           max(CASE WHEN event_type = 'error' THEN var END) AS v2
+    FROM d
+)
+SELECT n1, n2,
+       round(m1 - m2, 6)                             AS mean_diff,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS welch_df,
+       round((m1 - m2)
+             / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 6)
+                                                     AS cohens_d,
+       abs((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) > 1.959963984540054e0
+                                                     AS reject_05
+FROM p
+""",
+)
+def q250_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE t TEST (click vs error values) with the
+    Welch-Satterthwaite effective df and Cohen's d effect size — the
+    two-sample companion q124's pooled-variance t assumes away (q246 is
+    the gate that says WHEN pooling is wrong). Large-sample normal 5%
+    critical value (1.96; both arms are ~10³-10⁴ rows, where t and
+    normal quantiles agree to 4 dp). Measured |t| ≈ 0.4-0.75 across all
+    SFs — an order of magnitude from the gate, so the verdict is
+    deterministic.
+
+    Scale: one filtered map-side-combined aggregate over the two arms
+    (decimal-exact n/Σv/Σv², the q245 contract) + a 2-row pivot; every
+    double expression downstream is computed from identical exact
+    inputs on both engines."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+    )
+    m = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    d = g.select("event_type", "n", m.alias("m"), var.alias("var"))
+    arm = lambda c, et: F.max(F.when(F.col("event_type") == et, F.col(c)))
+    p = d.agg(
+        arm("n", "click").alias("n1"),
+        arm("n", "error").alias("n2"),
+        arm("m", "click").alias("m1"),
+        arm("m", "error").alias("m2"),
+        arm("var", "click").alias("v1"),
+        arm("var", "error").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    tstat = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1")) / (F.col("n1") - 1)
+        + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2")) / (F.col("n2") - 1)
+    )
+    pooled = F.sqrt(
+        ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    return p.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(tstat, 6).alias("t_stat"),
+        F.round(dfw, 2).alias("welch_df"),
+        F.round((F.col("m1") - F.col("m2")) / pooled, 6).alias("cohens_d"),
+        (F.abs(tstat) > F.lit(1.959963984540054e0)).alias("reject_05"),
+    )
+
+
+@query(
+    "q251_cdc_weighted_median",
+    oracle="""
+WITH base AS (
+    SELECT l_orderkey * 8 + l_linenumber              AS pk,
+           max(l_returnflag)                          AS g0,
+           max(l_extendedprice)                       AS v0,
+           max(CAST(l_quantity AS DECIMAL(18,2)))     AS wt
+    FROM lineitem GROUP BY l_orderkey * 8 + l_linenumber
+),
+fin AS (
+    SELECT CASE WHEN pk % 13 = 0 THEN 'X' ELSE g0 END AS g,
+           CASE WHEN pk % 7 = 0 THEN v0 + 100.0e0 ELSE v0 END AS v,
+           wt
+    FROM base WHERE pk % 5 <> 0
+),
+byv AS (SELECT g, v, sum(wt) AS wv FROM fin GROUP BY g, v),
+c AS (
+    SELECT g, v,
+           sum(wv) OVER (PARTITION BY g ORDER BY v) AS cw,
+           sum(wv) OVER (PARTITION BY g)            AS tw
+    FROM byv
+),
+med AS (SELECT g, min(v) AS wmedian FROM c WHERE 2 * cw >= tw GROUP BY g),
+tot AS (
+    SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(wt) AS DOUBLE), 2) AS total_qty
+    FROM fin GROUP BY g
+)
+SELECT t.g       AS returnflag,
+       t.n_rows,
+       t.total_qty,
+       m.wmedian AS weighted_median_price
+FROM tot t JOIN med m ON t.g = m.g
+""",
+)
+def q251_cdc_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED EXACT WEIGHTED MEDIAN — q241 kept current under
+    churn. A weighted median is an ORDER STATISTIC (not linear, not
+    min/max-mergeable), so the correct maintenance strategy from the
+    family taxonomy is the SUPPORT-SET one: CdcGroupedRecomputeView
+    reruns q241's crossing-bucket two-pass over ONLY the touched keys'
+    post-batch alive rows (read from the key-bucketed arrangement,
+    pruned to touched shards) — never a full rescan, never a stale
+    partial. Price corrections (%7: +100.00 moves rows ACROSS the old
+    median), returnflag moves (%13 → 'X': the weight mass leaves one
+    group's distribution and forms a new group), deletes (%5) and
+    duplicate re-deliveries (%11) all land through the same algebra.
+
+    The changelog pk is the q230 dedupe idiom (orderkey·8+linenumber,
+    max-aggregated — synthetic lineitem repeats line numbers). Oracle:
+    q241's own crossing SQL over the CDC-upserted final table.
+
+    Scale: per merge O(touched keys' state) — here returnflag has k=4
+    alive groups so every batch touches most keys, but the read is
+    still arrangement-pruned; at a realistic key cardinality (device,
+    account) a batch touches a vanishing fraction. Exactness carries
+    from q241: cumweight at any v is an exact DECIMAL sum, invariant
+    under approx_percentile's bucket choice."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcGroupedRecomputeView
+
+    li = t(spark, sf_dir, "lineitem")
+    base = (
+        li.groupBy(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("pk")
+        )
+        .agg(
+            F.max("l_returnflag").alias("g"),
+            F.max("l_extendedprice").alias("v"),
+            F.max(F.col("l_quantity").cast("decimal(18,2)")).alias("wt"),
+        )
+        .localCheckpoint()
+    )
+    bump = F.col("v") + F.lit(100.0e0)
+    a0, a1 = churn_script(
+        base,
+        "pk",
+        u1_cols={"v": bump},
+        u2_cols={
+            "g": F.lit("X"),
+            "v": F.when(F.col("pk") % 7 == 0, bump).otherwise(F.col("v")),
+        },
+    )
+
+    def wm_recompute(alive: DataFrame) -> DataFrame:
+        r = weighted_median_by_group(alive.select("g", "v", "wt"))
+        return r.select("g", F.col("n_rows").alias("n"), "tw", "wmedian")
+
+    sdir = tempfile.mkdtemp(prefix="cdc_wmedian_")
+    try:
+        view = CdcGroupedRecomputeView(
+            spark, sdir, key="g", pk="pk", recompute=wm_recompute
+        )
+        view.merge(a0, 0)
+        view.merge(a1, 1)
+        out = view.snapshot().select(
+            F.col("g").alias("returnflag"),
+            F.col("n").alias("n_rows"),
+            F.round(F.col("tw").cast("double"), 2).alias("total_qty"),
+            F.col("wmedian").alias("weighted_median_price"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(sdir, ignore_errors=True)
+
+
+@query(
+    "q252_mad_robust_spread",
+    oracle="""
+WITH m AS (
+    SELECT event_type, value, CAST(count(*) AS BIGINT) AS m
+    FROM events GROUP BY event_type, value
+),
+c AS (
+    SELECT event_type, value,
+           sum(m) OVER (PARTITION BY event_type ORDER BY value) AS cw,
+           sum(m) OVER (PARTITION BY event_type)                AS n_g
+    FROM m
+),
+med AS (SELECT event_type, min(value) AS med FROM c WHERE 2 * cw >= n_g
+        GROUP BY event_type),
+z AS (
+    SELECT e.event_type,
+           CAST(abs(CAST(e.value AS DECIMAL(18,2))
+                    - CAST(m.med AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS z
+    FROM events e JOIN med m USING (event_type)
+),
+mz AS (SELECT event_type, z, CAST(count(*) AS BIGINT) AS m
+       FROM z GROUP BY event_type, z),
+cz AS (
+    SELECT event_type, z,
+           sum(m) OVER (PARTITION BY event_type ORDER BY z) AS cw,
+           sum(m) OVER (PARTITION BY event_type)            AS n_g
+    FROM mz
+),
+mad AS (SELECT event_type, CAST(min(z) AS DOUBLE) AS mad,
+               CAST(max(n_g) AS BIGINT) AS n
+        FROM cz WHERE 2 * cw >= n_g GROUP BY event_type)
+SELECT d.event_type, d.n, m.med AS median, d.mad,
+       floor(1.4826e0 * d.mad * 10000 + 0.5e0) / 10000.0 AS sigma_hat
+FROM mad d JOIN med m USING (event_type)
+""",
+)
+def q252_mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN ABSOLUTE DEVIATION per group — the robust spread statistic
+    (50% breakdown point vs 0% for q10's stddev), with the 1.4826·MAD
+    consistent-sigma estimate outlier screens actually use (q123's
+    z-score denominator, made robust). The crossing rule applied TWICE:
+    once for the group median, once for the median of the 2-dp-quantized
+    absolute deviations — both on the distinct-value compression, both
+    LOWER medians (exact, cross-engine unambiguous). median and mad are
+    PICKED values (never arithmetic), so they compare raw with no
+    rounding; the only rounded column is the scaled product.
+
+    Scale: two distinct-value aggregates + two aggregate-fed partitioned
+    windows + one k=5-row broadcast join — the q246 cost shape with the
+    ANOVA readout swapped for a second crossing."""
+    e = t(spark, sf_dir, "events")
+    m = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    wrun = Window.partitionBy("event_type").orderBy("value")
+    wall = Window.partitionBy("event_type")
+    c = m.select(
+        "event_type",
+        "value",
+        F.sum("m").over(wrun).alias("cw"),
+        F.sum("m").over(wall).alias("n_g"),
+    )
+    med = (
+        c.filter(2 * F.col("cw") >= F.col("n_g"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("med"))
+    )
+    z = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(
+            F.col("value").cast("decimal(18,2)")
+            - F.col("med").cast("decimal(18,2)")
+        )
+        .cast("decimal(18,2)")
+        .alias("z"),
+    )
+    mz = z.groupBy("event_type", "z").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    wz = Window.partitionBy("event_type").orderBy("z")
+    cz = mz.select(
+        "event_type",
+        "z",
+        F.sum("m").over(wz).alias("cw"),
+        F.sum("m").over(wall).alias("n_g"),
+    )
+    mad = (
+        cz.filter(2 * F.col("cw") >= F.col("n_g"))
+        .groupBy("event_type")
+        .agg(
+            F.min("z").cast("double").alias("mad"),
+            F.max("n_g").cast("bigint").alias("n"),
+        )
+    )
+    return mad.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n",
+        F.col("med").alias("median"),
+        "mad",
+        # 1.4826·(2-dp value) can land exactly on a 4-dp half — the
+        # floor(x·1e4 + 0.5) idiom rounds the IDENTICAL double the same
+        # way on both engines (the q237/q239 move; round() would not)
+        (F.floor(F.lit(1.4826e0) * F.col("mad") * 10000 + F.lit(0.5e0)) / 10000.0)
+        .alias("sigma_hat"),
+    )
