@@ -89,10 +89,12 @@ PERMANENT = SHARED21 + [
 # Rotates each round (BASELINE.md records the per-round pick): queries
 # added or materially changed this round get a tracked number here.
 # r12: the round's changed/new rows (the q133 two-pass-rank rewrite, the
-# q227 per-term rounding, and the new family q234-q244: CDC corpus
+# q227 per-term rounding, the new family q234-q244: CDC corpus
 # gates, binned KS, truncation loss, CDC drift monitor, CDC mixture
-# weights, Kruskal-Wallis, weighted median), plus the eight heaviest
-# CDC/vector reps carried again for round-over-round comparability. The
+# weights, Kruskal-Wallis, weighted median; and the continuation
+# session's q245-q252: ANOVA, Brown-Forsythe, LM gate batch+CDC, JL
+# projection recall, Welch t, CDC weighted median, MAD), plus the eight
+# heaviest CDC/vector reps carried again for round-over-round comparability. The
 # r11 spotlight statistics rows (q125/q138/q223/q225/q226/q228-q233)
 # rotate off — each keeps isolated BASELINE.md numbers (q226/q230/q231
 # re-probed at r12 round start) and correctness rides the driver window.
@@ -110,6 +112,14 @@ SPOTLIGHT = [
     "q242_bloom_filter",
     "q243_cdc_counting_bloom",
     "q244_prefix_filter_join",
+    "q245_oneway_anova",
+    "q246_brown_forsythe",
+    "q247_lm_quality_gate",
+    "q248_cdc_lm_gate",
+    "q249_jl_projection_recall",
+    "q250_welch_ttest",
+    "q251_cdc_weighted_median",
+    "q252_mad_robust_spread",
     # carried heavies (comparability anchors since r10)
     "q190_ivfpq_incremental_index",
     "q194_cdc_join_view",

@@ -87,7 +87,16 @@ DRIVER_WINDOW = 50
 #     idiom), q241 (exact weighted median via crossing-bucket two-pass),
 #     q238 (CDC-maintained KS drift monitor composing CdcAggregateView),
 #     q242/q243 (Bloom filter + its CDC counting variant), q244
-#     (prefix-filtered exact set-similarity join);
+#     (prefix-filtered exact set-similarity join); the continuation
+#     session added q245/q246 (one-way ANOVA + Brown-Forsythe on
+#     decimal-exact sufficient statistics), q247/q248 (unigram-LM
+#     perplexity quality gate + its CDC-maintained variant composing
+#     the new CdcTokenTfView), q249 (JL random-projection recall,
+#     q191's harness over a projected column), q250 (Welch's
+#     unequal-variance t + Cohen's d), and q251 (CDC-maintained exact
+#     weighted median — q241's order statistic on the support-set
+#     recompute strategy), and q252 (exact per-group MAD, the crossing
+#     rule applied twice);
 # (b) the NINE rows the r11 slack cap deferred with a promise (r11
 #     verdict task #1): q35, q36, q37, q105, q163, q169-q172 — their
 #     newest driver rows were r4/r5-era, bridge-certified at r11 close;
@@ -98,8 +107,10 @@ DRIVER_WINDOW = 50
 #     of tree churn). Next-stalest after the cut (displaced one-for-one
 #     by the round's new rows, bridge-certified at close): q63-q65,
 #     q70, q71, q79,
-#     q146, q147, q150, q153, then the rest of the r6 cohort — r13's
-#     (c) tier.
+#     q146, q147, q150, q153, plus q54-q62 (displaced from this list
+#     one-for-one by the continuation session's q245-q252 under the
+#     slack cap, bridge-certified at close), then the rest of the r6
+#     cohort — r13's (c) tier.
 _PRIORITY: list[str] = [
     # (a) changed or added in r12
     "q133_equidepth_histogram",
@@ -117,6 +128,12 @@ _PRIORITY: list[str] = [
     "q244_prefix_filter_join",
     "q245_oneway_anova",
     "q246_brown_forsythe",
+    "q247_lm_quality_gate",
+    "q248_cdc_lm_gate",
+    "q249_jl_projection_recall",
+    "q250_welch_ttest",
+    "q251_cdc_weighted_median",
+    "q252_mad_robust_spread",
     # (b) the nine promised r11 deferrals
     "q35_collect_sorted",
     "q36_map_functions",
@@ -147,14 +164,6 @@ _PRIORITY: list[str] = [
     "q33_window_frames",
     "q52_minhash_signatures",
     "q53_lsh_candidate_pairs",
-    "q54_ngram_jaccard",
-    "q56_embedding_near_dup",
-    "q57_neardup_components",
-    "q58_simhash_pairs",
-    "q59_dedup_keep_one",
-    "q60_cosine_topk",
-    "q61_ann_bucketed_topk",
-    "q62_embedding_stats",
 ]
 
 

@@ -92,6 +92,11 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q243_cdc_counting_bloom",  # broadcast 1-row counter-stats combine
         "q125_skew_diagnostics",  # broadcast 1-row compressed rank-weighted sum
         "q227_km_survival",  # broadcast 1-row observation-end bound (q118's move)
+        "q245_oneway_anova",  # broadcast 1-row N/k/grand-sum into the 5-group frame
+        "q246_brown_forsythe",  # same readout over median-centered deviations
+        "q247_lm_quality_gate",  # broadcast 1-row LM total-token normalizer
+        "q248_cdc_lm_gate",  # same readout over the CDC-maintained LM
+        "q249_jl_projection_recall",  # broadcast 20-query sample (q191's move)
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
