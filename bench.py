@@ -92,8 +92,9 @@ PERMANENT = SHARED21 + [
 # q227 per-term rounding, the new family q234-q244: CDC corpus
 # gates, binned KS, truncation loss, CDC drift monitor, CDC mixture
 # weights, Kruskal-Wallis, weighted median; and the continuation
-# session's q245-q252: ANOVA, Brown-Forsythe, LM gate batch+CDC, JL
-# projection recall, Welch t, CDC weighted median, MAD), plus the eight
+# session's q245-q254: ANOVA, Brown-Forsythe, LM gate batch+CDC, JL
+# projection recall, Welch t, CDC weighted median, MAD, Poisson
+# bootstrap batch+CDC), plus the eight
 # heaviest CDC/vector reps carried again for round-over-round comparability. The
 # r11 spotlight statistics rows (q125/q138/q223/q225/q226/q228-q233)
 # rotate off — each keeps isolated BASELINE.md numbers (q226/q230/q231
@@ -120,6 +121,8 @@ SPOTLIGHT = [
     "q250_welch_ttest",
     "q251_cdc_weighted_median",
     "q252_mad_robust_spread",
+    "q253_poisson_bootstrap",
+    "q254_cdc_bootstrap_ci",
     # carried heavies (comparability anchors since r10)
     "q190_ivfpq_incremental_index",
     "q194_cdc_join_view",

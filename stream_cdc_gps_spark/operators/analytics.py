@@ -4748,3 +4748,360 @@ def q252_mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.lit(1.4826e0) * F.col("mad") * 10000 + F.lit(0.5e0)) / 10000.0)
         .alias("sigma_hat"),
     )
+
+
+# Poisson(1) CDF thresholds on uint32 (floor(cdf·2^32)): a row's weight in
+# bootstrap replicate r is k iff u < _BOOT_THS[k] first holds, u the first
+# 8 md5 hex chars of "event_id:r" — P(w=k) = e^-1/k!, the distributed
+# (Poisson) bootstrap's per-row resample count. Literal so BOTH engines
+# compare the same exact integers (no float CDF in-engine).
+_BOOT_THS = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291)
+_BOOT_B = 64
+
+
+def _boot_weight_sql() -> str:
+    return (
+        "CASE "
+        + " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(_BOOT_THS))
+        + " ELSE 6 END"
+    )
+
+
+@query(
+    "q253_poisson_bootstrap",
+    oracle=f"""
+WITH reps AS (SELECT CAST(u.r AS BIGINT) AS r FROM UNNEST(range({_BOOT_B})) AS u(r)),
+w AS (
+    SELECT r,
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                     || CAST(r AS VARCHAR)), 1, 8))
+                AS UBIGINT)              AS u,
+           CAST(value AS DECIMAL(18,2)) AS v
+    FROM events CROSS JOIN reps
+),
+m AS (
+    SELECT r,
+           CAST(sum(({_boot_weight_sql()}) * v) AS DOUBLE)
+               / sum({_boot_weight_sql()}) AS mean_r
+    FROM w GROUP BY r
+),
+s0 AS (SELECT list_sort(list(mean_r)) AS ms FROM m),
+-- mean/SE from SEQUENTIAL FOLDS over the SORTED list: both engines sum
+-- identical doubles in identical order, so the 6-dp rounding can never
+-- flip on summation-order noise (it did, once, on the naive avg)
+s AS (SELECT ms,
+             floor(list_reduce(ms, (acc, x) -> acc + x) / 64 * 1000000
+                   + 0.5e0) / 1000000.0 AS boot_mean,
+             floor(sqrt((list_reduce(list_transform(ms, x -> x * x),
+                                     (acc, x) -> acc + x)
+                         - list_reduce(ms, (acc, x) -> acc + x)
+                           * list_reduce(ms, (acc, x) -> acc + x) / 64) / 63)
+                   * 1000000 + 0.5e0) / 1000000.0 AS se_boot
+      FROM s0),
+pt AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5e0) / 1000000.0 AS point_mean
+    FROM events
+)
+SELECT pt.n, pt.point_mean, s.boot_mean, s.se_boot,
+       ms[2]  AS ci_low,
+       ms[{_BOOT_B - 1}] AS ci_high
+FROM pt CROSS JOIN s
+""",
+)
+def q253_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the mean — THE
+    distributed bootstrap (Chamandy et al.): classical resampling needs
+    every replicate to see the whole sample, but for large n the
+    multinomial resample count per row converges to independent
+    Poisson(1) weights, so each row draws its 64 replicate
+    weights LOCALLY from a hash and the replicate means reduce with
+    map-side partials — no row ever sees the sample, the plan that
+    survives 100 TB. Weights are md5-deterministic (integer threshold
+    compare against the literal Poisson CDF — no float RNG in-engine),
+    so both engines build bit-identical replicates; replicate means are
+    exact-DECIMAL ratios, and the CI bounds are PICKED order statistics
+    of the 64 sorted means (2nd and 63rd ≈ the central 95%), compared
+    raw.
+
+    Scale: one 64× map-side row expansion (explode of a literal range —
+    compute, not shuffle: partial aggregation folds each partition to
+    ≤64 rows before the exchange), one 64-group final aggregate, one
+    64-element sort on the driver-side single row."""
+    e = t(spark, sf_dir, "events")
+    reps = F.explode(
+        F.array(*[F.lit(r).cast("bigint") for r in range(_BOOT_B)])
+    ).alias("r")
+    w = e.select(F.col("event_id"), F.col("value"), reps).select(
+        "r",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("event_id").cast("string"),
+                                F.col("r").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    wgt = F.lit(6)
+    for k in range(len(_BOOT_THS) - 1, -1, -1):
+        wgt = F.when(F.col("u") < F.lit(_BOOT_THS[k]), F.lit(k)).otherwise(wgt)
+    m = w.groupBy("r").agg(
+        (F.sum(wgt * F.col("v")).cast("double") / F.sum(wgt)).alias("mean_r")
+    )
+    # mean/SE as sequential folds over the SORTED replicate list — the
+    # identical-order identity that makes the 6-dp rounding portable
+    # (a naive avg() flipped once on cross-engine summation order)
+    ms = F.array_sort(F.collect_list("mean_r"))
+    fsum = lambda a: F.aggregate(a, F.lit(0.0e0), lambda acc, x: acc + x)
+    s = m.agg(ms.alias("ms")).select(
+        "ms",
+        (
+            F.floor(fsum(F.col("ms")) / _BOOT_B * 1000000 + F.lit(0.5e0))
+            / 1000000.0
+        ).alias("boot_mean"),
+        (
+            F.floor(
+                F.sqrt(
+                    (
+                        fsum(F.transform(F.col("ms"), lambda x: x * x))
+                        - fsum(F.col("ms")) * fsum(F.col("ms")) / _BOOT_B
+                    )
+                    / (_BOOT_B - 1)
+                )
+                * 1000000
+                + F.lit(0.5e0)
+            )
+            / 1000000.0
+        ).alias("se_boot"),
+    )
+    pt = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.floor(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+                * 1000000
+                + F.lit(0.5e0)
+            )
+            / 1000000.0
+        ).alias("point_mean"),
+    )
+    return pt.crossJoin(F.broadcast(s)).select(
+        "n",
+        "point_mean",
+        "boot_mean",
+        "se_boot",
+        F.element_at("ms", 2).alias("ci_low"),
+        F.element_at("ms", _BOOT_B - 1).alias("ci_high"),
+    )
+
+
+@query(
+    "q254_cdc_bootstrap_ci",
+    oracle=f"""
+WITH fin AS (
+    SELECT event_id,
+           CAST(CASE WHEN event_id % 13 = 0 THEN 250.00
+                     WHEN event_id % 7 = 0 THEN value + 10.0e0
+                     ELSE value END AS DECIMAL(18,2)) AS v
+    FROM events WHERE event_id % 5 <> 0
+),
+reps AS (SELECT CAST(u.r AS BIGINT) AS r FROM UNNEST(range({_BOOT_B})) AS u(r)),
+w AS (
+    SELECT r,
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                     || CAST(r AS VARCHAR)), 1, 8))
+                AS UBIGINT) AS u,
+           v
+    FROM fin CROSS JOIN reps
+),
+m AS (
+    SELECT r,
+           CAST(sum(({_boot_weight_sql()}) * v) AS DOUBLE)
+               / sum({_boot_weight_sql()}) AS mean_r
+    FROM w GROUP BY r
+),
+s0 AS (SELECT list_sort(list(mean_r)) AS ms FROM m),
+-- mean/SE from SEQUENTIAL FOLDS over the SORTED list: both engines sum
+-- identical doubles in identical order, so the 6-dp rounding can never
+-- flip on summation-order noise (it did, once, on the naive avg)
+s AS (SELECT ms,
+             floor(list_reduce(ms, (acc, x) -> acc + x) / 64 * 1000000
+                   + 0.5e0) / 1000000.0 AS boot_mean,
+             floor(sqrt((list_reduce(list_transform(ms, x -> x * x),
+                                     (acc, x) -> acc + x)
+                         - list_reduce(ms, (acc, x) -> acc + x)
+                           * list_reduce(ms, (acc, x) -> acc + x) / 64) / 63)
+                   * 1000000 + 0.5e0) / 1000000.0 AS se_boot
+      FROM s0),
+pt AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5e0)
+               / 1000000.0 AS point_mean
+    FROM fin
+)
+SELECT pt.n, pt.point_mean, s.boot_mean, s.se_boot,
+       ms[2] AS ci_low,
+       ms[{_BOOT_B - 1}] AS ci_high
+FROM pt CROSS JOIN s
+""",
+)
+def q254_cdc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED BOOTSTRAP CI — q253's uncertainty quantification
+    kept current under churn, closing the session's linearity arc: a
+    replicate mean is a RATIO OF TWO LINEAR AGGREGATES (Σ w·v and Σ w
+    over the row multiset — the Poisson weights are a pure per-row hash,
+    so they ride along every image), which means composed
+    ``CdcAggregateView``s (Σw·v and Σw per replicate key, plus a 1-key
+    view for the point estimate) maintain the whole 64-arm bootstrap
+    under value corrections, outlier rewrites, and deletes with NO
+    rescan — the error bar a dashboard shows tomorrow reflects today's
+    corrections. Each changelog image expands map-side to its 64
+    (replicate, weight) rows (pk = event_id·64 + r: every event always
+    carries ALL replicas, so updates never strand a key); both views net
+    signed partials per replicate.
+
+    Churn: %7 value corrections (+10), %13 outlier rewrites (pinned
+    250.00 — composes %7 by overriding it), %5 deletes, %11 duplicate
+    re-deliveries netting to zero. Oracle: q253's own bootstrap SQL over
+    the CDC-upserted final table. Per-merge cost: one pk-pruned
+    latest-image read + a 64× map expansion + two 64-key partials."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.join_view import CdcAggregateView
+
+    e = t(spark, sf_dir, "events").select("event_id", "value")
+    a0, a1 = churn_script(
+        e,
+        "event_id",
+        u1_cols={"value": F.col("value") + F.lit(10.0e0)},
+        u2_cols={"value": F.lit(250.0e0)},
+    )
+
+    def explode_replicas(batch: DataFrame) -> DataFrame:
+        """Map each changelog image to its 64 per-replicate weighted rows
+        (op/seq carried; pk becomes event_id·64 + r)."""
+        r = F.explode(
+            F.array(*[F.lit(x).cast("bigint") for x in range(_BOOT_B)])
+        ).alias("r")
+        b = batch.select("op", "seq", "event_id", "value", r)
+        u = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("event_id").cast("string"),
+                                F.col("r").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        wgt = F.lit(6)
+        for k in range(len(_BOOT_THS) - 1, -1, -1):
+            wgt = F.when(u < F.lit(_BOOT_THS[k]), F.lit(k)).otherwise(wgt)
+        v = F.col("value").cast("decimal(18,2)")
+        return b.select(
+            "op",
+            "seq",
+            (F.col("event_id") * _BOOT_B + F.col("r")).alias("pk"),
+            "r",
+            (wgt.cast("decimal(18,2)") * v).alias("wv"),
+            wgt.cast("decimal(18,2)").alias("w"),
+        )
+
+    base = tempfile.mkdtemp(prefix="cdc_boot_")
+    try:
+        wv_view = CdcAggregateView(
+            spark, f"{base}/wv", key="r", pk="pk", val="wv"
+        )
+        w_view = CdcAggregateView(spark, f"{base}/w", key="r", pk="pk", val="w")
+        # third (1-key) view: the POINT estimate's Σv and n from the same
+        # maintained algebra — the unexploded changelog, key = a constant
+        pt_view = CdcAggregateView(spark, f"{base}/pt", key="g", pk="event_id", val="v")
+        for bid, batch in ((0, a0), (1, a1)):
+            x = explode_replicas(batch).localCheckpoint()
+            wv_view.merge(x, bid)
+            w_view.merge(x, bid)
+            pt_view.merge(
+                batch.select(
+                    "op",
+                    "seq",
+                    "event_id",
+                    F.lit("all").alias("g"),
+                    F.col("value").cast("decimal(18,2)").alias("v"),
+                ),
+                bid,
+            )
+        m = (
+            wv_view.snapshot()
+            .select("r", F.col("total").alias("swv"))
+            .join(w_view.snapshot().select("r", F.col("total").alias("sw")), "r")
+            .select(
+                "r",
+                (F.col("swv").cast("double") / F.col("sw").cast("double")).alias(
+                    "mean_r"
+                ),
+            )
+            .localCheckpoint()
+        )
+        pt = (
+            pt_view.snapshot()
+            .select(
+                F.col("n").cast("bigint").alias("n"),
+                (
+                    F.floor(
+                        F.col("total").cast("double") / F.col("n") * 1000000
+                        + F.lit(0.5e0)
+                    )
+                    / 1000000.0
+                ).alias("point_mean"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    # mean/SE as sequential folds over the SORTED replicate list — the
+    # identical-order identity that makes the 6-dp rounding portable
+    # (a naive avg() flipped once on cross-engine summation order)
+    ms = F.array_sort(F.collect_list("mean_r"))
+    fsum = lambda a: F.aggregate(a, F.lit(0.0e0), lambda acc, x: acc + x)
+    s = m.agg(ms.alias("ms")).select(
+        "ms",
+        (
+            F.floor(fsum(F.col("ms")) / _BOOT_B * 1000000 + F.lit(0.5e0))
+            / 1000000.0
+        ).alias("boot_mean"),
+        (
+            F.floor(
+                F.sqrt(
+                    (
+                        fsum(F.transform(F.col("ms"), lambda x: x * x))
+                        - fsum(F.col("ms")) * fsum(F.col("ms")) / _BOOT_B
+                    )
+                    / (_BOOT_B - 1)
+                )
+                * 1000000
+                + F.lit(0.5e0)
+            )
+            / 1000000.0
+        ).alias("se_boot"),
+    )
+    return pt.crossJoin(F.broadcast(s)).select(
+        "n",
+        "point_mean",
+        "boot_mean",
+        "se_boot",
+        F.element_at("ms", 2).alias("ci_low"),
+        F.element_at("ms", _BOOT_B - 1).alias("ci_high"),
+    )

@@ -95,8 +95,11 @@ DRIVER_WINDOW = 50
 #     q191's harness over a projected column), q250 (Welch's
 #     unequal-variance t + Cohen's d), and q251 (CDC-maintained exact
 #     weighted median — q241's order statistic on the support-set
-#     recompute strategy), and q252 (exact per-group MAD, the crossing
-#     rule applied twice);
+#     recompute strategy), q252 (exact per-group MAD, the crossing
+#     rule applied twice), q253 (Poisson bootstrap CI — the distributed
+#     bootstrap with hash-deterministic weights), and q254 (the
+#     bootstrap CI CDC-maintained: replicate means are ratios of linear
+#     aggregates, composed CdcAggregateViews);
 # (b) the NINE rows the r11 slack cap deferred with a promise (r11
 #     verdict task #1): q35, q36, q37, q105, q163, q169-q172 — their
 #     newest driver rows were r4/r5-era, bridge-certified at r11 close;
@@ -107,8 +110,8 @@ DRIVER_WINDOW = 50
 #     of tree churn). Next-stalest after the cut (displaced one-for-one
 #     by the round's new rows, bridge-certified at close): q63-q65,
 #     q70, q71, q79,
-#     q146, q147, q150, q153, plus q54-q62 (displaced from this list
-#     one-for-one by the continuation session's q245-q252 under the
+#     q146, q147, q150, q153, plus q52-q62 (displaced from this list
+#     one-for-one by the continuation session's q245-q254 under the
 #     slack cap, bridge-certified at close), then the rest of the r6
 #     cohort — r13's (c) tier.
 _PRIORITY: list[str] = [
@@ -134,6 +137,8 @@ _PRIORITY: list[str] = [
     "q250_welch_ttest",
     "q251_cdc_weighted_median",
     "q252_mad_robust_spread",
+    "q253_poisson_bootstrap",
+    "q254_cdc_bootstrap_ci",
     # (b) the nine promised r11 deferrals
     "q35_collect_sorted",
     "q36_map_functions",
@@ -162,8 +167,6 @@ _PRIORITY: list[str] = [
     "q31_rank_dense_ntile",
     "q32_lag_lead",
     "q33_window_frames",
-    "q52_minhash_signatures",
-    "q53_lsh_candidate_pairs",
 ]
 
 

@@ -97,6 +97,8 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q247_lm_quality_gate",  # broadcast 1-row LM total-token normalizer
         "q248_cdc_lm_gate",  # same readout over the CDC-maintained LM
         "q249_jl_projection_recall",  # broadcast 20-query sample (q191's move)
+        "q253_poisson_bootstrap",  # broadcast 1-row sorted-replicate-means combine
+        "q254_cdc_bootstrap_ci",  # same 1-row combine over the maintained arms
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
