@@ -5105,3 +5105,74 @@ def q254_cdc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ms", 2).alias("ci_low"),
         F.element_at("ms", _BOOT_B - 1).alias("ci_high"),
     )
+
+
+@query(
+    "q255_hill_tail_index",
+    oracle="""
+WITH top AS (
+    SELECT l_extendedprice AS v
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 200
+),
+k AS (SELECT min(v) AS xk, CAST(count(*) AS BIGINT) AS n_top FROM top),
+terms AS (
+    SELECT CAST(round(ln(t.v / k.xk), 12) AS DECIMAL(20,12)) AS term
+    FROM top t CROSS JOIN k
+)
+SELECT max(n_top)                                        AS n_top,
+       max(xk)                                           AS x_k,
+       floor(CAST(sum(term) AS DOUBLE) / (max(n_top) - 1)
+             * 1000000 + 0.5e0) / 1000000.0              AS mean_log_excess,
+       floor((max(n_top) - 1) / CAST(sum(term) AS DOUBLE)
+             * 10000 + 0.5e0) / 10000.0                  AS alpha_hill
+FROM terms CROSS JOIN k
+""",
+)
+def q255_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL TAIL-INDEX ESTIMATOR over the top-k order statistics — the
+    heavy-tail diagnostic next to Zipf (q107) and Benford (q224): for a
+    Pareto-ish tail P(X>x) ~ x^-alpha, alpha ≈ (k-1) / Σ ln(x_i/x_k)
+    over the k largest values. On TPC-H prices the estimate DIVERGES
+    with SF (≈60 → ≈6100 from sf0.001 to sf0.1 at fixed k) — the
+    textbook signature of a TRUNCATED (bounded) tail, which is the
+    correct verdict for synthetic prices and exactly the call a pipeline
+    makes before trusting mean-based statistics vs switching to the
+    robust battery (q221/q252).
+
+    Plan: the global top-k is orderBy+limit — TakeOrderedAndProject
+    (per-partition top-k, merge k·partitions rows), NOT a global window
+    (GLOBAL_WINDOW_OK stays empty); x_k is the picked minimum of the
+    k-set (the deterministic tiebreak makes the VALUE multiset unique
+    even though lineitem repeats whole rows). The rank-k term ln(x_k/x_k)
+    = 0 is summed and divided by k-1 — tie-proof on both engines where
+    a rank filter would not be. Terms are 12-dp-quantized lns in exact
+    DECIMAL; outputs use the portable floor idiom."""
+    li = t(spark, sf_dir, "lineitem")
+    top = (
+        li.select(F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber")
+        .orderBy(F.desc("v"), "l_orderkey", "l_linenumber")
+        .limit(200)
+        .select("v")
+    )
+    k = top.agg(
+        F.min("v").alias("xk"), F.count(F.lit(1)).cast("bigint").alias("n_top")
+    )
+    terms = top.crossJoin(F.broadcast(k)).select(
+        "xk",
+        "n_top",
+        F.round(F.log(F.col("v") / F.col("xk")), 12)
+        .cast("decimal(20,12)")
+        .alias("term"),
+    )
+    s = F.sum("term").cast("double")
+    km1 = F.max("n_top") - 1
+    return terms.agg(
+        F.max("n_top").alias("n_top"),
+        F.max("xk").alias("x_k"),
+        (F.floor(s / km1 * 1000000 + F.lit(0.5e0)) / 1000000.0).alias(
+            "mean_log_excess"
+        ),
+        (F.floor(km1 / s * 10000 + F.lit(0.5e0)) / 10000.0).alias("alpha_hill"),
+    )

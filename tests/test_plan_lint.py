@@ -99,6 +99,7 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q249_jl_projection_recall",  # broadcast 20-query sample (q191's move)
         "q253_poisson_bootstrap",  # broadcast 1-row sorted-replicate-means combine
         "q254_cdc_bootstrap_ci",  # same 1-row combine over the maintained arms
+        "q255_hill_tail_index",  # broadcast 1-row (x_k, k) into the 200-row top set
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
