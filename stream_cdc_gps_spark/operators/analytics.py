@@ -4770,14 +4770,19 @@ def _boot_weight_sql() -> str:
 @query(
     "q253_poisson_bootstrap",
     oracle=f"""
-WITH reps AS (SELECT CAST(u.r AS BIGINT) AS r FROM UNNEST(range({_BOOT_B})) AS u(r)),
-w AS (
-    SELECT r,
-           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
-                                     || CAST(r AS VARCHAR)), 1, 8))
-                AS UBIGINT)              AS u,
+WITH g16 AS (SELECT CAST(u.i AS BIGINT) AS i
+             FROM UNNEST(range({_BOOT_B // 4})) AS u(i)),
+d AS (
+    SELECT i,
+           md5(CAST(event_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS h,
            CAST(value AS DECIMAL(18,2)) AS v
-    FROM events CROSS JOIN reps
+    FROM events CROSS JOIN g16
+),
+w AS (
+    SELECT i * 4 + CAST(u.j AS BIGINT) AS r,
+           CAST(('0x' || substr(h, 1 + 8 * CAST(u.j AS INT), 8)) AS UBIGINT) AS u,
+           v
+    FROM d CROSS JOIN UNNEST(range(4)) AS u(j)
 ),
 m AS (
     SELECT r,
@@ -4828,28 +4833,29 @@ def q253_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one 64× map-side row expansion (explode of a literal range —
     compute, not shuffle: partial aggregation folds each partition to
     ≤64 rows before the exchange), one 64-group final aggregate, one
-    64-element sort on the driver-side single row."""
+    64-element sort on the driver-side single row. Each 128-bit digest
+    is split into FOUR 32-bit draws (md5("id:i") for i<16, replicate
+    i·4+j reads hex chars [8j+1, 8j+8]) — 4× fewer hashes for the same
+    weights, the md5 being the measured per-row floor."""
     e = t(spark, sf_dir, "events")
-    reps = F.explode(
-        F.array(*[F.lit(r).cast("bigint") for r in range(_BOOT_B)])
-    ).alias("r")
-    w = e.select(F.col("event_id"), F.col("value"), reps).select(
-        "r",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(":", F.col("event_id").cast("string"),
-                                F.col("r").cast("string"))
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        )
+    i = F.explode(
+        F.array(*[F.lit(x).cast("bigint") for x in range(_BOOT_B // 4)])
+    ).alias("i")
+    d = e.select(F.col("event_id"), F.col("value"), i).select(
+        "i",
+        F.md5(
+            F.concat_ws(":", F.col("event_id").cast("string"),
+                        F.col("i").cast("string"))
+        ).alias("_h"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    j = F.explode(F.array(*[F.lit(x).cast("bigint") for x in range(4)])).alias("j")
+    w = d.select("i", "_h", "v", j).select(
+        (F.col("i") * 4 + F.col("j")).alias("r"),
+        F.conv(F.expr("substring(_h, 1 + 8 * j, 8)"), 16, 10)
         .cast("bigint")
         .alias("u"),
-        F.col("value").cast("decimal(18,2)").alias("v"),
+        "v",
     )
     wgt = F.lit(6)
     for k in range(len(_BOOT_THS) - 1, -1, -1):
@@ -4915,14 +4921,19 @@ WITH fin AS (
                      ELSE value END AS DECIMAL(18,2)) AS v
     FROM events WHERE event_id % 5 <> 0
 ),
-reps AS (SELECT CAST(u.r AS BIGINT) AS r FROM UNNEST(range({_BOOT_B})) AS u(r)),
-w AS (
-    SELECT r,
-           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
-                                     || CAST(r AS VARCHAR)), 1, 8))
-                AS UBIGINT) AS u,
+g16 AS (SELECT CAST(u.i AS BIGINT) AS i
+            FROM UNNEST(range({_BOOT_B // 4})) AS u(i)),
+d AS (
+    SELECT i,
+           md5(CAST(event_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS h,
            v
-    FROM fin CROSS JOIN reps
+    FROM fin CROSS JOIN g16
+),
+w AS (
+    SELECT i * 4 + CAST(u.j AS BIGINT) AS r,
+           CAST(('0x' || substr(h, 1 + 8 * CAST(u.j AS INT), 8)) AS UBIGINT) AS u,
+           v
+    FROM d CROSS JOIN UNNEST(range(4)) AS u(j)
 ),
 m AS (
     SELECT r,
@@ -4957,28 +4968,32 @@ FROM pt CROSS JOIN s
 )
 def q254_cdc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-MAINTAINED BOOTSTRAP CI — q253's uncertainty quantification
-    kept current under churn, closing the session's linearity arc: a
-    replicate mean is a RATIO OF TWO LINEAR AGGREGATES (Σ w·v and Σ w
-    over the row multiset — the Poisson weights are a pure per-row hash,
-    so they ride along every image), which means composed
-    ``CdcAggregateView``s (Σw·v and Σw per replicate key, plus a 1-key
-    view for the point estimate) maintain the whole 64-arm bootstrap
-    under value corrections, outlier rewrites, and deletes with NO
-    rescan — the error bar a dashboard shows tomorrow reflects today's
-    corrections. Each changelog image expands map-side to its 64
-    (replicate, weight) rows (pk = event_id·64 + r: every event always
-    carries ALL replicas, so updates never strand a key); both views net
-    signed partials per replicate.
+    kept current under churn, closing the session's linearity arc: every
+    bootstrap arm is a pair of LINEAR aggregates (Σw_r·v and Σw_r over
+    the row multiset — the Poisson weights are a pure per-row hash, so
+    they ride along every image), which means ONE signed-partial view
+    (``CdcBootstrapView``; the point estimate rides as arm −1 with
+    weight 1) maintains the whole 64-arm bootstrap under value
+    corrections, outlier rewrites, and deletes with NO rescan — the
+    error bar a dashboard shows tomorrow reflects today's corrections.
+
+    Cost lesson (recorded): a first draft composed two generic
+    CdcAggregateViews over a changelog PRE-exploded to (event, replicate)
+    granularity — 49 s at sf0.1, because the 64× expansion (and its md5)
+    was landed, stored, and state-read on every merge, twice. The view
+    keeps the changelog at ROW granularity and explodes only the ±image
+    DELTA (the CdcShingleDfView move): state reads stay O(batch pk
+    shards), the replicate store holds ≤65 rows per batch.
 
     Churn: %7 value corrections (+10), %13 outlier rewrites (pinned
     250.00 — composes %7 by overriding it), %5 deletes, %11 duplicate
     re-deliveries netting to zero. Oracle: q253's own bootstrap SQL over
-    the CDC-upserted final table. Per-merge cost: one pk-pruned
-    latest-image read + a 64× map expansion + two 64-key partials."""
+    the CDC-upserted final table; mean/SE read from sequential folds
+    over the SORTED replicate means (the q253 portability identity)."""
     import shutil
     import tempfile
 
-    from stream_cdc_gps_spark.streaming.join_view import CdcAggregateView
+    from stream_cdc_gps_spark.streaming.bootstrap_index import CdcBootstrapView
 
     e = t(spark, sf_dir, "events").select("event_id", "value")
     a0, a1 = churn_script(
@@ -4988,89 +5003,33 @@ def q254_cdc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         u2_cols={"value": F.lit(250.0e0)},
     )
 
-    def explode_replicas(batch: DataFrame) -> DataFrame:
-        """Map each changelog image to its 64 per-replicate weighted rows
-        (op/seq carried; pk becomes event_id·64 + r)."""
-        r = F.explode(
-            F.array(*[F.lit(x).cast("bigint") for x in range(_BOOT_B)])
-        ).alias("r")
-        b = batch.select("op", "seq", "event_id", "value", r)
-        u = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(":", F.col("event_id").cast("string"),
-                                F.col("r").cast("string"))
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        wgt = F.lit(6)
-        for k in range(len(_BOOT_THS) - 1, -1, -1):
-            wgt = F.when(u < F.lit(_BOOT_THS[k]), F.lit(k)).otherwise(wgt)
-        v = F.col("value").cast("decimal(18,2)")
-        return b.select(
-            "op",
-            "seq",
-            (F.col("event_id") * _BOOT_B + F.col("r")).alias("pk"),
-            "r",
-            (wgt.cast("decimal(18,2)") * v).alias("wv"),
-            wgt.cast("decimal(18,2)").alias("w"),
+    def as_cdc(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            "op", "seq", "event_id", F.col("value").cast("decimal(18,2)").alias("v")
         )
 
     base = tempfile.mkdtemp(prefix="cdc_boot_")
     try:
-        wv_view = CdcAggregateView(
-            spark, f"{base}/wv", key="r", pk="pk", val="wv"
+        view = CdcBootstrapView(
+            spark, base, pk="event_id", val="v", thresholds=_BOOT_THS, b=_BOOT_B
         )
-        w_view = CdcAggregateView(spark, f"{base}/w", key="r", pk="pk", val="w")
-        # third (1-key) view: the POINT estimate's Σv and n from the same
-        # maintained algebra — the unexploded changelog, key = a constant
-        pt_view = CdcAggregateView(spark, f"{base}/pt", key="g", pk="event_id", val="v")
-        for bid, batch in ((0, a0), (1, a1)):
-            x = explode_replicas(batch).localCheckpoint()
-            wv_view.merge(x, bid)
-            w_view.merge(x, bid)
-            pt_view.merge(
-                batch.select(
-                    "op",
-                    "seq",
-                    "event_id",
-                    F.lit("all").alias("g"),
-                    F.col("value").cast("decimal(18,2)").alias("v"),
-                ),
-                bid,
-            )
-        m = (
-            wv_view.snapshot()
-            .select("r", F.col("total").alias("swv"))
-            .join(w_view.snapshot().select("r", F.col("total").alias("sw")), "r")
-            .select(
-                "r",
-                (F.col("swv").cast("double") / F.col("sw").cast("double")).alias(
-                    "mean_r"
-                ),
-            )
-            .localCheckpoint()
-        )
-        pt = (
-            pt_view.snapshot()
-            .select(
-                F.col("n").cast("bigint").alias("n"),
-                (
-                    F.floor(
-                        F.col("total").cast("double") / F.col("n") * 1000000
-                        + F.lit(0.5e0)
-                    )
-                    / 1000000.0
-                ).alias("point_mean"),
-            )
-            .localCheckpoint()
-        )
+        view.merge(as_cdc(a0), 0)
+        view.merge(as_cdc(a1), 1)
+        arms = view.arms().localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+    m = arms.filter(F.col("r") >= 0).select(
+        (F.col("swv").cast("double") / F.col("sw").cast("double")).alias("mean_r")
+    )
+    pt = arms.filter(F.col("r") == -1).select(
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.floor(
+                F.col("swv").cast("double") / F.col("n") * 1000000 + F.lit(0.5e0)
+            )
+            / 1000000.0
+        ).alias("point_mean"),
+    )
     # mean/SE as sequential folds over the SORTED replicate list — the
     # identical-order identity that makes the 6-dp rounding portable
     # (a naive avg() flipped once on cross-engine summation order)

@@ -253,3 +253,98 @@ def test_cdc_token_tf_torn_write_heals_on_replay(spark, tmp_path):
     assert got == {"a": 1, "b": 1, "c": 2}
     alive = {r["doc_id"]: r["text"] for r in view2.alive_docs().collect()}
     assert alive == {1: "a", 2: "b", 3: "c c"}
+
+
+def _boot_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, seq bigint, event_id bigint, v decimal(18,2)"
+    )
+
+
+def test_cdc_bootstrap_arms_equal_from_scratch(spark, tmp_path):
+    """Maintained per-replicate (n, Σw, Σw·v) == the from-scratch weighted
+    sums over the upserted final table, including the point arm r=-1 —
+    value corrections shift every arm, deletes retract all contributions,
+    duplicate re-deliveries net to zero."""
+    from decimal import Decimal
+
+    from stream_cdc_gps_spark.operators.analytics import _BOOT_THS
+    from stream_cdc_gps_spark.streaming.bootstrap_index import CdcBootstrapView
+
+    base = str(tmp_path / "boot")
+    view = CdcBootstrapView(
+        spark, base, pk="event_id", val="v", thresholds=_BOOT_THS, b=8, n_buckets=2
+    )
+    view.merge(
+        _boot_batch(
+            spark,
+            [
+                ("c", 1, 1, Decimal("10.00")),
+                ("c", 2, 2, Decimal("20.00")),
+                ("c", 3, 3, Decimal("30.00")),
+            ],
+        ),
+        0,
+    )
+    view.merge(
+        _boot_batch(
+            spark,
+            [
+                ("u", 10, 1, Decimal("15.00")),  # correction
+                ("d", 11, 3, Decimal("30.00")),  # delete
+                ("u", 12, 2, Decimal("20.00")),  # duplicate re-delivery
+            ],
+        ),
+        1,
+    )
+    got = {
+        r["r"]: (r["n"], r["sw"], r["swv"]) for r in view.arms().collect()
+    }
+    # from-scratch over the final table {1: 15.00, 2: 20.00}
+    final = spark.createDataFrame(
+        [(1, Decimal("15.00")), (2, Decimal("20.00"))],
+        "event_id bigint, v decimal(18,2)",
+    )
+    fresh = CdcBootstrapView(
+        spark, str(tmp_path / "boot2"), pk="event_id", val="v",
+        thresholds=_BOOT_THS, b=8, n_buckets=2,
+    )
+    fresh.merge(
+        final.select(
+            F.lit("c").alias("op"), F.col("event_id").alias("seq"), "event_id", "v"
+        ),
+        0,
+    )
+    want = {
+        r["r"]: (r["n"], r["sw"], r["swv"]) for r in fresh.arms().collect()
+    }
+    assert got == want
+    # the point arm is the plain mean's ingredients
+    n, sw, swv = got[-1]
+    assert (n, sw, swv) == (2, Decimal("2.00"), Decimal("35.0000"))
+
+
+def test_cdc_bootstrap_torn_write_heals_on_replay(spark, tmp_path):
+    """Family replay contract: tear away batch 1's changelog landing
+    (arm partial kept), replay the batch, state converges."""
+    from decimal import Decimal
+
+    from stream_cdc_gps_spark.operators.analytics import _BOOT_THS
+    from stream_cdc_gps_spark.streaming.bootstrap_index import CdcBootstrapView
+
+    base = str(tmp_path / "boot3")
+    view = CdcBootstrapView(
+        spark, base, pk="event_id", val="v", thresholds=_BOOT_THS, b=4, n_buckets=2
+    )
+    b0 = _boot_batch(spark, [("c", 1, 1, Decimal("10.00"))])
+    b1 = _boot_batch(spark, [("u", 10, 1, Decimal("12.00"))])
+    view.merge(b0, 0)
+    view.merge(b1, 1)
+    before = {r["r"]: (r["n"], r["sw"], r["swv"]) for r in view.arms().collect()}
+    shutil.rmtree(f"{base}/a/partials/batch_id=1")
+    view2 = CdcBootstrapView(
+        spark, base, pk="event_id", val="v", thresholds=_BOOT_THS, b=4, n_buckets=2
+    )
+    view2.merge(b1, 1)
+    after = {r["r"]: (r["n"], r["sw"], r["swv"]) for r in view2.arms().collect()}
+    assert after == before
