@@ -1132,3 +1132,77 @@ def q204_gps_cdc_trip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_HAV_PREV = HAVERSINE_SQL.format(
+    lat1="lag(lat) OVER w", lon1="lag(lon) OVER w", lat2="lat", lon2="lon"
+)
+
+
+@query(
+    "q256_gps_teleport_filter",
+    oracle=f"""
+WITH s AS (
+    SELECT device_id,
+           ({_HAV_PREV}) AS dist_m,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 0
+                THEN ({_HAV_PREV})
+                     / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0)
+           END AS sp
+    FROM ({FIXES_SQL})
+    WINDOW w AS (PARTITION BY device_id ORDER BY ts, gps_id)
+)
+SELECT device_id,
+       CAST(count(*) AS BIGINT)                       AS n_fixes,
+       CAST(count(sp) AS BIGINT)                      AS n_moves,
+       CAST(sum(CASE WHEN sp > 40.0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS n_teleports,
+       round(max(sp), 3)                              AS max_speed_ms,
+       floor(sum(CASE WHEN sp <= 40.0 THEN dist_m END) * 100 + 0.5e0) / 100.0
+                                                      AS clean_dist_m
+FROM s GROUP BY device_id
+""",
+)
+def q256_gps_teleport_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS TELEPORT (implausible-jump) FILTER — the outlier screen every
+    fleet pipeline runs before q163's trip math trusts a fix: a move
+    whose implied speed between consecutive fixes exceeds 40 m/s
+    (~144 km/h, generous for urban fleets) is flagged as a GPS glitch,
+    and the per-device audit reports flagged moves plus the CLEAN
+    distance (teleport legs excluded) the downstream rollup should use.
+    Single-pass flagging (the iterative re-link variant re-runs this on
+    the filtered frame); the reference's PostGIS landing (cmd/main.go:
+    210-227) is exactly where this screen would sit.
+
+    Plan: q41's audited shape — ONE device-keyed window pass computes
+    lag-haversine distance and speed, then one map-side-combined
+    per-device aggregate. Flags compare RAW speeds (bit-identical
+    doubles on both engines — same lags, same formula — so the 40 m/s
+    cut is exact, no rounding in the predicate); max_speed is a picked
+    value (round-safe), the clean-distance sum uses the portable floor
+    idiom (sum order differs cross-engine)."""
+    fx = fixes(spark, sf_dir)
+    w = Window.partitionBy("device_id").orderBy("ts", "gps_id")
+    plat, plon = F.lag("lat").over(w), F.lag("lon").over(w)
+    dist = haversine_m(plat, plon, F.col("lat"), F.col("lon"))
+    gap_us = F.col("us") - F.lag("us").over(w)
+    s = fx.select(
+        "device_id",
+        dist.alias("dist_m"),
+        F.when(gap_us > 0, dist / (gap_us / 1_000_000.0)).alias("sp"),
+    )
+    return s.groupBy("device_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fixes"),
+        F.count("sp").cast("bigint").alias("n_moves"),
+        F.sum(F.when(F.col("sp") > 40.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_teleports"),
+        F.round(F.max("sp"), 3).alias("max_speed_ms"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("sp") <= 40.0, F.col("dist_m"))) * 100
+                + F.lit(0.5e0)
+            )
+            / 100.0
+        ).alias("clean_dist_m"),
+    )

@@ -99,8 +99,9 @@ DRIVER_WINDOW = 50
 #     rule applied twice), q253 (Poisson bootstrap CI — the distributed
 #     bootstrap with hash-deterministic weights), and q254 (the
 #     bootstrap CI CDC-maintained: replicate means are ratios of linear
-#     aggregates, composed CdcAggregateViews), and q255 (Hill tail-index
-#     diagnostic over top-k order statistics);
+#     aggregates, composed CdcAggregateViews), q255 (Hill tail-index
+#     diagnostic over top-k order statistics), and q256 (GPS teleport
+#     filter — the reference-domain outlier screen);
 # (b) the NINE rows the r11 slack cap deferred with a promise (r11
 #     verdict task #1): q35, q36, q37, q105, q163, q169-q172 — their
 #     newest driver rows were r4/r5-era, bridge-certified at r11 close;
@@ -111,9 +112,9 @@ DRIVER_WINDOW = 50
 #     of tree churn). Next-stalest after the cut (displaced one-for-one
 #     by the round's new rows, bridge-certified at close): q63-q65,
 #     q70, q71, q79,
-#     q146, q147, q150, q153, plus q33 and q52-q62 (displaced from this
-#     list one-for-one by the continuation session's q245-q255 under the
-#     slack cap, bridge-certified at close), then the rest of the r6
+#     q146, q147, q150, q153, plus q32, q33 and q52-q62 (displaced from
+#     this list one-for-one by the continuation session's q245-q256 under
+#     the slack cap, bridge-certified at close), then the rest of the r6
 #     cohort — r13's (c) tier.
 _PRIORITY: list[str] = [
     # (a) changed or added in r12
@@ -141,6 +142,7 @@ _PRIORITY: list[str] = [
     "q253_poisson_bootstrap",
     "q254_cdc_bootstrap_ci",
     "q255_hill_tail_index",
+    "q256_gps_teleport_filter",
     # (b) the nine promised r11 deferrals
     "q35_collect_sorted",
     "q36_map_functions",
@@ -167,7 +169,6 @@ _PRIORITY: list[str] = [
     # (c) oldest r6-era rows, query order, filling to the 50-row window
     "q30_topk_per_group",
     "q31_rank_dense_ntile",
-    "q32_lag_lead",
 ]
 
 
