@@ -92,9 +92,9 @@ PERMANENT = SHARED21 + [
 # q227 per-term rounding, the new family q234-q244: CDC corpus
 # gates, binned KS, truncation loss, CDC drift monitor, CDC mixture
 # weights, Kruskal-Wallis, weighted median; and the continuation
-# session's q245-q256: ANOVA, Brown-Forsythe, LM gate batch+CDC, JL
+# session's q245-q257: ANOVA, Brown-Forsythe, LM gate batch+CDC, JL
 # projection recall, Welch t, CDC weighted median, MAD, Poisson
-# bootstrap batch+CDC, Hill tail index, GPS teleport filter), plus the eight
+# bootstrap batch+CDC, Hill tail index, GPS teleport filter, PSI drift), plus the eight
 # heaviest CDC/vector reps carried again for round-over-round comparability. The
 # r11 spotlight statistics rows (q125/q138/q223/q225/q226/q228-q233)
 # rotate off — each keeps isolated BASELINE.md numbers (q226/q230/q231
@@ -125,6 +125,7 @@ SPOTLIGHT = [
     "q254_cdc_bootstrap_ci",
     "q255_hill_tail_index",
     "q256_gps_teleport_filter",
+    "q257_psi_drift",
     # carried heavies (comparability anchors since r10)
     "q190_ivfpq_incremental_index",
     "q194_cdc_join_view",

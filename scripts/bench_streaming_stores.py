@@ -445,6 +445,76 @@ def _scaling_section(spark, sf_dir: str, out: dict) -> None:
             shutil.rmtree(base, ignore_errors=True)
     out["scaling_shingle_df"] = curve
 
+    # CdcBootstrapView (r12 continuation): state = the row changelog +
+    # ≤(B+1) arm rows per batch. Growth: s event-id-shifted copies. The
+    # tail merge's only state READ is the pk-pruned pre-image (the arm
+    # store is write-only in a merge); the 64× replicate expansion and
+    # its md5 draws run over the ±delta only, so the tail wall should
+    # stay FLAT as state grows — the curve that certifies the 49 s → 16 s
+    # redesign's O(|Δ|) claim as a measurement rather than an assertion.
+    from stream_cdc_gps_spark.operators.analytics import _BOOT_THS
+    from stream_cdc_gps_spark.streaming.bootstrap_index import CdcBootstrapView
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("event_id", F.col("value").cast("decimal(18,2)").alias("v"))
+        .localCheckpoint()
+    )
+    eid = F.col("event_id")
+    max_eid = ev.agg(F.max("event_id")).first()[0] + 1
+
+    def scaled_events(s: int):
+        parts = [
+            ev.select(
+                F.lit("c").alias("op"),
+                (eid + i * max_eid).alias("seq"),
+                (eid + i * max_eid).alias("event_id"),
+                "v",
+            )
+            for i in range(s)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df.localCheckpoint()
+
+    eprobe = (
+        ev.orderBy("event_id")
+        .limit(1)
+        .select(
+            F.lit("u").alias("op"),
+            (F.lit(9_000_000_000) + eid).alias("seq"),
+            "event_id",
+            (F.col("v") + F.lit(7)).cast("decimal(18,2)").alias("v"),
+        )
+        .localCheckpoint()
+    )
+    curve = []
+    for s in (1, 4, 16):
+        base = tempfile.mkdtemp(prefix=f"scal_boot_{s}x_")
+        try:
+            bv = CdcBootstrapView(
+                spark, base, pk="event_id", val="v", thresholds=_BOOT_THS
+            )
+            bv.merge(scaled_events(s), 0)
+            t0 = time.perf_counter()
+            bv.merge(eprobe, 1)
+            wall = round(time.perf_counter() - t0, 2)
+            pk_kb = bv.a_store.touched_buckets(eprobe)
+            merge_read = _store_bytes(bv.a_store, pk_kb)
+            total = _store_bytes(bv.a_store) + _store_bytes(bv.v_store)
+            curve.append(
+                {
+                    "s": s,
+                    "state_bytes": total,
+                    "merge_read_bytes": merge_read,
+                    "tail_sec": wall,
+                }
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    out["scaling_cdc_bootstrap"] = curve
+
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]

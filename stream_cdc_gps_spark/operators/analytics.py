@@ -5135,3 +5135,128 @@ def q255_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.floor(km1 / s * 10000 + F.lit(0.5e0)) / 10000.0).alias("alpha_hill"),
     )
+
+
+@query(
+    "q257_psi_drift",
+    oracle="""
+WITH assigned AS (
+    SELECT 'ab_split' AS comparison, value,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 0
+               AS in_a
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'click_vs_purchase', value, event_type = 'click'
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+ext AS (SELECT comparison, min(value) AS lo, max(value) AS hi
+        FROM assigned GROUP BY comparison),
+binned AS (
+    SELECT a.comparison,
+           least(CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT), 9) AS bin,
+           in_a
+    FROM assigned a JOIN ext USING (comparison)
+),
+by_bin AS (
+    SELECT comparison, bin,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a_v,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b_v
+    FROM binned GROUP BY comparison, bin
+),
+tot AS (SELECT comparison, CAST(sum(a_v) AS BIGINT) AS na,
+               CAST(sum(b_v) AS BIGINT) AS nb,
+               CAST(count(*) AS BIGINT) AS n_bins_occupied
+        FROM by_bin GROUP BY comparison),
+terms AS (
+    SELECT b.comparison,
+           CAST(round(((a_v + 0.5e0) / (na + 5.0e0)
+                       - (b_v + 0.5e0) / (nb + 5.0e0))
+                      * ln(((a_v + 0.5e0) / (na + 5.0e0))
+                           / ((b_v + 0.5e0) / (nb + 5.0e0))), 12)
+                AS DECIMAL(20,12)) AS term
+    FROM by_bin b JOIN tot USING (comparison)
+),
+psi AS (SELECT comparison, CAST(sum(term) AS DOUBLE) AS psi
+        FROM terms GROUP BY comparison)
+SELECT t.comparison, t.na AS n_a, t.nb AS n_b, t.n_bins_occupied,
+       floor(p.psi * 1000000 + 0.5e0) / 1000000.0 AS psi,
+       p.psi > 0.1e0  AS drift_moderate,
+       p.psi > 0.25e0 AS drift_major
+FROM tot t JOIN psi p ON t.comparison = p.comparison
+""",
+)
+def q257_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX — the industry-standard ML-monitoring
+    drift metric next to the KS family (q236 binned KS, q238 CDC drift
+    monitor): PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over a fixed 10-cell
+    equi-width grid, with the conventional 0.1 (moderate) and 0.25
+    (major) action thresholds. Two monitored pairs in one pass: the
+    hash-split A/B null case (the "monitor is quiet when nothing
+    changed" check) and click-vs-purchase (cross-segment drift — flips
+    drift_moderate at sf0.001, measured margin ≥0.027 from either
+    threshold at every SF). Laplace-smoothed shares ((n_i+0.5)/(N+5))
+    keep empty-in-one-arm bins finite — the standard production fix.
+
+    Scale: q236's audited shape ×2 — per-comparison [min,max] extents
+    (grouped, broadcast), IEEE-deterministic bin assignment (no libm in
+    the predicate), one (comparison, bin)-keyed aggregate, then ≤20
+    bin terms. Each term is the 12-dp-quantized product in exact
+    DECIMAL (identical doubles in, exact sum out — the q253 lesson:
+    never let a cross-engine double sum meet a rounding boundary),
+    final PSI through the portable floor idiom."""
+    e = t(spark, sf_dir, "events")
+    in_ab = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0
+    )
+    a1 = e.filter(F.col("event_type") == "purchase").select(
+        F.lit("ab_split").alias("comparison"), "value", in_ab.alias("in_a")
+    )
+    a2 = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.lit("click_vs_purchase").alias("comparison"),
+        "value",
+        (F.col("event_type") == "click").alias("in_a"),
+    )
+    assigned = a1.unionByName(a2)
+    ext = assigned.groupBy("comparison").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = assigned.join(F.broadcast(ext), "comparison").select(
+        "comparison",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10
+            ).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+        "in_a",
+    )
+    by_bin = binned.groupBy("comparison", "bin").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("a_v"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("bigint").alias("b_v"),
+    )
+    tot = by_bin.groupBy("comparison").agg(
+        F.sum("a_v").cast("bigint").alias("na"),
+        F.sum("b_v").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_occupied"),
+    )
+    p = (F.col("a_v") + F.lit(0.5e0)) / (F.col("na") + F.lit(5.0e0))
+    q = (F.col("b_v") + F.lit(0.5e0)) / (F.col("nb") + F.lit(5.0e0))
+    term = F.round((p - q) * F.log(p / q), 12).cast("decimal(20,12)")
+    psi = (
+        by_bin.join(F.broadcast(tot), "comparison")
+        .select("comparison", term.alias("term"))
+        .groupBy("comparison")
+        .agg(F.sum("term").cast("double").alias("psi"))
+    )
+    return tot.join(psi, "comparison").select(
+        "comparison",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "n_bins_occupied",
+        (F.floor(F.col("psi") * 1000000 + F.lit(0.5e0)) / 1000000.0).alias("psi"),
+        (F.col("psi") > F.lit(0.1e0)).alias("drift_moderate"),
+        (F.col("psi") > F.lit(0.25e0)).alias("drift_major"),
+    )

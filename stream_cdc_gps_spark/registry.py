@@ -100,8 +100,9 @@ DRIVER_WINDOW = 50
 #     bootstrap with hash-deterministic weights), and q254 (the
 #     bootstrap CI CDC-maintained: replicate means are ratios of linear
 #     aggregates, composed CdcAggregateViews), q255 (Hill tail-index
-#     diagnostic over top-k order statistics), and q256 (GPS teleport
-#     filter — the reference-domain outlier screen);
+#     diagnostic over top-k order statistics), q256 (GPS teleport
+#     filter — the reference-domain outlier screen), and q257 (PSI
+#     drift — the standard ML-monitoring metric, q236's binning);
 # (b) the NINE rows the r11 slack cap deferred with a promise (r11
 #     verdict task #1): q35, q36, q37, q105, q163, q169-q172 — their
 #     newest driver rows were r4/r5-era, bridge-certified at r11 close;
@@ -112,10 +113,10 @@ DRIVER_WINDOW = 50
 #     of tree churn). Next-stalest after the cut (displaced one-for-one
 #     by the round's new rows, bridge-certified at close): q63-q65,
 #     q70, q71, q79,
-#     q146, q147, q150, q153, plus q32, q33 and q52-q62 (displaced from
-#     this list one-for-one by the continuation session's q245-q256 under
-#     the slack cap, bridge-certified at close), then the rest of the r6
-#     cohort — r13's (c) tier.
+#     q146, q147, q150, q153, plus q31, q32, q33 and q52-q62 (displaced
+#     from this list one-for-one by the continuation session's q245-q257
+#     under the slack cap, bridge-certified at close), then the rest of
+#     the r6 cohort — r13's (c) tier.
 _PRIORITY: list[str] = [
     # (a) changed or added in r12
     "q133_equidepth_histogram",
@@ -143,6 +144,7 @@ _PRIORITY: list[str] = [
     "q254_cdc_bootstrap_ci",
     "q255_hill_tail_index",
     "q256_gps_teleport_filter",
+    "q257_psi_drift",
     # (b) the nine promised r11 deferrals
     "q35_collect_sorted",
     "q36_map_functions",
@@ -168,7 +170,6 @@ _PRIORITY: list[str] = [
     "q97_sliding_window_rate",
     # (c) oldest r6-era rows, query order, filling to the 50-row window
     "q30_topk_per_group",
-    "q31_rank_dense_ntile",
 ]
 
 
