@@ -3733,7 +3733,12 @@ WITH assigned AS (
 ),
 ext AS (SELECT min(value) AS lo, max(value) AS hi FROM assigned),
 binned AS (
-    SELECT least(CAST(floor((value - lo) / (hi - lo) * 256) AS BIGINT), 255) AS bin,
+    -- degenerate-extent guard (r12 advice): hi = lo divides by zero, and
+    -- Spark's non-ANSI division yields NULL where DuckDB yields NaN/Inf —
+    -- pin bin 0 identically on both engines instead
+    SELECT CASE WHEN hi = lo THEN 0
+                ELSE least(CAST(floor((value - lo) / (hi - lo) * 256)
+                                AS BIGINT), 255) END AS bin,
            in_a
     FROM assigned, ext
 ),
@@ -3790,15 +3795,22 @@ def q236_binned_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = e.select("value", in_a.alias("in_a"))
     ext = assigned.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    # degenerate-extent guard (r12 advice): on an all-equal corpus hi = lo
+    # makes the division 0/0 — Spark (non-ANSI) yields NULL, DuckDB NaN —
+    # so pin bin 0 on both engines rather than diverge
     binned = assigned.crossJoin(F.broadcast(ext)).select(
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("lo"))
-                / (F.col("hi") - F.col("lo"))
-                * 256
-            ).cast("bigint"),
-            F.lit(255).cast("bigint"),
-        ).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 256
+                ).cast("bigint"),
+                F.lit(255).cast("bigint"),
+            )
+        )
+        .alias("bin"),
         "in_a",
     )
     by_bin = binned.groupBy("bin").agg(
@@ -5152,8 +5164,11 @@ WITH assigned AS (
 ext AS (SELECT comparison, min(value) AS lo, max(value) AS hi
         FROM assigned GROUP BY comparison),
 binned AS (
+    -- degenerate-extent guard (r12 advice): see q236 — bin 0 when hi = lo
     SELECT a.comparison,
-           least(CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT), 9) AS bin,
+           CASE WHEN hi = lo THEN 0
+                ELSE least(CAST(floor((value - lo) / (hi - lo) * 10)
+                                AS BIGINT), 9) END AS bin,
            in_a
     FROM assigned a JOIN ext USING (comparison)
 ),
@@ -5223,14 +5238,21 @@ def q257_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = assigned.groupBy("comparison").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
+    # degenerate-extent guard (r12 advice): see q236 — bin 0 when hi = lo
     binned = assigned.join(F.broadcast(ext), "comparison").select(
         "comparison",
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10
-            ).cast("bigint"),
-            F.lit(9).cast("bigint"),
-        ).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ).cast("bigint"),
+                F.lit(9).cast("bigint"),
+            )
+        )
+        .alias("bin"),
         "in_a",
     )
     by_bin = binned.groupBy("comparison", "bin").agg(

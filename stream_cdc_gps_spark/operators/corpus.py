@@ -1619,11 +1619,16 @@ sc AS (
                            AS DECIMAL(20,12))) AS nll
     FROM dw JOIN tf USING (w) CROSS JOIN tot GROUP BY doc_id, source
 ),
-rated AS (SELECT source, n_tok, CAST(nll AS DOUBLE) / n_tok AS rate FROM sc)
+rated AS (SELECT source, n_tok,
+                 CAST(nll AS DOUBLE) / n_tok AS rate,
+                 CAST(round(CAST(nll AS DOUBLE) / n_tok, 12)
+                      AS DECIMAL(20,12)) AS rate_q
+          FROM sc)
 SELECT source,
        CAST(count(*) AS BIGINT)  AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-       round(avg(rate), 6)       AS mean_nll,
+       floor(CAST(sum(rate_q) AS DOUBLE) / count(*) * 1000000 + 0.5e0)
+           / 1000000.0           AS mean_nll,
        CAST(sum(CASE WHEN rate > {_LM_NLL_GATE}e0 THEN 1 ELSE 0 END)
             AS BIGINT)           AS n_flagged
 FROM rated GROUP BY source
@@ -1641,7 +1646,14 @@ def _lm_gate_readout(docs: DataFrame, tf_tbl: DataFrame) -> DataFrame:
     is the per-(doc, word) count compression, map-side combined. Each
     scoring term is n_dw · round12(ln(total/tf)) as DECIMAL(20,12):
     integer times quantized-libm scalar, summed exactly — per-doc nll
-    is bit-identical to the oracle before the final rounded readout."""
+    is bit-identical to the oracle before the final rounded readout.
+    mean_nll avoids avg() over the per-doc rate doubles (summation order
+    differs cross-engine and CAN flip the 6-dp rounding — the q253/q254
+    lesson, r12 advice): each rate is quantized at 12 dp into
+    DECIMAL(20,12) (identical doubles in — same exact nll, same n_tok,
+    one IEEE division — so the quantized terms match bit-for-bit), the
+    sum is exact decimal, and ONE final division feeds the portable
+    floor idiom."""
     tot = tf_tbl.agg(F.sum("tf").cast("bigint").alias("total"))
     dw = (
         docs.select(
@@ -1663,10 +1675,17 @@ def _lm_gate_readout(docs: DataFrame, tf_tbl: DataFrame) -> DataFrame:
         )
     )
     rate = F.col("nll").cast("double") / F.col("n_tok")
+    rate_q = F.round(rate, 12).cast("decimal(20,12)")
     return sc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
-        F.round(F.avg(rate), 6).alias("mean_nll"),
+        (
+            F.floor(
+                F.sum(rate_q).cast("double") / F.count(F.lit(1)) * 1000000
+                + F.lit(0.5e0)
+            )
+            / 1000000.0
+        ).alias("mean_nll"),
         F.sum(F.when(rate > F.lit(float(_LM_NLL_GATE)), 1).otherwise(0))
         .cast("bigint")
         .alias("n_flagged"),

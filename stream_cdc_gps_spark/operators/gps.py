@@ -1146,8 +1146,9 @@ WITH s AS (
     SELECT device_id,
            ({_HAV_PREV}) AS dist_m,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 0
-                THEN ({_HAV_PREV})
-                     / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0)
+                THEN round(({_HAV_PREV})
+                     / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0),
+                     12)
            END AS sp
     FROM ({FIXES_SQL})
     WINDOW w AS (PARTITION BY device_id ORDER BY ts, gps_id)
@@ -1157,7 +1158,7 @@ SELECT device_id,
        CAST(count(sp) AS BIGINT)                      AS n_moves,
        CAST(sum(CASE WHEN sp > 40.0 THEN 1 ELSE 0 END) AS BIGINT)
                                                       AS n_teleports,
-       round(max(sp), 3)                              AS max_speed_ms,
+       floor(max(sp) * 1000 + 0.5e0) / 1000.0         AS max_speed_ms,
        floor(sum(CASE WHEN sp <= 40.0 THEN dist_m END) * 100 + 0.5e0) / 100.0
                                                       AS clean_dist_m
 FROM s GROUP BY device_id
@@ -1176,11 +1177,14 @@ def q256_gps_teleport_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: q41's audited shape — ONE device-keyed window pass computes
     lag-haversine distance and speed, then one map-side-combined
-    per-device aggregate. Flags compare RAW speeds (bit-identical
-    doubles on both engines — same lags, same formula — so the 40 m/s
-    cut is exact, no rounding in the predicate); max_speed is a picked
-    value (round-safe), the clean-distance sum uses the portable floor
-    idiom (sum order differs cross-engine)."""
+    per-device aggregate. The speed is QUANTIZED at 12 dp before any
+    compare (r12 advice — haversine runs through sin/cos/asin, and Java
+    Math vs C libm are not guaranteed ulp-identical, so a speed within
+    ulps of the 40 m/s gate or a near-half max could otherwise flip
+    n_teleports/max_speed/clean_dist cross-engine; the q214/q227
+    per-term idiom applied to the predicate input); max_speed reads the
+    quantized value through the portable floor idiom, as does the
+    clean-distance sum (sum order differs cross-engine)."""
     fx = fixes(spark, sf_dir)
     w = Window.partitionBy("device_id").orderBy("ts", "gps_id")
     plat, plon = F.lag("lat").over(w), F.lag("lon").over(w)
@@ -1189,7 +1193,9 @@ def q256_gps_teleport_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = fx.select(
         "device_id",
         dist.alias("dist_m"),
-        F.when(gap_us > 0, dist / (gap_us / 1_000_000.0)).alias("sp"),
+        F.when(
+            gap_us > 0, F.round(dist / (gap_us / 1_000_000.0), 12)
+        ).alias("sp"),
     )
     return s.groupBy("device_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fixes"),
@@ -1197,7 +1203,9 @@ def q256_gps_teleport_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("sp") > 40.0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_teleports"),
-        F.round(F.max("sp"), 3).alias("max_speed_ms"),
+        (F.floor(F.max("sp") * 1000 + F.lit(0.5e0)) / 1000.0).alias(
+            "max_speed_ms"
+        ),
         (
             F.floor(
                 F.sum(F.when(F.col("sp") <= 40.0, F.col("dist_m"))) * 100

@@ -75,102 +75,98 @@ DRIVER_WINDOW = 50
 # instead require a committed full driver-sim artifact
 # (artifacts/driver_sim_full.json certifying a 0-fail run from this round).
 #
-# Round 12 front-loads, in order:
+# Round 13 front-loads, in order:
 # (a) queries changed or added this round — the staleness gate forces
-#     these: q133 (the last GLOBAL_WINDOW_OK entry, rewritten onto q225's
-#     two-pass distributed rank), q227 (per-term 12-dp ln rounding, the
-#     r11 advice), and the new rows q234/q235 (CDC-maintained
-#     decontamination / shingle-novelty gates over CdcShingleDfView),
-#     q236 (binned KS — the domain-cardinality-loophole companion),
-#     q237 (truncation-loss curve), q239 (CDC-maintained mixture weights
-#     composing CdcAggregateView), q240 (Kruskal-Wallis on the midrank
-#     idiom), q241 (exact weighted median via crossing-bucket two-pass),
-#     q238 (CDC-maintained KS drift monitor composing CdcAggregateView),
-#     q242/q243 (Bloom filter + its CDC counting variant), q244
-#     (prefix-filtered exact set-similarity join); the continuation
-#     session added q245/q246 (one-way ANOVA + Brown-Forsythe on
-#     decimal-exact sufficient statistics), q247/q248 (unigram-LM
-#     perplexity quality gate + its CDC-maintained variant composing
-#     the new CdcTokenTfView), q249 (JL random-projection recall,
-#     q191's harness over a projected column), q250 (Welch's
-#     unequal-variance t + Cohen's d), and q251 (CDC-maintained exact
-#     weighted median — q241's order statistic on the support-set
-#     recompute strategy), q252 (exact per-group MAD, the crossing
-#     rule applied twice), q253 (Poisson bootstrap CI — the distributed
-#     bootstrap with hash-deterministic weights), and q254 (the
-#     bootstrap CI CDC-maintained: replicate means are ratios of linear
-#     aggregates, composed CdcAggregateViews), q255 (Hill tail-index
-#     diagnostic over top-k order statistics), q256 (GPS teleport
-#     filter — the reference-domain outlier screen), and q257 (PSI
-#     drift — the standard ML-monitoring metric, q236's binning);
-# (b) the NINE rows the r11 slack cap deferred with a promise (r11
-#     verdict task #1): q35, q36, q37, q105, q163, q169-q172 — their
-#     newest driver rows were r4/r5-era, bridge-certified at r11 close;
-# (c) the remaining r5-era rows (q38, q39, q43, q47-q51, q86, q90, q91,
-#     q97 — twelve), then the OLDEST r6-era rows in query order up to
-#     the slack cap (48 = window - 2) — the staleness rotation the r11
-#     verdict's task #2 prescribes (no certificate older than ~6 rounds
-#     of tree churn). Next-stalest after the cut (displaced one-for-one
-#     by the round's new rows, bridge-certified at close): q63-q65,
-#     q70, q71, q79,
-#     q146, q147, q150, q153, plus q31, q32, q33 and q52-q62 (displaced
-#     from this list one-for-one by the continuation session's q245-q257
-#     under the slack cap, bridge-certified at close), then the rest of
-#     the r6 cohort — r13's (c) tier.
+#     these: q247/q248 (mean_nll rebuilt on the portable 12-dp-quantized
+#     per-doc-rate DECIMAL sum + floor idiom — the r12 ADVICE medium
+#     item: avg() over per-doc rate doubles is summation-order-dependent
+#     cross-engine), q236/q257 (degenerate-extent guard: bin 0 when
+#     hi = lo, mirrored in both engines — r12 ADVICE low), q256 (speed
+#     quantized at 12 dp before the 40 m/s gate compare + floor idiom
+#     for max_speed_ms — r12 ADVICE low), plus this round's new rows as
+#     they land (CDC-maintained PSI, KM-under-churn, the drift-suite
+#     parity row) and q254 (CdcBootstrapView gains suite-shared landing
+#     params);
+# (b) the FOURTEEN rows the r12 continuation's q245-q257 displaced
+#     one-for-one under the slack cap, bridge-certified at r12 close and
+#     promised as r13's lead (r12 verdict task #1): q31, q32, q33,
+#     q52-q62 — asserted mechanically via _PROMISED_NEXT (see below);
+# (c) the r6-era staleness cohort in query order up to the slack cap
+#     (48 = window - 2): q63-q65, q70, q71, q79, q146, q147, q150,
+#     q153, q154, q155, q160-q162, q164, q167, q168, q173-q176, q178,
+#     q179, q181, then q182/q184/q185/q186 while slots remain (each new
+#     tier-(a) row this round displaces the (c) tail one-for-one;
+#     displaced rows are bridge-certified at close and recorded in
+#     _PROMISED_NEXT for r14).
 _PRIORITY: list[str] = [
-    # (a) changed or added in r12
-    "q133_equidepth_histogram",
-    "q227_km_survival",
-    "q234_cdc_decontamination",
-    "q235_cdc_shingle_novelty",
+    # (a) changed or added in r13
     "q236_binned_ks",
-    "q237_truncation_loss",
-    "q238_cdc_drift_monitor",
-    "q239_cdc_mixture_weights",
-    "q240_kruskal_wallis",
-    "q241_weighted_median",
-    "q242_bloom_filter",
-    "q243_cdc_counting_bloom",
-    "q244_prefix_filter_join",
-    "q245_oneway_anova",
-    "q246_brown_forsythe",
     "q247_lm_quality_gate",
     "q248_cdc_lm_gate",
-    "q249_jl_projection_recall",
-    "q250_welch_ttest",
-    "q251_cdc_weighted_median",
-    "q252_mad_robust_spread",
-    "q253_poisson_bootstrap",
-    "q254_cdc_bootstrap_ci",
-    "q255_hill_tail_index",
     "q256_gps_teleport_filter",
     "q257_psi_drift",
-    # (b) the nine promised r11 deferrals
-    "q35_collect_sorted",
-    "q36_map_functions",
-    "q37_set_ops_all",
-    "q105_decontamination",
-    "q163_gps_pipeline",
-    "q169_hourly_acf",
-    "q170_cusum_changepoint",
-    "q171_seasonal_anomaly",
-    "q172_association_rules",
-    # (c) remaining r5-era rows
-    "q38_except_all",
-    "q39_uncorrelated_subquery",
-    "q43_tumbling_hourly",
-    "q47_hypertable_rollup",
-    "q48_array_functions",
-    "q49_unpivot",
-    "q50_dedup_exact",
-    "q51_dedup_fingerprint",
-    "q86_cdc_snapshot_upsert",
-    "q90_exists_subqueries",
-    "q91_cross_join",
-    "q97_sliding_window_rate",
-    # (c) oldest r6-era rows, query order, filling to the 50-row window
-    "q30_topk_per_group",
+    # (b) the fourteen promised r12 deferrals (machine-checked against
+    # the round-boundary commit's _PROMISED_NEXT by
+    # tests/test_registry_invariants.py::test_previous_round_promise_consumed)
+    "q31_rank_dense_ntile",
+    "q32_lag_lead",
+    "q33_window_frames",
+    "q52_minhash_signatures",
+    "q53_lsh_candidate_pairs",
+    "q54_ngram_jaccard",
+    "q55_simhash",
+    "q56_embedding_near_dup",
+    "q57_neardup_components",
+    "q58_simhash_pairs",
+    "q59_dedup_keep_one",
+    "q60_cosine_topk",
+    "q61_ann_bucketed_topk",
+    "q62_embedding_stats",
+    # (c) r6-era staleness cohort, query order, filling to the slack cap
+    "q63_ivf_topk",
+    "q64_ann_recall",
+    "q65_label_centroids",
+    "q70_lang_stats",
+    "q71_token_quality",
+    "q79_lev_verify_pairs",
+    "q146_minhash_jaccard_estimate",
+    "q147_neardup_cluster_stats",
+    "q150_split_leakage_check",
+    "q153_cluster_safe_split",
+    "q154_cross_source_dup_matrix",
+    "q155_dedup_threshold_sweep",
+    "q160_idf_weighted_jaccard",
+    "q161_ivf_trained_topk",
+    "q162_pq_trained_codes",
+    "q164_cap_telemetry",
+    "q167_semdedup",
+    "q168_triangle_count",
+    "q173_source_divergence",
+    "q174_twap",
+    "q175_triangle_estimate",
+    "q176_triangle_estimate_error",
+    "q178_score_auc",
+    "q179_k_anonymity",
+    "q181_feature_corr_matrix",
+    "q182_minhash_containment",
+    "q184_group_ols_trend",
+    "q185_touch_attribution",
+    "q186_ivfpq_search",
 ]
+
+# MACHINE-CHECKABLE DISPLACEMENT LEDGER (r12 verdict task #5 — the
+# window-rotation promises used to live in prose in the comment above;
+# prose can be silently rewritten, data is asserted). Contract:
+#   - at round CLOSE, _PROMISED_NEXT lists every bridge-certified row the
+#     round's new tier-(a) entries displaced past the slack cap — the
+#     rows the NEXT round's _PRIORITY must consume first;
+#   - tests/test_registry_invariants.py::test_previous_round_promise_consumed
+#     reads _PROMISED_NEXT from the ROUND-BOUNDARY COMMIT (git show), so
+#     editing this list mid-round cannot erase last round's promise; the
+#     current _PRIORITY must contain every name promised there.
+# r12 closed with its promise recorded only in prose (the 14 rows now in
+# tier (b) above); from r13 on the ledger is data.
+_PROMISED_NEXT: list[str] = []
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -164,11 +164,16 @@ def test_round_changed_queries_fit_driver_window():
     # the changed set and the closure table (its text names queries, so
     # traversing it would fabricate reach edges to every listed query).
     changed.discard((f"{PKG}.registry", "_PRIORITY"))
+    # _PROMISED_NEXT is the displacement ledger — window metadata like
+    # _PRIORITY (its text names queries, so traversing it would fabricate
+    # reach edges), checked by its own cross-round test below.
+    changed.discard((f"{PKG}.registry", "_PROMISED_NEXT"))
     if not changed:
         pytest.skip("package files changed but no top-level symbol differs")
 
     table = _symbol_table()
     table.pop((f"{PKG}.registry", "_PRIORITY"), None)
+    table.pop((f"{PKG}.registry", "_PROMISED_NEXT"), None)
     specs = registry.all_queries()
     stale: dict[str, list[str]] = {}
     hit_count: dict[tuple[str, str], int] = {}
@@ -253,6 +258,53 @@ def test_bench_headline_names_registered():
     qs = registry.all_queries()
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, f"bench HEADLINE names not in registry: {missing}"
+
+
+def test_previous_round_promise_consumed():
+    """THE displacement-ledger gate (r12 verdict task #5): rows a round's
+    slack cap displaced were bridge-certified with a PROMISE that the
+    next round's window consumes them first. The promise is data
+    (registry._PROMISED_NEXT) read from the ROUND-BOUNDARY COMMIT — so a
+    mid-round edit to the working tree cannot erase what was promised —
+    and every promised name must sit in the current _PRIORITY."""
+    boundary = _round_boundary()
+    if boundary is None:
+        pytest.skip("no round boundary commit")
+    try:
+        old_src = _git("show", f"{boundary}:{PKG}/registry.py")
+    except subprocess.CalledProcessError:
+        pytest.skip("registry.py absent at the round boundary")
+    promised: list[str] | None = None
+    for node in ast.parse(old_src).body:
+        if isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            if node.target.id == "_PROMISED_NEXT" and node.value is not None:
+                promised = ast.literal_eval(node.value)
+        elif isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name) and tgt.id == "_PROMISED_NEXT":
+                    promised = ast.literal_eval(node.value)
+    if promised is None:
+        pytest.skip("boundary commit predates the _PROMISED_NEXT ledger")
+    missing = [n for n in promised if n not in registry._PRIORITY]
+    assert not missing, (
+        f"last round promised these displaced rows the FIRST slots of this "
+        f"round's window (registry._PROMISED_NEXT at {boundary[:12]}) but "
+        f"_PRIORITY does not contain them: {missing}"
+    )
+
+
+def test_promised_next_names_registered():
+    """The ledger must name real queries (a typo would silently void the
+    promise), and never promise a row the current window already holds —
+    promises are for DISPLACED rows only."""
+    qs = registry.all_queries()
+    missing = [n for n in registry._PROMISED_NEXT if n not in qs]
+    assert not missing, f"_PROMISED_NEXT names not in registry: {missing}"
+    overlap = [n for n in registry._PROMISED_NEXT if n in registry._PRIORITY]
+    assert not overlap, (
+        f"_PROMISED_NEXT rows already inside _PRIORITY (a promise records "
+        f"a row the slack cap DISPLACED, not one being checked): {overlap}"
+    )
 
 
 def test_priority_leaves_window_slack():
