@@ -5149,6 +5149,65 @@ def q255_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _psi_readout(counts: DataFrame) -> DataFrame:
+    """PSI over a fixed 10-cell equi-width grid from weighted value rows
+    ``counts`` = (comparison, value, a_cnt, b_cnt) at ANY granularity —
+    raw event rows with 0/1 indicators (q257) or maintained per-value
+    arm counts (q258) sum to the same bins. Per-comparison extents are
+    grouped + broadcast; bin assignment is IEEE-deterministic with the
+    degenerate-extent guard (bin 0 when hi = lo — r12 advice: Spark's
+    non-ANSI 0/0 is NULL where DuckDB's is NaN); each bin term is the
+    12-dp-quantized PSI summand in exact DECIMAL; final PSI through the
+    portable floor idiom."""
+    ext = counts.groupBy("comparison").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = counts.join(F.broadcast(ext), "comparison").select(
+        "comparison",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ).cast("bigint"),
+                F.lit(9).cast("bigint"),
+            )
+        )
+        .alias("bin"),
+        "a_cnt",
+        "b_cnt",
+    )
+    by_bin = binned.groupBy("comparison", "bin").agg(
+        F.sum("a_cnt").cast("bigint").alias("a_v"),
+        F.sum("b_cnt").cast("bigint").alias("b_v"),
+    )
+    tot = by_bin.groupBy("comparison").agg(
+        F.sum("a_v").cast("bigint").alias("na"),
+        F.sum("b_v").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_occupied"),
+    )
+    p = (F.col("a_v") + F.lit(0.5e0)) / (F.col("na") + F.lit(5.0e0))
+    q = (F.col("b_v") + F.lit(0.5e0)) / (F.col("nb") + F.lit(5.0e0))
+    term = F.round((p - q) * F.log(p / q), 12).cast("decimal(20,12)")
+    psi = (
+        by_bin.join(F.broadcast(tot), "comparison")
+        .select("comparison", term.alias("term"))
+        .groupBy("comparison")
+        .agg(F.sum("term").cast("double").alias("psi"))
+    )
+    return tot.join(psi, "comparison").select(
+        "comparison",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "n_bins_occupied",
+        (F.floor(F.col("psi") * 1000000 + F.lit(0.5e0)) / 1000000.0).alias("psi"),
+        (F.col("psi") > F.lit(0.1e0)).alias("drift_moderate"),
+        (F.col("psi") > F.lit(0.25e0)).alias("drift_major"),
+    )
+
+
 @query(
     "q257_psi_drift",
     oracle="""
@@ -5234,51 +5293,172 @@ def q257_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.col("event_type") == "click").alias("in_a"),
     )
-    assigned = a1.unionByName(a2)
-    ext = assigned.groupBy("comparison").agg(
-        F.min("value").alias("lo"), F.max("value").alias("hi")
-    )
-    # degenerate-extent guard (r12 advice): see q236 — bin 0 when hi = lo
-    binned = assigned.join(F.broadcast(ext), "comparison").select(
+    counts = a1.unionByName(a2).select(
         "comparison",
-        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
-        .otherwise(
-            F.least(
-                F.floor(
-                    (F.col("value") - F.col("lo"))
-                    / (F.col("hi") - F.col("lo"))
-                    * 10
-                ).cast("bigint"),
-                F.lit(9).cast("bigint"),
-            )
+        "value",
+        F.when(F.col("in_a"), 1).otherwise(0).cast("bigint").alias("a_cnt"),
+        F.when(F.col("in_a"), 0).otherwise(1).cast("bigint").alias("b_cnt"),
+    )
+    return _psi_readout(counts)
+
+
+@query(
+    "q258_cdc_psi_drift",
+    oracle="""
+WITH final AS (
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 13 = 0 THEN
+                    CASE WHEN event_type = 'purchase' THEN 'view'
+                         ELSE 'purchase' END
+                ELSE event_type END AS event_type,
+           CASE WHEN event_id % 7 = 0 THEN value + 1.11e0 ELSE value END AS value
+    FROM events WHERE event_id % 5 != 0
+),
+assigned AS (
+    SELECT 'ab_split' AS comparison, value,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 0
+               AS in_a
+    FROM final WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'click_vs_purchase', value, event_type = 'click'
+    FROM final WHERE event_type IN ('click', 'purchase')
+),
+ext AS (SELECT comparison, min(value) AS lo, max(value) AS hi
+        FROM assigned GROUP BY comparison),
+binned AS (
+    SELECT a.comparison,
+           CASE WHEN hi = lo THEN 0
+                ELSE least(CAST(floor((value - lo) / (hi - lo) * 10)
+                                AS BIGINT), 9) END AS bin,
+           in_a
+    FROM assigned a JOIN ext USING (comparison)
+),
+by_bin AS (
+    SELECT comparison, bin,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a_v,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b_v
+    FROM binned GROUP BY comparison, bin
+),
+tot AS (SELECT comparison, CAST(sum(a_v) AS BIGINT) AS na,
+               CAST(sum(b_v) AS BIGINT) AS nb,
+               CAST(count(*) AS BIGINT) AS n_bins_occupied
+        FROM by_bin GROUP BY comparison),
+terms AS (
+    SELECT b.comparison,
+           CAST(round(((a_v + 0.5e0) / (na + 5.0e0)
+                       - (b_v + 0.5e0) / (nb + 5.0e0))
+                      * ln(((a_v + 0.5e0) / (na + 5.0e0))
+                           / ((b_v + 0.5e0) / (nb + 5.0e0))), 12)
+                AS DECIMAL(20,12)) AS term
+    FROM by_bin b JOIN tot USING (comparison)
+),
+psi AS (SELECT comparison, CAST(sum(term) AS DOUBLE) AS psi
+        FROM terms GROUP BY comparison)
+SELECT t.comparison, t.na AS n_a, t.nb AS n_b, t.n_bins_occupied,
+       floor(p.psi * 1000000 + 0.5e0) / 1000000.0 AS psi,
+       p.psi > 0.1e0  AS drift_moderate,
+       p.psi > 0.25e0 AS drift_major
+FROM tot t JOIN psi p ON t.comparison = p.comparison
+""",
+)
+def q258_cdc_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED PSI DRIFT MONITOR — q257 kept current under event
+    churn (r12 verdict task #4), completing the maintained drift family
+    next to q238's KS. The key design decision: the maintained state is
+    per-(event_type, value) ARM COUNTS — linear in the event multiset,
+    one composed ``CdcAggregateView`` (key = a struct of the monitored
+    class and the value; val = the hash-arm indicator) — NOT per-bin
+    counts. Binning at merge time would freeze the equi-width grid
+    against a stale [lo, hi]: a correction that stretches the extent
+    silently reassigns EVERY row's bin, which per-bin state cannot
+    replay without a rescan. Per-value counts are extent-free (the
+    q238 move); the 10-cell grid is re-derived at readout from the
+    maintained values, so late corrections, re-types, deletes and
+    duplicate re-deliveries all land as ±1 partials and the readout
+    equals the batch PSI over the CDC-upserted final events exactly.
+
+    BOTH monitored pairs read from ONE maintained table: ab_split needs
+    (purchase-value, hash-arm) counts = (total, n − total) per key;
+    click_vs_purchase needs per-value counts of each class = n of the
+    (click, v) / (purchase, v) keys. That is the suite economics of
+    q201 applied to state shape — one landing, two monitors (a real
+    deployment monitors dozens of pairs off the same table).
+
+    Script: q238's exact churn (%7 value +1.11, %13 purchase↔view
+    re-types composing the bump, %5 deletes, %11 duplicate
+    re-deliveries). Scale: per merge O(|Δ|) map + one |Δ|-keyed
+    partial; state is |distinct (class, value)| rows (domain-bounded —
+    the test_compression_cardinality class); the readout walks those
+    rows once into ≤20 bin cells."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.operators.common import churn_script
+    from stream_cdc_gps_spark.streaming.join_view import CdcAggregateView
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    flip = F.when(F.col("event_type") == "purchase", F.lit("view")).otherwise(
+        F.lit("purchase")
+    )
+    bumped = F.when(
+        F.col("event_id") % 7 == 0, F.col("value") + F.lit(1.11e0)
+    ).otherwise(F.col("value"))
+    a0, a1 = churn_script(
+        e,
+        "event_id",
+        u1_cols={"value": F.col("value") + F.lit(1.11e0)},
+        u2_cols={"event_type": flip, "value": bumped},
+    )
+
+    def as_arm_counts(batch: DataFrame) -> DataFrame:
+        in_a = (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+            ).cast("bigint")
+            % 2
+            == 0
         )
-        .alias("bin"),
-        "in_a",
+        return batch.select(
+            "op",
+            "seq",
+            "event_id",
+            F.when(
+                F.col("event_type").isin("click", "purchase"),
+                F.struct(F.col("event_type").alias("et"), F.col("value").alias("value")),
+            ).alias("k"),
+            F.when(in_a, 1).otherwise(0).cast("bigint").alias("ina"),
+        )
+
+    base = tempfile.mkdtemp(prefix="cdc_psi_")
+    try:
+        view = CdcAggregateView(spark, base, key="k", pk="event_id", val="ina")
+        view.merge(as_arm_counts(a0), 0)
+        view.merge(as_arm_counts(a1), 1)
+        snap = view.snapshot().filter(F.col("k").isNotNull()).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    by_val = snap.select(
+        F.col("k.et").alias("et"),
+        F.col("k.value").alias("value"),
+        "n",
+        F.col("total").cast("bigint").alias("n_a_arm"),
     )
-    by_bin = binned.groupBy("comparison", "bin").agg(
-        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("a_v"),
-        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("bigint").alias("b_v"),
+    ab = by_val.filter(F.col("et") == "purchase").select(
+        F.lit("ab_split").alias("comparison"),
+        "value",
+        F.col("n_a_arm").alias("a_cnt"),
+        (F.col("n") - F.col("n_a_arm")).cast("bigint").alias("b_cnt"),
     )
-    tot = by_bin.groupBy("comparison").agg(
-        F.sum("a_v").cast("bigint").alias("na"),
-        F.sum("b_v").cast("bigint").alias("nb"),
-        F.count(F.lit(1)).cast("bigint").alias("n_bins_occupied"),
+    cp = by_val.select(
+        F.lit("click_vs_purchase").alias("comparison"),
+        "value",
+        F.when(F.col("et") == "click", F.col("n"))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("a_cnt"),
+        F.when(F.col("et") == "purchase", F.col("n"))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("b_cnt"),
     )
-    p = (F.col("a_v") + F.lit(0.5e0)) / (F.col("na") + F.lit(5.0e0))
-    q = (F.col("b_v") + F.lit(0.5e0)) / (F.col("nb") + F.lit(5.0e0))
-    term = F.round((p - q) * F.log(p / q), 12).cast("decimal(20,12)")
-    psi = (
-        by_bin.join(F.broadcast(tot), "comparison")
-        .select("comparison", term.alias("term"))
-        .groupBy("comparison")
-        .agg(F.sum("term").cast("double").alias("psi"))
-    )
-    return tot.join(psi, "comparison").select(
-        "comparison",
-        F.col("na").alias("n_a"),
-        F.col("nb").alias("n_b"),
-        "n_bins_occupied",
-        (F.floor(F.col("psi") * 1000000 + F.lit(0.5e0)) / 1000000.0).alias("psi"),
-        (F.col("psi") > F.lit(0.1e0)).alias("drift_moderate"),
-        (F.col("psi") > F.lit(0.25e0)).alias("drift_major"),
-    )
+    return _psi_readout(ab.unionByName(cp))

@@ -105,6 +105,7 @@ _PRIORITY: list[str] = [
     "q248_cdc_lm_gate",
     "q256_gps_teleport_filter",
     "q257_psi_drift",
+    "q258_cdc_psi_drift",
     # (b) the fourteen promised r12 deferrals (machine-checked against
     # the round-boundary commit's _PROMISED_NEXT by
     # tests/test_registry_invariants.py::test_previous_round_promise_consumed)
@@ -151,7 +152,6 @@ _PRIORITY: list[str] = [
     "q182_minhash_containment",
     "q184_group_ols_trend",
     "q185_touch_attribution",
-    "q186_ivfpq_search",
 ]
 
 # MACHINE-CHECKABLE DISPLACEMENT LEDGER (r12 verdict task #5 — the
