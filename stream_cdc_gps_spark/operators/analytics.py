@@ -3091,16 +3091,18 @@ def q225_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q227_km_survival",
-    oracle="""
-WITH bound AS (SELECT max(ts) - INTERVAL 6 HOUR AS obs_end FROM events),
+def _km_curve_sql(final: str) -> str:
+    """Oracle CTE chain: the Kaplan-Meier curve over ``final``
+    (user_id, ts) — the SQL mirror of _km_lifetimes + _km_readout,
+    shared by q227 (raw events) and q259 (CDC-upserted final events)."""
+    return f"""
+bound AS (SELECT max(ts) - INTERVAL 6 HOUR AS obs_end FROM {final}),
 u AS (
     SELECT user_id,
            CAST(date_diff('hour', min(ts), max(ts)) AS BIGINT) AS dur,
            CASE WHEN max(ts) < (SELECT obs_end FROM bound)
                 THEN 1 ELSE 0 END AS churned
-    FROM events GROUP BY user_id
+    FROM {final} GROUP BY user_id
 ),
 g AS (
     SELECT dur, CAST(sum(churned) AS BIGINT) AS deaths,
@@ -3131,6 +3133,14 @@ SELECT dur                       AS duration_hours,
        deaths                    AS n_deaths,
        CASE WHEN zeroed = 1 THEN 0.0e0 ELSE round(s_raw, 6) END AS survival
 FROM c WHERE deaths > 0
+"""
+
+
+@query(
+    "q227_km_survival",
+    oracle=f"""
+WITH e AS (SELECT user_id, ts FROM events),
+{_km_curve_sql("e")}
 """,
 )
 def q227_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3163,28 +3173,45 @@ def q227_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     The observation-end bound joins as a 1-row broadcast (q118's
     max-day-bound move)."""
     e = t(spark, sf_dir, "events")
-    bound = e.agg(
-        (F.max("ts") - F.expr("INTERVAL 6 HOUR")).alias("obs_end")
-    )
-    u = (
-        e.groupBy("user_id")
-        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
-        .crossJoin(F.broadcast(bound))
-        .select(
-            (
-                (
-                    F.unix_timestamp(F.date_trunc("hour", "last_ts"))
-                    - F.unix_timestamp(F.date_trunc("hour", "first_ts"))
-                )
-                / 3600
-            )
-            .cast("bigint")
-            .alias("dur"),
-            F.when(F.col("last_ts") < F.col("obs_end"), 1)
-            .otherwise(0)
-            .alias("churned"),
+    u = _km_lifetimes(
+        e.groupBy("user_id").agg(
+            F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
         )
     )
+    return _km_readout(u)
+
+
+def _km_lifetimes(spans: DataFrame) -> DataFrame:
+    """(dur, churned) rows from per-user activity spans (first_ts,
+    last_ts) — shared by q227 (batch aggregate) and q259 (the
+    CDC-maintained min/max view's snapshot). The observation-end bound
+    is a 1-row broadcast over the SAME spans frame, so the churn flag
+    always reflects the corpus the spans came from."""
+    bound = spans.agg(
+        (F.max("last_ts") - F.expr("INTERVAL 6 HOUR")).alias("obs_end")
+    )
+    return spans.crossJoin(F.broadcast(bound)).select(
+        (
+            (
+                F.unix_timestamp(F.date_trunc("hour", "last_ts"))
+                - F.unix_timestamp(F.date_trunc("hour", "first_ts"))
+            )
+            / 3600
+        )
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("last_ts") < F.col("obs_end"), 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+
+
+def _km_readout(u: DataFrame) -> DataFrame:
+    """Kaplan-Meier curve from (dur, churned) lifetime rows — q227's
+    distinct-lifetime-space estimator (suffix-sum at-risk, per-term
+    12-dp-rounded ln factors, zeroed short-circuit; see q227's
+    docstring for the scale and portability argument), factored so the
+    CDC-maintained variant (q259) certifies the identical readout."""
     g = u.groupBy("dur").agg(
         F.sum("churned").cast("bigint").alias("deaths"),
         F.count(F.lit(1)).cast("bigint").alias("ending"),
@@ -5462,3 +5489,77 @@ def q258_cdc_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("b_cnt"),
     )
     return _psi_readout(ab.unionByName(cp))
+
+
+@query(
+    "q259_cdc_km_survival",
+    oracle=f"""
+WITH final AS (
+    SELECT CASE WHEN event_id % 13 = 0 THEN user_id + 1
+                ELSE user_id END AS user_id,
+           CASE WHEN event_id % 7 = 0 THEN ts + INTERVAL 3 HOUR
+                ELSE ts END AS ts
+    FROM events WHERE event_id % 5 != 0
+),
+{_km_curve_sql("final")}
+""",
+)
+def q259_cdc_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED KAPLAN-MEIER — q227's survival curve kept current
+    under event churn (r12 verdict task #6, the next taxonomy instance):
+    per-user lifetimes are MIN/MAX aggregates over the user's events —
+    the support-set family (deleting the event that held a user's last
+    timestamp cannot be retracted with a −1 partial; the new last is
+    whatever survives) — so one ``CdcMinMaxView`` (key = user_id, val =
+    ts) maintains every activity span under late events, timestamp
+    corrections, user re-assignments and deletes, and the curve is a
+    READOUT over the maintained spans: |users| rows in, |distinct
+    lifetimes| out, exactly q227's estimator (shared _km_lifetimes +
+    _km_readout, shared oracle SQL) — the retention dashboard reflects
+    yesterday's corrections without rescanning the event history.
+
+    Script: churn_script over events — %7 late-correction shifts ts
+    +3 h (extends lifetimes and moves the observation bound), %13
+    re-assigns the event to user_id + 1 (a KEY-MOVING correction: the
+    old user's span must shrink back through the touched-key recompute,
+    composing the %7 shift where both hit), %5 deletes (may remove a
+    span endpoint — the non-linear case), %11 duplicate re-deliveries
+    netting to zero. The observation-end bound is re-derived from the
+    MAINTAINED spans (max last_ts − 6 h), so censoring flags track the
+    churned corpus, not the original.
+
+    Scale: per merge O(touched users' alive events) via the key-bucketed
+    image arrangement — never a history re-window; the readout's
+    un-partitioned windows walk |distinct lifetimes| rows (bounded by
+    the observation span in hours), re-aggregated above the checkpoint
+    so the bounding aggregate stays visible to the plan lint."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.operators.common import churn_script
+    from stream_cdc_gps_spark.streaming.join_view import CdcMinMaxView
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    shifted = F.col("ts") + F.expr("INTERVAL 3 HOUR")
+    composed = F.when(F.col("event_id") % 7 == 0, shifted).otherwise(F.col("ts"))
+    a0, a1 = churn_script(
+        e,
+        "event_id",
+        u1_cols={"ts": shifted},
+        u2_cols={"user_id": F.col("user_id") + 1, "ts": composed},
+    )
+    base = tempfile.mkdtemp(prefix="cdc_km_")
+    try:
+        view = CdcMinMaxView(spark, base, key="user_id", pk="event_id", val="ts")
+        view.merge(a0, 0)
+        view.merge(a1, 1)
+        spans = (
+            view.snapshot()
+            .select(
+                F.col("vmin").alias("first_ts"), F.col("vmax").alias("last_ts")
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return _km_readout(_km_lifetimes(spans))

@@ -104,8 +104,10 @@ _PRIORITY: list[str] = [
     "q247_lm_quality_gate",
     "q248_cdc_lm_gate",
     "q256_gps_teleport_filter",
+    "q227_km_survival",
     "q257_psi_drift",
     "q258_cdc_psi_drift",
+    "q259_cdc_km_survival",
     # (b) the fourteen promised r12 deferrals (machine-checked against
     # the round-boundary commit's _PROMISED_NEXT by
     # tests/test_registry_invariants.py::test_previous_round_promise_consumed)
@@ -150,8 +152,6 @@ _PRIORITY: list[str] = [
     "q179_k_anonymity",
     "q181_feature_corr_matrix",
     "q182_minhash_containment",
-    "q184_group_ols_trend",
-    "q185_touch_attribution",
 ]
 
 # MACHINE-CHECKABLE DISPLACEMENT LEDGER (r12 verdict task #5 — the
