@@ -3844,12 +3844,29 @@ def q236_binned_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("a_v"),
         F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("bigint").alias("b_v"),
     )
-    wrun = (
-        Window.orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _ks_tail(by_bin, "bin").select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("n_points").alias("n_bins_occupied"),
+        F.round("d_raw", 4).alias("ks_d_binned"),
+        "reject_05",
+    )
+
+
+def _ks_tail(counts: DataFrame, order_col: str) -> DataFrame:
+    """Two-sample KS from per-point arm counts (order_col, a_v, b_v):
+    cumulative arm shares over the ordered points, sup gap, and the
+    1.358·sqrt((na+nb)/(na·nb)) α=0.05 rejection rule — shared by q236
+    (binned grid), q238 (maintained distinct values), and q260 (the
+    drift suite's composed readout). Output (na, nb, n_points, d_raw,
+    reject_05); callers alias and round. The un-partitioned windows
+    walk |counts| rows — bounded by each caller's aggregate directly
+    below (≤256 grid cells / |distinct monitored values|)."""
+    wrun = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     wall = Window.partitionBy()
-    c = by_bin.select(
+    c = counts.select(
         F.sum("a_v").over(wrun).alias("ca"),
         F.sum("b_v").over(wrun).alias("cb"),
         F.sum("a_v").over(wall).alias("na"),
@@ -3864,10 +3881,10 @@ def q236_binned_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.max("na").cast("double") * F.max("nb"))
     )
     return c.agg(
-        F.max("na").cast("bigint").alias("n_a"),
-        F.max("nb").cast("bigint").alias("n_b"),
-        F.count(F.lit(1)).cast("bigint").alias("n_bins_occupied"),
-        F.round(F.max(gap), 4).alias("ks_d_binned"),
+        F.max("na").cast("bigint").alias("na"),
+        F.max("nb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.max(gap).alias("d_raw"),
         (F.max(gap) > crit).alias("reject_05"),
     )
 
@@ -4247,30 +4264,11 @@ def q238_cdc_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total").cast("bigint").alias("a_v"),
         (F.sum("n") - F.sum("total")).cast("bigint").alias("b_v"),
     )
-    wrun = (
-        Window.orderBy("pval")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wall = Window.partitionBy()
-    c = by_value.select(
-        F.sum("a_v").over(wrun).alias("ca"),
-        F.sum("b_v").over(wrun).alias("cb"),
-        F.sum("a_v").over(wall).alias("na"),
-        F.sum("b_v").over(wall).alias("nb"),
-    )
-    gap = F.abs(
-        F.col("ca").cast("double") / F.col("na")
-        - F.col("cb").cast("double") / F.col("nb")
-    )
-    crit = F.lit(1.358e0) * F.sqrt(
-        (F.max("na") + F.max("nb"))
-        / (F.max("na").cast("double") * F.max("nb"))
-    )
-    return c.agg(
-        F.max("na").cast("bigint").alias("n_a"),
-        F.max("nb").cast("bigint").alias("n_b"),
-        F.round(F.max(gap), 4).alias("ks_d"),
-        (F.max(gap) > crit).alias("reject_05"),
+    return _ks_tail(by_value, "pval").select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("d_raw", 4).alias("ks_d"),
+        "reject_05",
     )
 
 
@@ -5057,6 +5055,18 @@ def q254_cdc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         arms = view.arms().localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+    return _boot_ci_readout(arms)
+
+
+def _boot_ci_readout(arms: DataFrame) -> DataFrame:
+    """(n, point_mean, boot_mean, se_boot, ci_low, ci_high) from a
+    maintained bootstrap-arm table (r, n, sw, swv; the point estimate as
+    arm −1) — q254's readout, shared with q260 (the drift suite's
+    composed row). Mean/SE are sequential folds over the SORTED
+    replicate list (the identical-order identity that makes the 6-dp
+    rounding portable — a naive avg() flipped once on cross-engine
+    summation order) with the floor idiom; CI bounds are picked order
+    statistics of the 64 sorted replicate means."""
     m = arms.filter(F.col("r") >= 0).select(
         (F.col("swv").cast("double") / F.col("sw").cast("double")).alias("mean_r")
     )
@@ -5069,9 +5079,6 @@ def q254_cdc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("point_mean"),
     )
-    # mean/SE as sequential folds over the SORTED replicate list — the
-    # identical-order identity that makes the 6-dp rounding portable
-    # (a naive avg() flipped once on cross-engine summation order)
     ms = F.array_sort(F.collect_list("mean_r"))
     fsum = lambda a: F.aggregate(a, F.lit(0.0e0), lambda acc, x: acc + x)
     s = m.agg(ms.alias("ms")).select(
@@ -5563,3 +5570,261 @@ def q259_cdc_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return _km_readout(_km_lifetimes(spans))
+
+
+@query(
+    "q260_cdc_drift_suite",
+    oracle=f"""
+WITH fin AS (
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 13 = 0 THEN
+                    CASE WHEN event_type = 'purchase' THEN 'view'
+                         ELSE 'purchase' END
+                ELSE event_type END AS event_type,
+           CASE WHEN event_id % 7 = 0 THEN value + 1.11e0 ELSE value END AS value
+    FROM events WHERE event_id % 5 != 0
+),
+bfin AS (SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v FROM fin),
+g16 AS (SELECT CAST(u.i AS BIGINT) AS i
+        FROM UNNEST(range({_BOOT_B // 4})) AS u(i)),
+bd AS (
+    SELECT i,
+           md5(CAST(event_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS h,
+           v
+    FROM bfin CROSS JOIN g16
+),
+bw AS (
+    SELECT i * 4 + CAST(u.j AS BIGINT) AS r,
+           CAST(('0x' || substr(h, 1 + 8 * CAST(u.j AS INT), 8)) AS UBIGINT) AS u,
+           v
+    FROM bd CROSS JOIN UNNEST(range(4)) AS u(j)
+),
+bm AS (
+    SELECT r,
+           CAST(sum(({_boot_weight_sql()}) * v) AS DOUBLE)
+               / sum({_boot_weight_sql()}) AS mean_r
+    FROM bw GROUP BY r
+),
+bs0 AS (SELECT list_sort(list(mean_r)) AS ms FROM bm),
+bs AS (SELECT ms,
+             floor(list_reduce(ms, (acc, x) -> acc + x) / 64 * 1000000
+                   + 0.5e0) / 1000000.0 AS boot_mean,
+             floor(sqrt((list_reduce(list_transform(ms, x -> x * x),
+                                     (acc, x) -> acc + x)
+                         - list_reduce(ms, (acc, x) -> acc + x)
+                           * list_reduce(ms, (acc, x) -> acc + x) / 64) / 63)
+                   * 1000000 + 0.5e0) / 1000000.0 AS se_boot
+      FROM bs0),
+bpt AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5e0)
+               / 1000000.0 AS point_mean
+    FROM bfin
+),
+kassigned AS (
+    SELECT value,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 0
+               AS in_a
+    FROM fin WHERE event_type = 'purchase'
+),
+kby AS (
+    SELECT value,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a_v,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b_v
+    FROM kassigned GROUP BY value
+),
+kc AS (
+    SELECT sum(a_v) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+           sum(b_v) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+           sum(a_v) OVER () AS na,
+           sum(b_v) OVER () AS nb
+    FROM kby
+),
+kks AS (
+    SELECT CAST(max(na) AS BIGINT) AS ks_n_a,
+           CAST(max(nb) AS BIGINT) AS ks_n_b,
+           round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 4)
+               AS ks_d,
+           max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb))
+               > 1.358e0 * sqrt((max(na) + max(nb))
+                                / (CAST(max(na) AS DOUBLE) * max(nb)))
+               AS ks_reject_05
+    FROM kc
+),
+passigned AS (
+    SELECT 'ab_split' AS comparison, value,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 0
+               AS in_a
+    FROM fin WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'click_vs_purchase', value, event_type = 'click'
+    FROM fin WHERE event_type IN ('click', 'purchase')
+),
+pext AS (SELECT comparison, min(value) AS lo, max(value) AS hi
+         FROM passigned GROUP BY comparison),
+pbinned AS (
+    SELECT a.comparison,
+           CASE WHEN hi = lo THEN 0
+                ELSE least(CAST(floor((value - lo) / (hi - lo) * 10)
+                                AS BIGINT), 9) END AS bin,
+           in_a
+    FROM passigned a JOIN pext USING (comparison)
+),
+pby AS (
+    SELECT comparison, bin,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a_v,
+           CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b_v
+    FROM pbinned GROUP BY comparison, bin
+),
+ptot AS (SELECT comparison, CAST(sum(a_v) AS BIGINT) AS na,
+                CAST(sum(b_v) AS BIGINT) AS nb
+         FROM pby GROUP BY comparison),
+pterms AS (
+    SELECT b.comparison,
+           CAST(round(((a_v + 0.5e0) / (na + 5.0e0)
+                       - (b_v + 0.5e0) / (nb + 5.0e0))
+                      * ln(((a_v + 0.5e0) / (na + 5.0e0))
+                           / ((b_v + 0.5e0) / (nb + 5.0e0))), 12)
+                AS DECIMAL(20,12)) AS term
+    FROM pby b JOIN ptot USING (comparison)
+),
+ppsi AS (SELECT comparison,
+                floor(CAST(sum(term) AS DOUBLE) * 1000000 + 0.5e0)
+                    / 1000000.0 AS psi
+         FROM pterms GROUP BY comparison),
+ppv AS (SELECT max(CASE WHEN comparison = 'ab_split' THEN psi END)
+                   AS psi_ab_split,
+               max(CASE WHEN comparison = 'click_vs_purchase' THEN psi END)
+                   AS psi_click_purchase
+        FROM ppsi)
+SELECT bpt.n, bpt.point_mean, bs.boot_mean, bs.se_boot,
+       ms[2] AS ci_low, ms[{_BOOT_B - 1}] AS ci_high,
+       kks.ks_n_a, kks.ks_n_b, kks.ks_d, kks.ks_reject_05,
+       ppv.psi_ab_split, ppv.psi_click_purchase
+FROM bpt CROSS JOIN bs CROSS JOIN kks CROSS JOIN ppv
+""",
+)
+def q260_cdc_drift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED DRIFT-MONITORING SUITE parity row — ONE handler
+    (streaming/drift_suite.CdcDriftSuite) maintains the whole
+    events-keyed monitoring family off a SINGLE landed changelog: the
+    Poisson-bootstrap arms (q254's view), the KS drift monitor's
+    per-value arm counts (q238's), and the PSI monitor's per-(class,
+    value) arm counts (q258's). The r12 verdict's task #3: composed
+    naively, each view lands the same events changelog and re-derives
+    the same ±image delta per merge — 3× the write volume and 3× the
+    delta work; the suite lands once, derives once, and hands every
+    member the shared delta (the measured CdcViewSuite win was 2.46×
+    write volume for six members). The dashboard a monitoring deployment
+    actually polls IS this row: the point estimate with its error bar
+    AND the distribution-drift alarms, all reflecting the same churned
+    corpus in the same merge wave.
+
+    Script: q238/q258's churn (%7 value +1.11, %13 purchase↔view
+    re-types composing the bump, %5 deletes, %11 duplicate
+    re-deliveries). Oracle: the three batch statistics computed from
+    scratch over the CDC-upserted final events, cross-joined — so the
+    parity row certifies every member's maintenance AND the shared
+    landing at once (q201's shape). Torn subsets of the two-wave merge
+    heal on replay (tests/test_r13_drift_suite.py).
+
+    Scale: per merge, ONE pk-pruned changelog read + ONE |Δ| delta
+    (shared), then per member one |Δ|-keyed partial; readouts are the
+    certified q254/q238/q258 shapes (64+1 arms; |distinct values| rows;
+    ≤20 bins)."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.operators.common import churn_script
+    from stream_cdc_gps_spark.streaming.drift_suite import CdcDriftSuite
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    flip = F.when(F.col("event_type") == "purchase", F.lit("view")).otherwise(
+        F.lit("purchase")
+    )
+    bumped = F.when(
+        F.col("event_id") % 7 == 0, F.col("value") + F.lit(1.11e0)
+    ).otherwise(F.col("value"))
+    a0, a1 = churn_script(
+        e,
+        "event_id",
+        u1_cols={"value": F.col("value") + F.lit(1.11e0)},
+        u2_cols={"event_type": flip, "value": bumped},
+    )
+    base = tempfile.mkdtemp(prefix="cdc_drift_suite_")
+    try:
+        suite = CdcDriftSuite(spark, base, thresholds=_BOOT_THS, b=_BOOT_B)
+        suite.merge(CdcDriftSuite.prepare(a0), 0)
+        suite.merge(CdcDriftSuite.prepare(a1), 1)
+        arms = suite.boot.arms().localCheckpoint()
+        ks_snap = (
+            suite.ks.snapshot().filter(F.col("pval").isNotNull()).localCheckpoint()
+        )
+        psi_snap = (
+            suite.psi.snapshot().filter(F.col("k").isNotNull()).localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    boot = _boot_ci_readout(arms)
+    by_value = ks_snap.groupBy("pval").agg(
+        F.sum("total").cast("bigint").alias("a_v"),
+        (F.sum("n") - F.sum("total")).cast("bigint").alias("b_v"),
+    )
+    ks = _ks_tail(by_value, "pval").select(
+        F.col("na").alias("ks_n_a"),
+        F.col("nb").alias("ks_n_b"),
+        F.round("d_raw", 4).alias("ks_d"),
+        F.col("reject_05").alias("ks_reject_05"),
+    )
+    by_val = psi_snap.select(
+        F.col("k.et").alias("et"),
+        F.col("k.value").alias("value"),
+        "n",
+        F.col("total").cast("bigint").alias("n_a_arm"),
+    )
+    ab = by_val.filter(F.col("et") == "purchase").select(
+        F.lit("ab_split").alias("comparison"),
+        "value",
+        F.col("n_a_arm").alias("a_cnt"),
+        (F.col("n") - F.col("n_a_arm")).cast("bigint").alias("b_cnt"),
+    )
+    cp = by_val.select(
+        F.lit("click_vs_purchase").alias("comparison"),
+        "value",
+        F.when(F.col("et") == "click", F.col("n"))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("a_cnt"),
+        F.when(F.col("et") == "purchase", F.col("n"))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("b_cnt"),
+    )
+    psi = _psi_readout(ab.unionByName(cp)).agg(
+        F.max(F.when(F.col("comparison") == "ab_split", F.col("psi"))).alias(
+            "psi_ab_split"
+        ),
+        F.max(
+            F.when(F.col("comparison") == "click_vs_purchase", F.col("psi"))
+        ).alias("psi_click_purchase"),
+    )
+    return (
+        boot.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(psi))
+        .select(
+            "n",
+            "point_mean",
+            "boot_mean",
+            "se_boot",
+            "ci_low",
+            "ci_high",
+            "ks_n_a",
+            "ks_n_b",
+            "ks_d",
+            "ks_reject_05",
+            "psi_ab_split",
+            "psi_click_purchase",
+        )
+    )

@@ -101,13 +101,16 @@ DRIVER_WINDOW = 50
 _PRIORITY: list[str] = [
     # (a) changed or added in r13
     "q236_binned_ks",
+    "q238_cdc_drift_monitor",
     "q247_lm_quality_gate",
     "q248_cdc_lm_gate",
+    "q254_cdc_bootstrap_ci",
     "q256_gps_teleport_filter",
     "q227_km_survival",
     "q257_psi_drift",
     "q258_cdc_psi_drift",
     "q259_cdc_km_survival",
+    "q260_cdc_drift_suite",
     # (b) the fourteen promised r12 deferrals (machine-checked against
     # the round-boundary commit's _PROMISED_NEXT by
     # tests/test_registry_invariants.py::test_previous_round_promise_consumed)
@@ -149,9 +152,6 @@ _PRIORITY: list[str] = [
     "q175_triangle_estimate",
     "q176_triangle_estimate_error",
     "q178_score_auc",
-    "q179_k_anonymity",
-    "q181_feature_corr_matrix",
-    "q182_minhash_containment",
 ]
 
 # MACHINE-CHECKABLE DISPLACEMENT LEDGER (r12 verdict task #5 — the

@@ -55,15 +55,24 @@ class CdcBootstrapView:
         thresholds: tuple[int, ...],
         b: int = 64,
         n_buckets: int = 16,
+        *,
+        a_store: BatchPartialStore | None = None,
+        land_inputs: bool = True,
     ):
         self.spark = spark
         self.pk = pk
         self.val = val
         self.thresholds = thresholds
         self.b = b
-        self.a_store = BatchPartialStore(
+        # a_store/land_inputs: the CdcViewSuite sharing contract — a
+        # composed handler (CdcDriftSuite) lands ONE changelog per batch
+        # and hands every member the shared ±image delta (r12 verdict
+        # task #3: the bootstrap view used to land its changelog apart
+        # from every co-maintained events view).
+        self.a_store = a_store or BatchPartialStore(
             spark, f"{base}/a", bucket_cols=[pk], n_buckets=n_buckets
         )
+        self.land_inputs = land_inputs
         self.v_store = BatchPartialStore(spark, f"{base}/v")
 
     def _weight(self, u) -> F.Column:
@@ -128,21 +137,25 @@ class CdcBootstrapView:
             )
         )
 
-    def merge(self, batch: DataFrame, batch_id: int) -> None:
+    def merge(
+        self, batch: DataFrame, batch_id: int, *, delta: DataFrame | None = None
+    ) -> None:
         from stream_cdc_gps_spark.streaming.join_view import (
             _concurrently,
             cdc_delta,
             cdc_state,
         )
 
-        cdc = batch.localCheckpoint()
-        state = cdc_state(self.a_store, batch_id, self.pk, prune=cdc)
-        delta = cdc_delta(cdc, state, self.pk, "_w")
+        cdc = batch
+        if delta is None:
+            cdc = batch.localCheckpoint()
+            state = cdc_state(self.a_store, batch_id, self.pk, prune=cdc)
+            delta = cdc_delta(cdc, state, self.pk, "_w")
         partial = self._signed_partial(delta)
-        _concurrently(
-            lambda: self.v_store.land(partial, batch_id),
-            lambda: self.a_store.land(cdc, batch_id),
-        )
+        lands = [lambda: self.v_store.land(partial, batch_id)]
+        if self.land_inputs:
+            lands.append(lambda: self.a_store.land(cdc, batch_id))
+        _concurrently(*lands)
 
     def arms(self) -> DataFrame:
         """(r, n, sw, swv) per replicate over the alive rows — equal to
@@ -160,11 +173,7 @@ class CdcBootstrapView:
             .filter(F.col("n") > 0)
         )
 
-    def compact(self) -> None:
-        """Arm partials to net sums FIRST, then the changelog to
-        latest-per-pk (d tombstones retained) — the family order."""
-        from stream_cdc_gps_spark.streaming.join_view import cdc_latest
-
+    def compact_view_stores(self) -> None:
         rows = self.v_store.rows()
         if rows is not None:
             folded = (
@@ -179,6 +188,16 @@ class CdcBootstrapView:
                 )
             )
             self.v_store.compact(folded)
+
+    def compact_source_stores(self) -> None:
+        from stream_cdc_gps_spark.streaming.join_view import cdc_latest
+
         rows = self.a_store.rows()
         if rows is not None:
             self.a_store.compact(cdc_latest(rows, self.pk))
+
+    def compact(self) -> None:
+        """Arm partials to net sums FIRST, then the changelog to
+        latest-per-pk (d tombstones retained) — the family order."""
+        self.compact_view_stores()
+        self.compact_source_stores()
