@@ -88,44 +88,28 @@ PERMANENT = SHARED21 + [
 
 # Rotates each round (BASELINE.md records the per-round pick): queries
 # added or materially changed this round get a tracked number here.
-# r12: the round's changed/new rows (the q133 two-pass-rank rewrite, the
-# q227 per-term rounding, the new family q234-q244: CDC corpus
-# gates, binned KS, truncation loss, CDC drift monitor, CDC mixture
-# weights, Kruskal-Wallis, weighted median; and the continuation
-# session's q245-q257: ANOVA, Brown-Forsythe, LM gate batch+CDC, JL
-# projection recall, Welch t, CDC weighted median, MAD, Poisson
-# bootstrap batch+CDC, Hill tail index, GPS teleport filter, PSI drift), plus the eight
-# heaviest CDC/vector reps carried again for round-over-round comparability. The
-# r11 spotlight statistics rows (q125/q138/q223/q225/q226/q228-q233)
-# rotate off — each keeps isolated BASELINE.md numbers (q226/q230/q231
-# re-probed at r12 round start) and correctness rides the driver window.
+# r13: the advice-fixed rows (q236/q247/q248/q256/q257 — portable LM
+# mean, degenerate-extent bin guards, quantized teleport speeds), the
+# refactored-readout rows (q227 KM helpers, q238 _ks_tail, q254
+# CdcBootstrapView suite params), and the round's new rows (q258 CDC
+# PSI, q259 CDC Kaplan-Meier, q260 the composed drift suite), plus the
+# eight heaviest CDC/vector reps carried again for round-over-round
+# comparability. The other r12 spotlight rows (q133/q234/q235/q237/
+# q239-q246/q249-q253/q255) rotate off — each keeps an isolated
+# BASELINE.md anchor (q251/q253/q254 re-probed at r13 round start) and
+# correctness rides the driver window.
 SPOTLIGHT = [
-    "q133_equidepth_histogram",
     "q227_km_survival",
-    "q234_cdc_decontamination",
-    "q235_cdc_shingle_novelty",
     "q236_binned_ks",
-    "q237_truncation_loss",
     "q238_cdc_drift_monitor",
-    "q239_cdc_mixture_weights",
-    "q240_kruskal_wallis",
-    "q241_weighted_median",
-    "q242_bloom_filter",
-    "q243_cdc_counting_bloom",
-    "q244_prefix_filter_join",
-    "q245_oneway_anova",
-    "q246_brown_forsythe",
     "q247_lm_quality_gate",
     "q248_cdc_lm_gate",
-    "q249_jl_projection_recall",
-    "q250_welch_ttest",
-    "q251_cdc_weighted_median",
-    "q252_mad_robust_spread",
-    "q253_poisson_bootstrap",
     "q254_cdc_bootstrap_ci",
-    "q255_hill_tail_index",
     "q256_gps_teleport_filter",
     "q257_psi_drift",
+    "q258_cdc_psi_drift",
+    "q259_cdc_km_survival",
+    "q260_cdc_drift_suite",
     # carried heavies (comparability anchors since r10)
     "q190_ivfpq_incremental_index",
     "q194_cdc_join_view",

@@ -3008,12 +3008,16 @@ def q224_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q225_gini_spend",
-    oracle="""
-WITH spend AS (
+def _gini_sql(orders_rel: str) -> str:
+    """Oracle CTE chain: the Gini coefficient of per-customer spend over
+    ``orders_rel`` (o_custkey, o_totalprice) — the SQL mirror of
+    _gini_readout, shared by q225 (raw orders) and q264 (CDC-upserted
+    final orders). The oracle keeps the one-shot row_number formulation
+    DuckDB runs single-node anyway."""
+    return f"""
+spend AS (
     SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
-    FROM orders GROUP BY o_custkey
+    FROM {orders_rel} GROUP BY o_custkey
 ),
 ranked AS (
     SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend
@@ -3024,6 +3028,14 @@ SELECT CAST(count(*) AS BIGINT) AS n_customers,
              / (count(*) * CAST(sum(x) AS DOUBLE))
              - (count(*) + 1.0e0) / count(*), 6) AS gini
 FROM ranked
+"""
+
+
+@query(
+    "q225_gini_spend",
+    oracle=f"""
+WITH o AS (SELECT o_custkey, o_totalprice FROM orders),
+{_gini_sql("o")}
 """,
 )
 def q225_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3058,6 +3070,15 @@ def q225_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("x")
     ).localCheckpoint()
+    return _gini_readout(spend)
+
+
+def _gini_readout(spend: DataFrame) -> DataFrame:
+    """Gini over per-customer spend (o_custkey, x DECIMAL(18,2)) via the
+    two-pass distributed rank — q225's certified shape (see its
+    docstring for the boundary-sketch/exactness argument), factored so
+    the CDC-maintained variant (q264) certifies the identical readout.
+    Callers materialize ``spend`` (it feeds three consumers)."""
     qs = ",".join(str(i / 32.0) for i in range(1, 32))
     bounds = spend.agg(
         F.expr(
@@ -5828,3 +5849,398 @@ def q260_cdc_drift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_click_purchase",
         )
     )
+
+
+@query(
+    "q262_conformal_calibration",
+    oracle="""
+WITH s AS (
+    SELECT event_type, value,
+           ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 10
+               AS b
+    FROM events
+),
+mdl AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu
+    FROM s WHERE b < 6 GROUP BY event_type
+),
+cal AS (
+    SELECT s.event_type, abs(value - mu) AS r
+    FROM s JOIN mdl USING (event_type) WHERE b >= 6 AND b < 8
+),
+caln AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+         FROM cal GROUP BY event_type),
+rk AS (
+    SELECT event_type, r, CAST(count(*) AS BIGINT) AS m FROM cal
+    GROUP BY event_type, r
+),
+cum AS (
+    SELECT event_type, r,
+           sum(m) OVER (PARTITION BY event_type ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+    FROM rk
+),
+kk AS (
+    SELECT event_type, n_cal,
+           least(CAST(floor((9 * (n_cal + 1) + 9) / 10.0e0) AS BIGINT), n_cal)
+               AS k
+    FROM caln
+),
+qh AS (
+    SELECT c.event_type, min(r) AS q_hat
+    FROM cum c JOIN kk USING (event_type)
+    WHERE cw >= k GROUP BY c.event_type
+),
+tst AS (
+    SELECT s.event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN abs(value - mu) <= q_hat THEN 1 ELSE 0 END)
+                AS BIGINT) AS covered
+    FROM s JOIN mdl USING (event_type) JOIN qh ON qh.event_type = s.event_type
+    WHERE b >= 8 GROUP BY s.event_type
+)
+SELECT m.event_type, m.n_train, c.n_cal, t.n_test,
+       floor(q.q_hat * 10000 + 0.5e0) / 10000.0 AS q_hat,
+       t.covered,
+       floor(CAST(t.covered AS DOUBLE) / t.n_test * 10000 + 0.5e0) / 10000.0
+           AS coverage
+FROM mdl m JOIN caln c USING (event_type) JOIN qh q USING (event_type)
+           JOIN tst t USING (event_type)
+""",
+)
+def q262_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION calibration — the distribution-free
+    uncertainty wrapper every deployed regressor ships with (Vovk et
+    al.; finite-sample guarantee: P(|y − ŷ| ≤ q̂) ≥ 1 − α for ANY model
+    and ANY data distribution, given only exchangeability): hash-split
+    the events 60/20/20 into train/calibration/test, fit the trivially
+    auditable per-event_type mean model on train, take q̂ = the
+    ⌈(1−α)(n_cal+1)⌉-th smallest calibration residual (the
+    finite-sample-corrected order statistic, α = 0.1), and MEASURE the
+    empirical test coverage the guarantee promises — the calibration
+    audit row an ML-monitoring deployment polls next to q222's
+    probability-calibration bins.
+
+    Determinism: the model mean is an exact DECIMAL sum divided once
+    (identical doubles cross-engine), residuals and the q̂ compare are
+    arithmetic on those doubles, and q̂ itself is a PICKED order
+    statistic (crossing rule over per-residual counts — never an
+    interpolated quantile), so every compare sees bit-identical
+    operands; the rank index uses integer arithmetic
+    ⌈9(n+1)/10⌉ = ⌊(9(n+1)+9)/10⌋.
+
+    Scale: one shuffle to per-(type, residual) counts (map-side
+    combined, residual cardinality = the 2-dp value domain — the
+    test_compression_cardinality class); the cumulative window is
+    PARTITIONED by event_type and walks distinct residuals only; the
+    5-row model and q̂ tables broadcast to the test scan."""
+    e = t(spark, sf_dir, "events")
+    b = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    s = e.select("event_type", "value", b.alias("b"))
+    mdl = (
+        s.filter(F.col("b") < 6)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu"),
+        )
+    )
+    r = F.abs(F.col("value") - F.col("mu"))
+    cal = (
+        s.filter((F.col("b") >= 6) & (F.col("b") < 8))
+        .join(F.broadcast(mdl), "event_type")
+        .select("event_type", r.alias("r"))
+    )
+    caln = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal")
+    )
+    rk = cal.groupBy("event_type", "r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rk.select("event_type", "r", F.sum("m").over(w_cum).alias("cw"))
+    kk = caln.select(
+        "event_type",
+        "n_cal",
+        F.least(
+            F.floor((9 * (F.col("n_cal") + 1) + 9) / F.lit(10.0e0)).cast("bigint"),
+            F.col("n_cal"),
+        ).alias("k"),
+    )
+    qh = (
+        cum.join(F.broadcast(kk), "event_type")
+        .filter(F.col("cw") >= F.col("k"))
+        .groupBy("event_type")
+        .agg(F.min("r").alias("q_hat"))
+    )
+    tst = (
+        s.filter(F.col("b") >= 8)
+        .join(F.broadcast(mdl.select("event_type", "mu")), "event_type")
+        .join(F.broadcast(qh), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(r <= F.col("q_hat"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        mdl.select("event_type", "n_train")
+        .join(caln, "event_type")
+        .join(qh, "event_type")
+        .join(tst, "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            "n_cal",
+            "n_test",
+            (F.floor(F.col("q_hat") * 10000 + F.lit(0.5e0)) / 10000.0).alias(
+                "q_hat"
+            ),
+            "covered",
+            (
+                F.floor(
+                    F.col("covered").cast("double") / F.col("n_test") * 10000
+                    + F.lit(0.5e0)
+                )
+                / 10000.0
+            ).alias("coverage"),
+        )
+    )
+
+
+# SPRT design constants (q263): per-observation log-likelihood-ratio
+# increments for Bernoulli H0: p = p0 vs H1: p = p1, quantized at 12 dp
+# and embedded as LITERALS in both engines (the _BOOT_THS move — no libm
+# anywhere near the cumulative sum). Stream 1 monitors the treatment
+# arm's purchase rate against a band containing the true ~0.2 (the test
+# keeps sampling — the honest "no detectable lift" outcome); stream 2
+# monitors the same arm against a 0.10-0.14 band the true rate clearly
+# exceeds (the test stops early and accepts H1 — the early-stopping
+# payoff SPRT exists for). alpha = beta = 0.05 -> log boundaries
+# +-ln(19).
+_SPRT_STREAMS = (
+    ("purchase_18_22", "0.200670695462", "-0.050010420575"),
+    ("purchase_10_14", "0.336472236621", "-0.045462374077"),
+)
+_SPRT_BOUND = "2.944438979166"
+
+
+def _sprt_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{name}' AS stream, CAST({c1} AS DECIMAL(20,12)) AS c1, "
+        f"CAST({c0} AS DECIMAL(20,12)) AS c0"
+        for name, c1, c0 in _SPRT_STREAMS
+    )
+    return f"""
+WITH streams AS ({arms}),
+daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS k
+    FROM events
+    WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 1
+    GROUP BY 1
+),
+llr AS (
+    SELECT stream, day, n, k,
+           sum(k * c1 + (n - k) * c0) OVER (PARTITION BY stream ORDER BY day)
+               AS cum_llr
+    FROM daily CROSS JOIN streams
+),
+dec AS (
+    -- stay in EXACT decimal for both the 6-dp quantization and the
+    -- boundary compare: the cumulative LLR is an exact 12-dp rational
+    -- that CAN land on a 6-dp half (it did at sf0.01, day 2024-01-01),
+    -- where double casts disagree by 1 ulp AND decimal rescale itself
+    -- is non-portable (Spark HALF_UP, DuckDB truncates — measured);
+    -- the floor idiom IN DECIMAL and decimal compares are bit-identical
+    SELECT stream, day, n, k,
+           CAST(floor(cum_llr * 1000000 + CAST('0.5' AS DECIMAL(2,1)))
+                AS DOUBLE) / 1000000.0 AS llr6,
+           CASE WHEN cum_llr >= CAST({_SPRT_BOUND} AS DECIMAL(20,12))
+                    THEN 'accept_h1'
+                WHEN cum_llr <= CAST(-{_SPRT_BOUND} AS DECIMAL(20,12))
+                    THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr
+)
+SELECT stream, day, n, k, llr6 AS cum_llr, decision
+FROM dec
+"""
+
+
+@query("q263_sprt_sequential", oracle=_sprt_oracle())
+def q263_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL PROBABILITY RATIO TEST (Wald's SPRT) — the sequential
+    A/B decision procedure the fixed-horizon battery (q124 t-test, q250
+    Welch, q245 ANOVA) lacks: instead of waiting for a pre-committed
+    sample size, the monitor accumulates the log-likelihood ratio day by
+    day and STOPS the moment the evidence crosses ln((1-beta)/alpha) —
+    the optimal-in-expected-sample-size test (Wald 1945), and the shape
+    every modern always-valid-inference dashboard descends from. Two
+    monitored streams over the treatment arm's daily purchase counts:
+    a band containing the true rate (the test honestly keeps sampling)
+    and a band below it (the test stops early, the payoff in action).
+
+    Determinism: each day's increment k*c1 + (n-k)*c0 is INTEGER counts
+    times 12-dp DECIMAL literal constants (ln ratios precomputed and
+    embedded identically in both engines — no runtime libm), so the
+    cumulative LLR is exact; the boundary compare casts the same exact
+    decimal to double on both sides. Scale: one day-keyed aggregate
+    over the filtered arm (map-side combined), then a window over
+    |days| x |streams| rows — bounded by the calendar, not the data."""
+    e = t(spark, sf_dir, "events")
+    arm_b = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 2
+        == 1
+    )
+    daily = (
+        e.filter(arm_b)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    streams = None
+    for name, c1, c0 in _SPRT_STREAMS:
+        # counts cast to DECIMAL(14,0) so the product's precision
+        # (14+20+1 = 35) fits DECIMAL(38,12) EXACTLY — bigint x
+        # decimal(20,12) would exceed 38 and Spark's precision-loss
+        # rule silently drops scale (measured: cum differed from the
+        # exact DuckDB sum at the 10th dp)
+        row = daily.select(
+            F.lit(name).alias("stream"),
+            "day",
+            "n",
+            "k",
+            (
+                F.col("k").cast("decimal(14,0)")
+                * F.lit(c1).cast("decimal(20,12)")
+                + (F.col("n") - F.col("k")).cast("decimal(14,0)")
+                * F.lit(c0).cast("decimal(20,12)")
+            ).alias("inc"),
+        )
+        streams = row if streams is None else streams.unionByName(row)
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # EXACT decimal all the way through both the 6-dp quantization and
+    # the boundary compare: the cumulative LLR is an exact 12-dp
+    # rational that CAN land on a 6-dp half (measured at sf0.01), where
+    # double casts disagree by 1 ulp AND decimal rescale itself is
+    # non-portable (Spark HALF_UP, DuckDB truncates — measured); the
+    # floor idiom IN DECIMAL and decimal compares are bit-identical
+    cum = F.sum("inc").over(w)
+    up = F.lit(_SPRT_BOUND).cast("decimal(20,12)")
+    lo = F.lit("-" + _SPRT_BOUND).cast("decimal(20,12)")
+    q6 = F.floor(cum * 1000000 + F.lit("0.5").cast("decimal(2,1)"))
+    dec = streams.select(
+        "stream",
+        "day",
+        "n",
+        "k",
+        (q6.cast("double") / 1000000.0).alias("cum_llr"),
+        F.when(cum >= up, F.lit("accept_h1"))
+        .when(cum <= lo, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+    return dec
+
+
+@query(
+    "q264_cdc_gini",
+    oracle=f"""
+WITH fin AS (
+    SELECT CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+                ELSE o_custkey END AS o_custkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0e0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 5 != 0
+),
+{_gini_sql("fin")}
+""",
+)
+def q264_cdc_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED GINI COEFFICIENT — q225's inequality monitor kept
+    current under order churn: per-customer spend is a LINEAR aggregate
+    (an exact DECIMAL sum), so one composed ``CdcAggregateView`` (key =
+    o_custkey, val = the 2-dp price) absorbs price corrections,
+    order-to-customer re-assignments (the key-moving Z-set retract +
+    assert), cancellations and duplicate re-deliveries as +-1 partials —
+    and the concentration dashboard reads q264 = q225's certified
+    two-pass-rank readout (_gini_readout) over the MAINTAINED totals,
+    never rescanning the order history. The readout walks |customers|
+    rows — the same cost q225 pays AFTER its orders scan — so the
+    maintained path saves exactly the fact-table scan, which is the
+    100 TB term.
+
+    Script: churn_script over orders (%7 price +100, %13 re-keyed to
+    o_custkey + 1 composing the bump, %5 deletes, %11 duplicate
+    re-deliveries). Oracle: the batch Gini SQL over the CDC-upserted
+    final orders — shared CTE chain with q225."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.operators.common import churn_script
+    from stream_cdc_gps_spark.streaming.join_view import CdcAggregateView
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    bump = F.col("o_totalprice") + F.lit(100.0e0)
+    composed = F.when(F.col("o_orderkey") % 7 == 0, bump).otherwise(
+        F.col("o_totalprice")
+    )
+    a0, a1 = churn_script(
+        o,
+        "o_orderkey",
+        u1_cols={"o_totalprice": bump},
+        u2_cols={"o_custkey": F.col("o_custkey") + 1, "o_totalprice": composed},
+    )
+
+    def as_cdc(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            "op",
+            "seq",
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+
+    base = tempfile.mkdtemp(prefix="cdc_gini_")
+    try:
+        view = CdcAggregateView(
+            spark, base, key="o_custkey", pk="o_orderkey", val="p"
+        )
+        view.merge(as_cdc(a0), 0)
+        view.merge(as_cdc(a1), 1)
+        spend = (
+            view.snapshot()
+            .select("o_custkey", F.col("total").cast("decimal(18,2)").alias("x"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return _gini_readout(spend)

@@ -1773,3 +1773,80 @@ def q248_cdc_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return _lm_gate_readout(alive, tf_tbl)
+
+
+@query(
+    "q261_vocab_coverage",
+    oracle="""
+WITH tok AS (SELECT source, u.w AS w
+             FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
+tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY source, w),
+fof AS (
+    SELECT source,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+    FROM tf GROUP BY source
+)
+SELECT source, n_tokens, vocab, f1 AS singletons, f2 AS doubletons,
+       floor(CAST(f1 AS DOUBLE) / n_tokens * 1000000 + 0.5e0) / 1000000.0
+           AS unseen_mass_gt,
+       floor((vocab + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0e0 * (f2 + 1)))
+             * 100 + 0.5e0) / 100.0 AS chao1_richness
+FROM fof
+""",
+)
+def q261_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE diagnostics — the corpus-diversity estimators
+    a data-mixing team reads next to q107's Zipf fit: per source, the
+    GOOD-TURING unseen-probability mass P0 = f1/N (the chance the next
+    sampled token is a word never seen in this source — high P0 means
+    the source is lexically open and more data keeps helping; the
+    leave-one-out identity makes singleton share THE unbiased estimate)
+    and the bias-corrected CHAO1 richness V + f1(f1-1)/(2(f2+1)) (the
+    lower-bound estimate of the source's TRUE vocabulary including
+    unseen types — Chao 1984, the standard species-richness estimator).
+    Both read off the frequency-of-frequencies profile, so the whole
+    battery costs two aggregates.
+
+    Scale: one (source, word)-keyed count (map-side combined — the
+    vocab-sized shuffle every tf job pays), then one |vocab|-row
+    fold to per-source sufficient statistics (N, V, f1, f2). All
+    readout arithmetic is integer-derived IEEE (no libm); point ratios
+    through the portable floor idiom."""
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    fof = tf.groupBy("source").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("tf") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    chao1 = F.col("vocab") + F.col("f1").cast("double") * (F.col("f1") - 1) / (
+        F.lit(2.0e0) * (F.col("f2") + 1)
+    )
+    return fof.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.col("f1").alias("singletons"),
+        F.col("f2").alias("doubletons"),
+        (
+            F.floor(
+                F.col("f1").cast("double") / F.col("n_tokens") * 1000000
+                + F.lit(0.5e0)
+            )
+            / 1000000.0
+        ).alias("unseen_mass_gt"),
+        (F.floor(chao1 * 100 + F.lit(0.5e0)) / 100.0).alias("chao1_richness"),
+    )

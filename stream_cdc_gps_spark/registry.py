@@ -111,6 +111,11 @@ _PRIORITY: list[str] = [
     "q258_cdc_psi_drift",
     "q259_cdc_km_survival",
     "q260_cdc_drift_suite",
+    "q261_vocab_coverage",
+    "q262_conformal_calibration",
+    "q263_sprt_sequential",
+    "q225_gini_spend",
+    "q264_cdc_gini",
     # (b) the fourteen promised r12 deferrals (machine-checked against
     # the round-boundary commit's _PROMISED_NEXT by
     # tests/test_registry_invariants.py::test_previous_round_promise_consumed)
@@ -147,11 +152,6 @@ _PRIORITY: list[str] = [
     "q164_cap_telemetry",
     "q167_semdedup",
     "q168_triangle_count",
-    "q173_source_divergence",
-    "q174_twap",
-    "q175_triangle_estimate",
-    "q176_triangle_estimate_error",
-    "q178_score_auc",
 ]
 
 # MACHINE-CHECKABLE DISPLACEMENT LEDGER (r12 verdict task #5 — the
@@ -165,8 +165,24 @@ _PRIORITY: list[str] = [
 #     editing this list mid-round cannot erase last round's promise; the
 #     current _PRIORITY must contain every name promised there.
 # r12 closed with its promise recorded only in prose (the 14 rows now in
-# tier (b) above); from r13 on the ledger is data.
-_PROMISED_NEXT: list[str] = []
+# tier (b) above); from r13 on the ledger is data. r13's six new tier-(a)
+# slots (q238/q254 staled by the drift-suite refactor; q258/q259/q260 new;
+# q227 staled by the KM readout factoring) displaced the six stalest
+# remaining r6-cohort rows past the cap — bridge-certified at r13 close
+# (BASELINE.md), promised to lead r14's stale tier:
+_PROMISED_NEXT: list[str] = [
+    "q173_source_divergence",
+    "q174_twap",
+    "q175_triangle_estimate",
+    "q176_triangle_estimate_error",
+    "q178_score_auc",
+    "q179_k_anonymity",
+    "q181_feature_corr_matrix",
+    "q182_minhash_containment",
+    "q184_group_ols_trend",
+    "q185_touch_attribution",
+    "q186_ivfpq_search",
+]
 
 
 def all_queries() -> dict[str, QuerySpec]:
