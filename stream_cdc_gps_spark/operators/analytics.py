@@ -5851,14 +5851,16 @@ def q260_cdc_drift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q262_conformal_calibration",
-    oracle="""
-WITH s AS (
+def _conformal_sql(events_rel: str) -> str:
+    """Oracle CTE chain: split-conformal calibration over ``events_rel``
+    (event_id, event_type, value) — the SQL mirror of q262's readout,
+    shared by q262 (raw events) and q266 (CDC-upserted final events)."""
+    return f"""
+s AS (
     SELECT event_type, value,
            ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 10
                AS b
-    FROM events
+    FROM {events_rel}
 ),
 mdl AS (
     SELECT event_type,
@@ -5908,6 +5910,14 @@ SELECT m.event_type, m.n_train, c.n_cal, t.n_test,
            AS coverage
 FROM mdl m JOIN caln c USING (event_type) JOIN qh q USING (event_type)
            JOIN tst t USING (event_type)
+"""
+
+
+@query(
+    "q262_conformal_calibration",
+    oracle=f"""
+WITH e AS (SELECT event_id, event_type, value FROM events),
+{_conformal_sql("e")}
 """,
 )
 def q262_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6244,3 +6254,178 @@ def q264_cdc_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return _gini_readout(spend)
+
+
+@query(
+    "q266_cdc_conformal",
+    oracle=f"""
+WITH fin AS (
+    SELECT event_id,
+           CASE WHEN event_id % 13 = 0 THEN
+                    CASE WHEN event_type = 'purchase' THEN 'view'
+                         ELSE 'purchase' END
+                ELSE event_type END AS event_type,
+           CASE WHEN event_id % 7 = 0 THEN value + 1.11e0 ELSE value END AS value
+    FROM events WHERE event_id % 5 != 0
+),
+{_conformal_sql("fin")}
+""",
+)
+def q266_cdc_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED CONFORMAL CALIBRATION — q262's distribution-free
+    coverage audit kept current under event churn, closing the round's
+    maintained-ML-monitoring arc (PSI q258, KM q259, drift suite q260,
+    Gini q264): EVERYTHING the conformal readout needs is linear in the
+    event multiset once the state is keyed per (event_type, value,
+    split-class) — counts give the calibration residual profile and the
+    test-coverage denominator, the DECIMAL value sums give the train
+    mean — so one composed ``CdcAggregateView`` (struct key, val = the
+    2-dp value) absorbs corrections, re-types, deletes and duplicate
+    re-deliveries, and the q̂/coverage row equals q262 over the
+    CDC-upserted final events exactly. The split class rides the
+    event_id hash, so membership is churn-stable by construction (the
+    q87 reproducible-split property carried into state).
+
+    Design note (the q258 lesson applied): residuals are NOT part of
+    the key — they depend on the train mean, which every merge can
+    move; keying by the raw value keeps the state extent-free and the
+    residual profile is re-derived at readout from |distinct (type,
+    value, class)| rows (domain-bounded — the
+    test_compression_cardinality class).
+
+    Script: q238's churn. Readout cost: one walk over the maintained
+    keys into per-(type, residual) counts, the partitioned crossing
+    window, and three ≤5-row broadcasts — the corpus is never
+    rescanned."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.operators.common import churn_script
+    from stream_cdc_gps_spark.streaming.join_view import CdcAggregateView
+
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    flip = F.when(F.col("event_type") == "purchase", F.lit("view")).otherwise(
+        F.lit("purchase")
+    )
+    bumped = F.when(
+        F.col("event_id") % 7 == 0, F.col("value") + F.lit(1.11e0)
+    ).otherwise(F.col("value"))
+    a0, a1 = churn_script(
+        e,
+        "event_id",
+        u1_cols={"value": F.col("value") + F.lit(1.11e0)},
+        u2_cols={"event_type": flip, "value": bumped},
+    )
+
+    def as_cdc(batch: DataFrame) -> DataFrame:
+        cls = (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10
+            ).cast("bigint")
+            % 10
+        )
+        return batch.select(
+            "op",
+            "seq",
+            "event_id",
+            F.struct(
+                F.col("event_type").alias("et"),
+                F.col("value").alias("value"),
+                F.when(cls < 6, F.lit("train"))
+                .when(cls < 8, F.lit("cal"))
+                .otherwise(F.lit("test"))
+                .alias("cls"),
+            ).alias("k"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+
+    base = tempfile.mkdtemp(prefix="cdc_conf_")
+    try:
+        view = CdcAggregateView(spark, base, key="k", pk="event_id", val="v")
+        view.merge(as_cdc(a0), 0)
+        view.merge(as_cdc(a1), 1)
+        snap = view.snapshot().localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    by_key = snap.select(
+        F.col("k.et").alias("event_type"),
+        F.col("k.value").alias("value"),
+        F.col("k.cls").alias("cls"),
+        "n",
+        "total",
+    )
+    mdl = (
+        by_key.filter(F.col("cls") == "train")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_train"),
+            (F.sum("total").cast("double") / F.sum("n")).alias("mu"),
+        )
+    )
+    r = F.abs(F.col("value") - F.col("mu"))
+    cal = (
+        by_key.filter(F.col("cls") == "cal")
+        .join(F.broadcast(mdl), "event_type")
+        .select("event_type", r.alias("r"), "n")
+    )
+    caln = cal.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_cal")
+    )
+    rk = cal.groupBy("event_type", "r").agg(
+        F.sum("n").cast("bigint").alias("m")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rk.select("event_type", "r", F.sum("m").over(w_cum).alias("cw"))
+    kk = caln.select(
+        "event_type",
+        "n_cal",
+        F.least(
+            F.floor((9 * (F.col("n_cal") + 1) + 9) / F.lit(10.0e0)).cast("bigint"),
+            F.col("n_cal"),
+        ).alias("k"),
+    )
+    qh = (
+        cum.join(F.broadcast(kk), "event_type")
+        .filter(F.col("cw") >= F.col("k"))
+        .groupBy("event_type")
+        .agg(F.min("r").alias("q_hat"))
+    )
+    tst = (
+        by_key.filter(F.col("cls") == "test")
+        .join(F.broadcast(mdl.select("event_type", "mu")), "event_type")
+        .join(F.broadcast(qh), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_test"),
+            F.sum(F.when(r <= F.col("q_hat"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        mdl.select("event_type", "n_train")
+        .join(caln, "event_type")
+        .join(qh, "event_type")
+        .join(tst, "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            "n_cal",
+            "n_test",
+            (F.floor(F.col("q_hat") * 10000 + F.lit(0.5e0)) / 10000.0).alias(
+                "q_hat"
+            ),
+            "covered",
+            (
+                F.floor(
+                    F.col("covered").cast("double") / F.col("n_test") * 10000
+                    + F.lit(0.5e0)
+                )
+                / 10000.0
+            ).alias("coverage"),
+        )
+    )

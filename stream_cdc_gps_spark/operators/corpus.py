@@ -1822,7 +1822,17 @@ def q261_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    fof = tf.groupBy("source").agg(
+    return _fof_readout(tf, ["source"])
+
+
+def _fof_readout(tf: DataFrame, keys: list[str]) -> DataFrame:
+    """Good-Turing + Chao1 coverage readout from a term-frequency table
+    ``tf`` (``keys`` + w + tf), grouped by ``keys`` (empty = one corpus
+    row) — shared by q261 (per-source batch tf) and q265 (the
+    CDC-maintained global tf). One |vocab|-row fold to the sufficient
+    statistics (N, V, f1, f2); integer-derived IEEE readout, point
+    ratios through the portable floor idiom."""
+    fof = tf.groupBy(*keys).agg(
         F.sum("tf").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("vocab"),
         F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
@@ -1836,7 +1846,7 @@ def q261_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2.0e0) * (F.col("f2") + 1)
     )
     return fof.select(
-        "source",
+        *keys,
         "n_tokens",
         "vocab",
         F.col("f1").alias("singletons"),
@@ -1850,3 +1860,68 @@ def q261_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("unseen_mass_gt"),
         (F.floor(chao1 * 100 + F.lit(0.5e0)) / 100.0).alias("chao1_richness"),
     )
+
+
+@query(
+    "q265_cdc_vocab_coverage",
+    oracle=f"""
+WITH f AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 13 = 0 THEN
+                    (CASE WHEN doc_id % 7 = 0 THEN text || '{_REV}'
+                          ELSE text END) || '{_REW}'
+                WHEN doc_id % 7 = 0 THEN text || '{_REV}'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 5 != 0
+),
+tok AS (SELECT u.w AS w FROM f, UNNEST(string_split(text, ' ')) AS u(w)),
+tf AS (SELECT w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w),
+fof AS (
+    SELECT CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+    FROM tf
+)
+SELECT n_tokens, vocab, f1 AS singletons, f2 AS doubletons,
+       floor(CAST(f1 AS DOUBLE) / n_tokens * 1000000 + 0.5e0) / 1000000.0
+           AS unseen_mass_gt,
+       floor((vocab + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0e0 * (f2 + 1)))
+             * 100 + 0.5e0) / 100.0 AS chao1_richness
+FROM fof
+""",
+)
+def q265_cdc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED VOCABULARY COVERAGE — q261's diversity estimators
+    kept current under corpus churn by READING the ``CdcTokenTfView``
+    state q248's quality gate already maintains: term frequencies are
+    linear in the document multiset, so the maintained (w, tf) table
+    equals the batch tf over the CDC-upserted final corpus exactly, and
+    the frequency-of-frequencies profile (N, V, f1, f2) — hence
+    Good-Turing unseen mass and Chao1 richness — is one |vocab|-row
+    fold over state that every merge keeps exact. A re-crawl that
+    injects revision-marker tokens shifts singleton counts in the same
+    merge; a delete retracts its token multiset; the "is more data from
+    this source still adding vocabulary?" dashboard never rescans the
+    corpus.
+
+    Script: the standard composed doc churn (_doc_churn_batches).
+    Scale: the view's per-merge cost is O(|Δ| tokens); the readout is
+    one |vocab|-row aggregate — the same second aggregate q261 pays,
+    minus the corpus scan and the (source, w) shuffle."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.streaming.shingle_df_index import CdcTokenTfView
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    a0, a1 = _doc_churn_batches(d)
+    base = tempfile.mkdtemp(prefix="cdc_vocab_")
+    try:
+        view = CdcTokenTfView(spark, base)
+        view.merge(a0, 0)
+        view.merge(a1, 1)
+        tf_tbl = view.tf().localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return _fof_readout(tf_tbl, [])

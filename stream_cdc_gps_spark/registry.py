@@ -116,6 +116,8 @@ _PRIORITY: list[str] = [
     "q263_sprt_sequential",
     "q225_gini_spend",
     "q264_cdc_gini",
+    "q265_cdc_vocab_coverage",
+    "q266_cdc_conformal",
     # (b) the fourteen promised r12 deferrals (machine-checked against
     # the round-boundary commit's _PROMISED_NEXT by
     # tests/test_registry_invariants.py::test_previous_round_promise_consumed)
@@ -150,8 +152,6 @@ _PRIORITY: list[str] = [
     "q161_ivf_trained_topk",
     "q162_pq_trained_codes",
     "q164_cap_telemetry",
-    "q167_semdedup",
-    "q168_triangle_count",
 ]
 
 # MACHINE-CHECKABLE DISPLACEMENT LEDGER (r12 verdict task #5 — the
@@ -171,6 +171,8 @@ _PRIORITY: list[str] = [
 # remaining r6-cohort rows past the cap — bridge-certified at r13 close
 # (BASELINE.md), promised to lead r14's stale tier:
 _PROMISED_NEXT: list[str] = [
+    "q167_semdedup",
+    "q168_triangle_count",
     "q173_source_divergence",
     "q174_twap",
     "q175_triangle_estimate",
