@@ -92,9 +92,10 @@ PERMANENT = SHARED21 + [
 # mean, degenerate-extent bin guards, quantized teleport speeds), the
 # refactored-readout rows (q227 KM helpers, q238 _ks_tail, q254
 # CdcBootstrapView suite params), and the round's new rows (q258 CDC
-# PSI, q259 CDC Kaplan-Meier, q260 the composed drift suite), plus the
-# eight heaviest CDC/vector reps carried again for round-over-round
-# comparability. The other r12 spotlight rows (q133/q234/q235/q237/
+# PSI, q259 CDC Kaplan-Meier, q260 the composed drift suite, q261/q265
+# vocabulary coverage batch+CDC, q262/q266 conformal calibration
+# batch+CDC, q263 SPRT, q264 CDC Gini), plus the eight heaviest
+# CDC/vector reps carried again for round-over-round comparability. The other r12 spotlight rows (q133/q234/q235/q237/
 # q239-q246/q249-q253/q255) rotate off — each keeps an isolated
 # BASELINE.md anchor (q251/q253/q254 re-probed at r13 round start) and
 # correctness rides the driver window.
@@ -110,6 +111,12 @@ SPOTLIGHT = [
     "q258_cdc_psi_drift",
     "q259_cdc_km_survival",
     "q260_cdc_drift_suite",
+    "q261_vocab_coverage",
+    "q262_conformal_calibration",
+    "q263_sprt_sequential",
+    "q264_cdc_gini",
+    "q265_cdc_vocab_coverage",
+    "q266_cdc_conformal",
     # carried heavies (comparability anchors since r10)
     "q190_ivfpq_incremental_index",
     "q194_cdc_join_view",

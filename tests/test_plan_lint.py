@@ -100,6 +100,9 @@ def test_broadcast_nested_loop_only_where_bounded(plans):
         "q253_poisson_bootstrap",  # broadcast 1-row sorted-replicate-means combine
         "q254_cdc_bootstrap_ci",  # same 1-row combine over the maintained arms
         "q255_hill_tail_index",  # broadcast 1-row (x_k, k) into the 200-row top set
+        "q259_cdc_km_survival",  # broadcast 1-row observation-end bound (q227's move)
+        "q260_cdc_drift_suite",  # 1-row x 1-row x 1-row readout combine (boot/ks/psi)
+        "q264_cdc_gini",  # broadcast 1-row boundary array (q225's two-pass rank)
     }
     unexpected = [n for n in bnlj if n not in allowed]
     assert not unexpected, f"unreviewed BroadcastNestedLoopJoin in: {unexpected}"
