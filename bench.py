@@ -117,6 +117,7 @@ SPOTLIGHT = [
     "q264_cdc_gini",
     "q265_cdc_vocab_coverage",
     "q266_cdc_conformal",
+    "q267_cdc_sprt",
     # carried heavies (comparability anchors since r10)
     "q190_ivfpq_incremental_index",
     "q194_cdc_join_view",

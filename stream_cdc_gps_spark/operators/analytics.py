@@ -6050,28 +6050,23 @@ _SPRT_STREAMS = (
 _SPRT_BOUND = "2.944438979166"
 
 
-def _sprt_oracle() -> str:
+def _sprt_sql(daily_cte: str) -> str:
+    """Oracle CTE chain continuation: the SPRT decision path over a
+    ``daily_cte`` relation (day, n, k) — the SQL mirror of
+    _sprt_readout, shared by q263 (raw events) and q267 (CDC-upserted
+    final events)."""
     arms = " UNION ALL ".join(
         f"SELECT '{name}' AS stream, CAST({c1} AS DECIMAL(20,12)) AS c1, "
         f"CAST({c0} AS DECIMAL(20,12)) AS c0"
         for name, c1, c0 in _SPRT_STREAMS
     )
     return f"""
-WITH streams AS ({arms}),
-daily AS (
-    SELECT CAST(ts AS DATE) AS day,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                AS BIGINT) AS k
-    FROM events
-    WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 1
-    GROUP BY 1
-),
+streams AS ({arms}),
 llr AS (
     SELECT stream, day, n, k,
            sum(k * c1 + (n - k) * c0) OVER (PARTITION BY stream ORDER BY day)
                AS cum_llr
-    FROM daily CROSS JOIN streams
+    FROM {daily_cte} CROSS JOIN streams
 ),
 dec AS (
     -- stay in EXACT decimal for both the 6-dp quantization and the
@@ -6095,7 +6090,25 @@ FROM dec
 """
 
 
-@query("q263_sprt_sequential", oracle=_sprt_oracle())
+_SPRT_DAILY_SQL = """
+daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS k
+    FROM {src}
+    WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 1
+    GROUP BY 1
+)"""
+
+
+@query(
+    "q263_sprt_sequential",
+    oracle="WITH "
+    + _SPRT_DAILY_SQL.format(src="events")
+    + ",\n"
+    + _sprt_sql("daily"),
+)
 def q263_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEQUENTIAL PROBABILITY RATIO TEST (Wald's SPRT) — the sequential
     A/B decision procedure the fixed-horizon battery (q124 t-test, q250
@@ -6132,6 +6145,14 @@ def q263_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("k"),
         )
     )
+    return _sprt_readout(daily)
+
+
+def _sprt_readout(daily: DataFrame) -> DataFrame:
+    """SPRT decision path from daily (day, n, k) trial/success counts —
+    q263's exact-decimal LLR walk (see its docstring for the
+    determinism argument), factored so the CDC-maintained variant
+    (q267) certifies the identical readout."""
     streams = None
     for name, c1, c0 in _SPRT_STREAMS:
         # counts cast to DECIMAL(14,0) so the product's precision
@@ -6429,3 +6450,97 @@ def q266_cdc_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@query(
+    "q267_cdc_sprt",
+    oracle="""
+WITH fin AS (
+    SELECT user_id,
+           CASE WHEN event_id % 13 = 0 THEN
+                    CASE WHEN event_type = 'purchase' THEN 'view'
+                         ELSE 'purchase' END
+                ELSE event_type END AS event_type,
+           CASE WHEN event_id % 7 = 0 THEN ts + INTERVAL 3 HOUR
+                ELSE ts END AS ts
+    FROM events WHERE event_id % 5 != 0
+),
+"""
+    + _SPRT_DAILY_SQL.format(src="fin")
+    + ",\n"
+    + _sprt_sql("daily"),
+)
+def q267_cdc_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-MAINTAINED SPRT — q263's sequential decision path kept
+    current under event churn, the property batch re-runs cannot give
+    you: daily (trials, successes) counts are LINEAR in the event
+    multiset, so one composed ``CdcAggregateView`` (key = the treatment
+    arm's event day, val = the purchase indicator) absorbs late events,
+    re-types (a purchase↔view flip moves k without moving n), timestamp
+    corrections that slide an event ACROSS a day boundary (the key-
+    moving Z-set retract + assert), deletes, and duplicate
+    re-deliveries — and the WHOLE decision path re-evaluates from the
+    maintained counts, so a correction that arrives tomorrow properly
+    rewrites when the test would have stopped (always-valid inference
+    demands the corrected evidence trajectory, not the one frozen at
+    first delivery). Readout = q263's exact-decimal LLR walk
+    (_sprt_readout, shared), oracle = the same SQL over the
+    CDC-upserted final events (_sprt_sql, shared).
+
+    Script: churn_script over events — %7 late ts corrections (+3 h,
+    slides midnight-adjacent events across day keys), %13 purchase↔view
+    re-types composing the shift, %5 deletes, %11 duplicate
+    re-deliveries. Scale: per merge O(|Δ|) map + one |Δ day|-keyed
+    partial; state is |days| rows — bounded by the calendar."""
+    import shutil
+    import tempfile
+
+    from stream_cdc_gps_spark.operators.common import churn_script
+    from stream_cdc_gps_spark.streaming.join_view import CdcAggregateView
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    flip = F.when(F.col("event_type") == "purchase", F.lit("view")).otherwise(
+        F.lit("purchase")
+    )
+    shifted = F.col("ts") + F.expr("INTERVAL 3 HOUR")
+    composed = F.when(F.col("event_id") % 7 == 0, shifted).otherwise(F.col("ts"))
+    a0, a1 = churn_script(
+        e,
+        "event_id",
+        u1_cols={"ts": shifted},
+        u2_cols={"event_type": flip, "ts": composed},
+    )
+
+    def as_cdc(batch: DataFrame) -> DataFrame:
+        arm_b = (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+            ).cast("bigint")
+            % 2
+            == 1
+        )
+        return batch.select(
+            "op",
+            "seq",
+            "event_id",
+            F.when(arm_b, F.to_date("ts")).alias("day"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("isp"),
+        )
+
+    base = tempfile.mkdtemp(prefix="cdc_sprt_")
+    try:
+        view = CdcAggregateView(spark, base, key="day", pk="event_id", val="isp")
+        view.merge(as_cdc(a0), 0)
+        view.merge(as_cdc(a1), 1)
+        daily = (
+            view.snapshot()
+            .filter(F.col("day").isNotNull())
+            .select("day", "n", F.col("total").cast("bigint").alias("k"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return _sprt_readout(daily)

@@ -118,6 +118,7 @@ _PRIORITY: list[str] = [
     "q264_cdc_gini",
     "q265_cdc_vocab_coverage",
     "q266_cdc_conformal",
+    "q267_cdc_sprt",
     # (b) the fourteen promised r12 deferrals (machine-checked against
     # the round-boundary commit's _PROMISED_NEXT by
     # tests/test_registry_invariants.py::test_previous_round_promise_consumed)
@@ -151,7 +152,6 @@ _PRIORITY: list[str] = [
     "q160_idf_weighted_jaccard",
     "q161_ivf_trained_topk",
     "q162_pq_trained_codes",
-    "q164_cap_telemetry",
 ]
 
 # MACHINE-CHECKABLE DISPLACEMENT LEDGER (r12 verdict task #5 — the
@@ -171,6 +171,7 @@ _PRIORITY: list[str] = [
 # remaining r6-cohort rows past the cap — bridge-certified at r13 close
 # (BASELINE.md), promised to lead r14's stale tier:
 _PROMISED_NEXT: list[str] = [
+    "q164_cap_telemetry",
     "q167_semdedup",
     "q168_triangle_count",
     "q173_source_divergence",
