@@ -4896,30 +4896,51 @@ def q253_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     i·4+j reads hex chars [8j+1, 8j+8]) — 4× fewer hashes for the same
     weights, the md5 being the measured per-row floor."""
     e = t(spark, sf_dir, "events")
+    # The 16 md5 digests per row amplify compute ~16x past this point; the
+    # corpus ships as single-row-group parquet (1 scan task), so without a
+    # spread the whole 6.4M-row expansion runs on ONE core (measured 6.3 s
+    # at sf0.1; ~1.4 s spread). Gated on the scan's task count like q181:
+    # on a healthy multi-row-group layout at scale the gate is a no-op —
+    # the expansion inherits the scan's own parallelism there.
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par, "event_id")
     i = F.explode(
         F.array(*[F.lit(x).cast("bigint") for x in range(_BOOT_B // 4)])
     ).alias("i")
+    # Weighted sums run in integer CENTS (exact: value has 2 decimals,
+    # weights are small ints): the decimal(18,2) products the first cut
+    # summed exceed 18 digits of precision, kicking every sum update off
+    # Spark's long-backed decimal fast path onto boxed BigDecimal
+    # (measured 4x slower for this aggregate at sf0.1). mean_r converts
+    # the exact cent sum back to value-units through the SAME exact
+    # decimal value before the double division, so the double result is
+    # bit-identical to the decimal formulation the oracle runs.
     d = e.select(F.col("event_id"), F.col("value"), i).select(
         "i",
         F.md5(
             F.concat_ws(":", F.col("event_id").cast("string"),
                         F.col("i").cast("string"))
         ).alias("_h"),
-        F.col("value").cast("decimal(18,2)").alias("v"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("vc"),
     )
     j = F.explode(F.array(*[F.lit(x).cast("bigint") for x in range(4)])).alias("j")
-    w = d.select("i", "_h", "v", j).select(
+    w = d.select("i", "_h", "vc", j).select(
         (F.col("i") * 4 + F.col("j")).alias("r"),
         F.conv(F.expr("substring(_h, 1 + 8 * j, 8)"), 16, 10)
         .cast("bigint")
         .alias("u"),
-        "v",
+        "vc",
     )
     wgt = F.lit(6)
     for k in range(len(_BOOT_THS) - 1, -1, -1):
         wgt = F.when(F.col("u") < F.lit(_BOOT_THS[k]), F.lit(k)).otherwise(wgt)
     m = w.groupBy("r").agg(
-        (F.sum(wgt * F.col("v")).cast("double") / F.sum(wgt)).alias("mean_r")
+        (
+            (F.sum(wgt.cast("bigint") * F.col("vc")).cast("decimal(38,2)") / 100)
+            .cast("double")
+            / F.sum(wgt)
+        ).alias("mean_r")
     )
     # mean/SE as sequential folds over the SORTED replicate list — the
     # identical-order identity that makes the 6-dp rounding portable

@@ -75,102 +75,27 @@ DRIVER_WINDOW = 50
 # instead require a committed full driver-sim artifact
 # (artifacts/driver_sim_full.json certifying a 0-fail run from this round).
 #
-# Round 13 front-loads, in order:
-# (a) queries changed or added this round — the staleness gate forces
-#     these: q247/q248 (mean_nll rebuilt on the portable 12-dp-quantized
-#     per-doc-rate DECIMAL sum + floor idiom — the r12 ADVICE medium
-#     item: avg() over per-doc rate doubles is summation-order-dependent
-#     cross-engine), q236/q257 (degenerate-extent guard: bin 0 when
-#     hi = lo, mirrored in both engines — r12 ADVICE low), q256 (speed
-#     quantized at 12 dp before the 40 m/s gate compare + floor idiom
-#     for max_speed_ms — r12 ADVICE low), plus this round's new rows as
-#     they land (CDC-maintained PSI, KM-under-churn, the drift-suite
-#     parity row) and q254 (CdcBootstrapView gains suite-shared landing
-#     params);
-# (b) the FOURTEEN rows the r12 continuation's q245-q257 displaced
-#     one-for-one under the slack cap, bridge-certified at r12 close and
-#     promised as r13's lead (r12 verdict task #1): q31, q32, q33,
-#     q52-q62 — asserted mechanically via _PROMISED_NEXT (see below);
-# (c) the r6-era staleness cohort in query order up to the slack cap
-#     (48 = window - 2): q63-q65, q70, q71, q79, q146, q147, q150,
-#     q153, q154, q155, q160-q162, q164, q167, q168, q173-q176, q178,
-#     q179, q181, then q182/q184/q185/q186 while slots remain (each new
-#     tier-(a) row this round displaces the (c) tail one-for-one;
-#     displaced rows are bridge-certified at close and recorded in
-#     _PROMISED_NEXT for r14).
+# Round 14 (OPTIMIZATION round) front-loads, in order:
+# (b) the FOURTEEN rows r13's tier-(a) claims displaced one-for-one under
+#     the slack cap, bridge-certified at r13 close and promised as r14's
+#     lead (registry._PROMISED_NEXT at the round boundary, machine-checked
+#     by tests/test_registry_invariants.py::test_previous_round_promise_consumed):
+#     q164, q167, q168, q173-q186;
+# (c) the next staleness cohort in query order up to the slack cap
+#     (48 = window - 2): the r7-r9-era rows q187-q220 (trained IVFADC,
+#     the CDC view family, sketches). This round is an OPTIMIZATION
+#     round: queries whose code the optimizations stale are ALREADY
+#     concentrated in this cohort (q190/q194/q195/q198/q200/q205/q206/
+#     q209 et al.); any optimization touching a query outside it swaps
+#     into the (c) tail one-for-one, displaced rows recorded in
+#     _PROMISED_NEXT at close.
 _PRIORITY: list[str] = [
-    # (a) changed or added in r13
-    "q236_binned_ks",
-    "q238_cdc_drift_monitor",
-    "q247_lm_quality_gate",
-    "q248_cdc_lm_gate",
+    # (a) queries staled by this round's optimizations (bootstrap family:
+    # expansion-stage repartition + integer-cents partials)
+    "q253_poisson_bootstrap",
     "q254_cdc_bootstrap_ci",
-    "q256_gps_teleport_filter",
-    "q227_km_survival",
-    "q257_psi_drift",
-    "q258_cdc_psi_drift",
-    "q259_cdc_km_survival",
     "q260_cdc_drift_suite",
-    "q261_vocab_coverage",
-    "q262_conformal_calibration",
-    "q263_sprt_sequential",
-    "q225_gini_spend",
-    "q264_cdc_gini",
-    "q265_cdc_vocab_coverage",
-    "q266_cdc_conformal",
-    "q267_cdc_sprt",
-    # (b) the fourteen promised r12 deferrals (machine-checked against
-    # the round-boundary commit's _PROMISED_NEXT by
-    # tests/test_registry_invariants.py::test_previous_round_promise_consumed)
-    "q31_rank_dense_ntile",
-    "q32_lag_lead",
-    "q33_window_frames",
-    "q52_minhash_signatures",
-    "q53_lsh_candidate_pairs",
-    "q54_ngram_jaccard",
-    "q55_simhash",
-    "q56_embedding_near_dup",
-    "q57_neardup_components",
-    "q58_simhash_pairs",
-    "q59_dedup_keep_one",
-    "q60_cosine_topk",
-    "q61_ann_bucketed_topk",
-    "q62_embedding_stats",
-    # (c) r6-era staleness cohort, query order, filling to the slack cap
-    "q63_ivf_topk",
-    "q64_ann_recall",
-    "q65_label_centroids",
-    "q70_lang_stats",
-    "q71_token_quality",
-    "q79_lev_verify_pairs",
-    "q146_minhash_jaccard_estimate",
-    "q147_neardup_cluster_stats",
-    "q150_split_leakage_check",
-    "q153_cluster_safe_split",
-    "q154_cross_source_dup_matrix",
-    "q155_dedup_threshold_sweep",
-    "q160_idf_weighted_jaccard",
-    "q161_ivf_trained_topk",
-    "q162_pq_trained_codes",
-]
-
-# MACHINE-CHECKABLE DISPLACEMENT LEDGER (r12 verdict task #5 — the
-# window-rotation promises used to live in prose in the comment above;
-# prose can be silently rewritten, data is asserted). Contract:
-#   - at round CLOSE, _PROMISED_NEXT lists every bridge-certified row the
-#     round's new tier-(a) entries displaced past the slack cap — the
-#     rows the NEXT round's _PRIORITY must consume first;
-#   - tests/test_registry_invariants.py::test_previous_round_promise_consumed
-#     reads _PROMISED_NEXT from the ROUND-BOUNDARY COMMIT (git show), so
-#     editing this list mid-round cannot erase last round's promise; the
-#     current _PRIORITY must contain every name promised there.
-# r12 closed with its promise recorded only in prose (the 14 rows now in
-# tier (b) above); from r13 on the ledger is data. r13's six new tier-(a)
-# slots (q238/q254 staled by the drift-suite refactor; q258/q259/q260 new;
-# q227 staled by the KM readout factoring) displaced the six stalest
-# remaining r6-cohort rows past the cap — bridge-certified at r13 close
-# (BASELINE.md), promised to lead r14's stale tier:
-_PROMISED_NEXT: list[str] = [
+    # (b) the fourteen promised r13 deferrals
     "q164_cap_telemetry",
     "q167_semdedup",
     "q168_triangle_count",
@@ -185,7 +110,56 @@ _PROMISED_NEXT: list[str] = [
     "q184_group_ols_trend",
     "q185_touch_attribution",
     "q186_ivfpq_search",
+    # (c) staleness rotation: r7-r9 cohort in query order to the cap
+    "q187_ivfpq_trained_search",
+    "q188_ivfpq_trained_recall",
+    "q189_corpus_ingest_parity",
+    "q190_ivfpq_incremental_index",
+    "q191_truncated_dim_recall",
+    "q192_mixture_materialize",
+    "q193_incremental_join_view",
+    "q194_cdc_join_view",
+    "q195_vector_index_retrain",
+    "q196_cdc_aggregate_view",
+    "q197_cdc_minmax_view",
+    "q198_cdc_left_join_view",
+    "q199_cdc_distinct_view",
+    "q200_cdc_topk_view",
+    "q201_cdc_view_suite",
+    "q202_quantile_sketch",
+    "q203_cdc_window_rollup",
+    "q204_gps_cdc_trip_rollup",
+    "q205_cdc_vector_index",
+    "q206_cdc_lsh_index",
+    "q207_cdc_cms_sketch",
+    "q208_cdc_view_time_travel",
+    "q209_cdc_join_agg_cascade",
+    "q210_cdc_quantile_view",
+    "q211_hybrid_rrf_search",
+    "q212_point_in_time_features",
+    "q213_cdc_hll_view",
+    "q214_dsir_importance",
+    "q215_kmv_bottomk_sketch",
+    "q216_cdc_session_rollup",
+    "q217_schema_evolution_scan",
 ]
+
+# MACHINE-CHECKABLE DISPLACEMENT LEDGER (r12 verdict task #5 — the
+# window-rotation promises used to live in prose in the comment above;
+# prose can be silently rewritten, data is asserted). Contract:
+#   - at round CLOSE, _PROMISED_NEXT lists every bridge-certified row the
+#     round's new tier-(a) entries displaced past the slack cap — the
+#     rows the NEXT round's _PRIORITY must consume first;
+#   - tests/test_registry_invariants.py::test_previous_round_promise_consumed
+#     reads _PROMISED_NEXT from the ROUND-BOUNDARY COMMIT (git show), so
+#     editing this list mid-round cannot erase last round's promise; the
+#     current _PRIORITY must contain every name promised there.
+# r13's promise (q164, q167, q168, q173-q186) is consumed by tier (b)
+# above. r14 is an optimization round; this list is refilled at round
+# close with any rows the round's optimization-staled queries displace
+# past the slack cap (empty while the round is open — displacements are
+# recorded when the window composition is final).
+_PROMISED_NEXT: list[str] = []
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -87,17 +87,52 @@ class CdcBootstrapView:
         each 128-bit digest is split into FOUR 32-bit draws (md5 of
         "pk:i" hashes b/4 times per row, not b: replicate i·4+j reads
         hex chars [8j+1, 8j+8]), which halved the md5-bound merge cost
-        again after the delta-only move."""
+        again after the delta-only move.
+
+        r14 optimization, two moves (guide §2/§4-adjacent, measured):
+
+        1. PARALLELISM. The b/4 md5 digests (and b conv+threshold folds)
+           per row amplify compute ~16× past this point, but the delta
+           reaching here is only a few MB — bytes-based AQE coalescing
+           handed the whole expansion to 1-2 tasks (the v-store landing
+           ran ~13 s/merge at sf0.1 on one core). One explicit exchange
+           of |Δ| NARROW rows to the cluster's parallelism buys b-wide
+           parallel hashing. The F.lit(1) salt is LOAD-BEARING: a bare
+           repartition(n, pk) is semantically redundant above
+           cdc_latest's pk-partitioned window, so
+           RemoveRedundantRepartition deletes it and AQE re-coalesces
+           the window exchange — hash(pk, 1) is a different
+           partitioning, so the exchange survives with its pinned count.
+
+        2. NATIVE-LONG ARITHMETIC. decimal(18,2) weight × value products
+           exceed 18 digits of precision, kicking every one of the
+           |Δ|·b sum updates off Spark's long-backed decimal fast path
+           onto boxed BigDecimal (measured 6.4 s vs 1.5 s for the same
+           aggregate at sf0.1). The per-batch partial therefore sums in
+           integer CENTS (exact: val is decimal(*,2); weights are small
+           ints): per-row terms ≤ 6·|v|·100 and a batch's arm sum is
+           bounded by 6 × the batch's total |value| in cents — bigint
+           overflows only past ~10^16 value-units per micro-batch.
+           ``arms()`` converts the folded cents back to exact DECIMAL
+           once, on ≤ b+1 rows. Values are bit-identical either way;
+           combine order cannot matter (integer addition)."""
         assert self.b % 4 == 0
+        delta = delta.repartition(
+            self.spark.sparkContext.defaultParallelism, F.col(self.pk), F.lit(1)
+        )
+        # cents once per delta row, BEFORE the b/4-way explode (the cast
+        # is exact; doing it here instead of post-explode saves b× casts)
+        pre = delta.select(
+            "_w",
+            (F.col(self.val) * 100).cast("bigint").alias("_vc"),
+            F.col(self.pk).cast("string").alias("_pks"),
+        )
         i = F.explode(
             F.array(*[F.lit(x).cast("bigint") for x in range(self.b // 4)])
         ).alias("i")
-        d = delta.select(
-            "_w", F.col(self.val).alias("_v"), i,
-            F.col(self.pk).cast("string").alias("_pks"),
-        ).select(
+        d = pre.select("_w", "_vc", "_pks", i).select(
             "_w",
-            "_v",
+            "_vc",
             "i",
             F.md5(F.concat_ws(":", F.col("_pks"), F.col("i").cast("string"))).alias(
                 "_h"
@@ -106,9 +141,9 @@ class CdcBootstrapView:
         j = F.explode(
             F.array(*[F.lit(x).cast("bigint") for x in range(4)])
         ).alias("j")
-        x = d.select("_w", "_v", "i", "_h", j).select(
+        x = d.select("_w", "_vc", "i", "_h", j).select(
             "_w",
-            "_v",
+            "_vc",
             (F.col("i") * 4 + F.col("j")).alias("r"),
             F.conv(
                 F.expr("substring(_h, 1 + 8 * j, 8)"), 16, 10
@@ -116,24 +151,26 @@ class CdcBootstrapView:
             .cast("bigint")
             .alias("u"),
         )
-        wgt = self._weight(F.col("u")).cast("decimal(18,2)")
-        rep_rows = x.select("r", "_w", wgt.alias("_wt"), "_v")
+        wgt = self._weight(F.col("u")).cast("bigint")
+        rep_rows = x.select("r", "_w", wgt.alias("_wt"), "_vc")
         # the POINT-estimate arm rides along as replicate -1 with weight 1
         # (Σv and n are linear too — one maintained table answers both the
         # estimate and its error bar)
-        pt_rows = delta.select(
+        pt_rows = pre.select(
             F.lit(-1).cast("bigint").alias("r"),
             "_w",
-            F.lit(1).cast("decimal(18,2)").alias("_wt"),
-            F.col(self.val).alias("_v"),
+            F.lit(1).cast("bigint").alias("_wt"),
+            "_vc",
         )
         return (
             rep_rows.unionByName(pt_rows)
             .groupBy("r")
             .agg(
                 F.sum("_w").cast("bigint").alias("dn"),
-                F.sum(F.col("_w") * F.col("_wt")).alias("dw"),
-                F.sum(F.col("_w") * F.col("_wt") * F.col("_v")).alias("dwv"),
+                F.sum(F.col("_w") * F.col("_wt")).cast("bigint").alias("dw"),
+                F.sum(F.col("_w") * F.col("_wt") * F.col("_vc"))
+                .cast("bigint")
+                .alias("dwvc"),
             )
         )
 
@@ -159,7 +196,10 @@ class CdcBootstrapView:
 
     def arms(self) -> DataFrame:
         """(r, n, sw, swv) per replicate over the alive rows — equal to
-        the from-scratch weighted sums over the upserted final table."""
+        the from-scratch weighted sums over the upserted final table.
+        The maintained partials carry integer cents (see
+        ``_signed_partial``); the fold back to exact DECIMAL value-units
+        happens here, once, on ≤ b+1 rows."""
         rows = self.v_store.rows()
         if rows is None:
             raise ValueError("no batches have landed yet")
@@ -167,8 +207,8 @@ class CdcBootstrapView:
             rows.groupBy("r")
             .agg(
                 F.sum("dn").cast("bigint").alias("n"),
-                F.sum("dw").alias("sw"),
-                F.sum("dwv").alias("swv"),
+                F.sum("dw").cast("bigint").alias("sw"),
+                (F.sum("dwvc").cast("decimal(38,2)") / 100).alias("swv"),
             )
             .filter(F.col("n") > 0)
         )
@@ -180,11 +220,11 @@ class CdcBootstrapView:
                 rows.groupBy("r")
                 .agg(
                     F.sum("dn").cast("bigint").alias("dn"),
-                    F.sum("dw").alias("dw"),
-                    F.sum("dwv").alias("dwv"),
+                    F.sum("dw").cast("bigint").alias("dw"),
+                    F.sum("dwvc").cast("bigint").alias("dwvc"),
                 )
                 .filter(
-                    (F.col("dn") != 0) | (F.col("dw") != 0) | (F.col("dwv") != 0)
+                    (F.col("dn") != 0) | (F.col("dw") != 0) | (F.col("dwvc") != 0)
                 )
             )
             self.v_store.compact(folded)
