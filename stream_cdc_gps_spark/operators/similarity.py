@@ -863,26 +863,31 @@ def _lloyd_train_ivf(
     # both engines already pin.
     e = e.repartition(16)
     for _ in range(iters):
+        # Per-coordinate averages via posexplode + ONE sum instead of 64
+        # per-column aggregates (r14): the 64-agg plan re-analyzed and
+        # re-codegen'd every round (centroid literals change), making the
+        # expression tree — not the 2000-row data — the round's dominant
+        # cost (measured 2.5-3.4 s vs 0.97-1.4 s per round warm at sf0.1,
+        # centroids bit-identical). Shuffle stays bounded: the map-side
+        # partial agg folds each task to ≤ k·dim rows before the
+        # exchange, the same k rows × dim cols the wide plan shipped.
         rows = (
             e.withColumn("cell", _nearest_code_packed(F.col("emb"), cents)["code"])
-            .groupBy("cell")
+            .select("cell", F.posexplode("emb").alias("_pos", "_x"))
+            .groupBy("cell", "_pos")
             .agg(
-                *[
-                    F.round(
-                        F.sum(
-                            F.element_at("emb", i + 1).cast("decimal(20,12)")
-                        ).cast("double")
-                        / F.count(F.lit(1)),
-                        6,
-                    ).alias(f"c{i}")
-                    for i in range(_DIM)
-                ]
+                F.round(
+                    F.sum(F.col("_x").cast("decimal(20,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("_c")
             )
             .collect()
         )
-        cents = sorted(
-            (int(r["cell"]), [float(r[f"c{i}"]) for i in range(_DIM)]) for r in rows
-        )
+        by_cell: dict[int, list[float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), [0.0] * _DIM)[r["_pos"]] = float(r["_c"])
+        cents = sorted(by_cell.items())
     return cents
 
 
@@ -1013,28 +1018,31 @@ def _lloyd_train_pq(e: DataFrame, iters: int = _LLOYD_ITERS) -> dict[int, list[t
         code = F.when(F.col("m") == 0, _nearest_code(F.col("sv"), cbs[0])["code"])
         for m in range(1, _PQ_M):
             code = code.when(F.col("m") == m, _nearest_code(F.col("sv"), cbs[m])["code"])
+        # posexplode + ONE sum instead of _PQ_D per-column aggregates —
+        # same move as _lloyd_train_ivf (r14): the wide agg tree
+        # re-analyzed per round; values bit-identical, shuffle bounded by
+        # the map-side partial agg at ≤ m·k·d rows per task.
         rows = (
             sub.withColumn("code", code)
-            .groupBy("m", "code")
+            .select("m", "code", F.posexplode("sv").alias("_pos", "_x"))
+            .groupBy("m", "code", "_pos")
             .agg(
-                *[
-                    F.round(
-                        F.sum(
-                            F.element_at("sv", i + 1).cast("decimal(20,12)")
-                        ).cast("double")
-                        / F.count(F.lit(1)),
-                        6,
-                    ).alias(f"c{i}")
-                    for i in range(_PQ_D)
-                ]
+                F.round(
+                    F.sum(F.col("_x").cast("decimal(20,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("_c")
             )
             .collect()
         )
+        by_mc: dict[tuple[int, int], list[float]] = {}
+        for r in rows:
+            by_mc.setdefault((int(r["m"]), int(r["code"])), [0.0] * _PQ_D)[
+                r["_pos"]
+            ] = float(r["_c"])
         cbs = {
             m: sorted(
-                (int(r["code"]), [float(r[f"c{i}"]) for i in range(_PQ_D)])
-                for r in rows
-                if r["m"] == m
+                (code, cent) for (mm, code), cent in by_mc.items() if mm == m
             )
             for m in range(_PQ_M)
         }
@@ -1822,23 +1830,40 @@ def _adc_lut_map(emb: F.Column, m: int, cb_m: list[tuple[int, list[float]]]) -> 
     code -> squared L2 between the query's m-th subvector and that code's
     centroid. A map (not a positional array) because a TRAINED codebook's
     code set need not be contiguous — Lloyd drops cells that lose all
-    members, and element_at-by-position would silently misalign."""
+    members, and element_at-by-position would silently misalign.
+
+    The codebook enters as ONE parsed SQL literal traversed by two
+    transform lambdas (the ``_nearest_code_packed`` move, applied here in
+    r14): the first cut built k × d per-element ``F.lit`` columns and k
+    separate fold trees — thousands of driver→JVM roundtrips and an
+    expression tree Catalyst re-analyzes per query build, which made
+    PLAN CONSTRUCTION (not execution) the dominant cost of every ADC
+    search (~1.8 s of the warm q190 wall). Values are identical: same
+    sequential zip_with fold per code, same key order into the map."""
     sv = F.slice(emb, m * _PQ_D + 1, _PQ_D)
-    keys, vals = [], []
-    for code, cent in cb_m:
-        keys.append(F.lit(int(code)))
-        vals.append(
-            F.aggregate(
-                F.zip_with(
-                    sv,
-                    F.array(*[F.lit(float(x)) for x in cent]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
+    cb = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('code', "
+            + str(int(code))
+            + ", 'cent', array("
+            + ",".join(repr(float(x)) + "D" for x in cent)
+            + "))"
+            for code, cent in cb_m
+        )
+        + ")"
+    )
+    return F.map_from_arrays(
+        F.transform(cb, lambda c: c["code"]),
+        F.transform(
+            cb,
+            lambda c: F.aggregate(
+                F.zip_with(sv, c["cent"], lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            )
-        )
-    return F.map_from_arrays(F.array(*keys), F.array(*vals))
+            ),
+        ),
+    )
 
 
 def _ivfadc_search(

@@ -95,6 +95,11 @@ _PRIORITY: list[str] = [
     "q253_poisson_bootstrap",
     "q254_cdc_bootstrap_ci",
     "q260_cdc_drift_suite",
+    # (Lloyd trainer posexplode reshape + packed ADC LUT)
+    "q161_ivf_trained_topk",
+    "q162_pq_trained_codes",
+    "q165_ivf_training_recall",
+    "q166_lloyd_inertia",
     # (b) the fourteen promised r13 deferrals
     "q164_cap_telemetry",
     "q167_semdedup",
@@ -138,10 +143,6 @@ _PRIORITY: list[str] = [
     "q211_hybrid_rrf_search",
     "q212_point_in_time_features",
     "q213_cdc_hll_view",
-    "q214_dsir_importance",
-    "q215_kmv_bottomk_sketch",
-    "q216_cdc_session_rollup",
-    "q217_schema_evolution_scan",
 ]
 
 # MACHINE-CHECKABLE DISPLACEMENT LEDGER (r12 verdict task #5 — the
