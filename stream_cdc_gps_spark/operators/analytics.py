@@ -866,6 +866,12 @@ FROM pr{iters}
 
 _PAGERANK_ITERS = 5
 
+# Broadcast the per-node rank table only while it is plausibly
+# executor-resident (10M rows ≈ 160 MB framed — well under the 8 GB
+# broadcast cap); beyond that the per-iteration join falls back to the
+# shuffled path. The edge list is never broadcast at any size.
+_PAGERANK_BCAST_MAX_NODES = 10_000_000
+
 
 @query("q126_pagerank", oracle=_pagerank_oracle(_PAGERANK_ITERS))
 def q126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,31 +903,44 @@ def q126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contribution aggregate instead of two joins per round
     edges_w = edges.join(deg, "s").localCheckpoint()
     nodes = edges.select(F.col("s").alias("node")).distinct()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0e0) / F.col("n")).alias("rank")
-    )
+    # |nodes| as a driver literal (one tiny job): the uniform-rank and
+    # damping terms become constants instead of a 1-row crossJoin per
+    # round, and the count gates the broadcast below. Same doubles: the
+    # old plan computed 1.0 / cast(n as double) — so does the literal.
+    n_nodes = nodes.count()
+    inv_n = F.lit(1.0e0) / F.lit(float(n_nodes))
+    ranks = nodes.select("node", inv_n.alias("rank"))
+    # The ranks side is one row per NODE against an edge list that is
+    # orders of magnitude larger (11k vs 1.2M here; any power-law graph
+    # is edge-dominated) — broadcast it so no iteration ever shuffles
+    # the edge list (guide §3.1: size estimates after localCheckpoint
+    # under-trigger auto-broadcast, so hint explicitly). Gated on the
+    # measured node count so a graph whose rank table could not fit an
+    # executor falls back to the shuffled join.
+    bcast_ranks = n_nodes <= _PAGERANK_BCAST_MAX_NODES
     for _ in range(_PAGERANK_ITERS):
+        r = F.broadcast(ranks) if bcast_ranks else ranks
         contrib = (
-            edges_w.join(ranks, edges_w["s"] == ranks["node"])
+            edges_w.join(r, edges_w["s"] == r["node"])
             .select("t", (F.col("rank") / F.col("outdeg")).alias("share"))
             .groupBy("t")
             .agg(F.sum("share").alias("c"))
         )
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["t"], "left")
-            .crossJoin(F.broadcast(nn))
             .select(
                 "node",
                 (
-                    F.lit(0.15e0) / F.col("n")
+                    # 0.15/n as ONE double division (0.15 * (1/n) rounds
+                    # differently): identical to the oracle's term
+                    F.lit(0.15e0) / F.lit(float(n_nodes))
                     + F.lit(0.85e0) * F.coalesce("c", F.lit(0.0e0))
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
-    return ranks.crossJoin(F.broadcast(nn)).select(
-        "node", F.round(F.col("rank") * F.col("n"), 4).alias("rank_x_n")
+    return ranks.select(
+        "node", F.round(F.col("rank") * F.lit(float(n_nodes)), 4).alias("rank_x_n")
     )
 
 

@@ -99,7 +99,20 @@ def shingle_arrays_of(d: DataFrame) -> DataFrame:
 
     No array_distinct: min-hash is duplicate-invariant (min over a multiset
     equals min over its distinct set), so signatures match the oracle's
-    DISTINCT-shingle formulation without paying for per-row dedup."""
+    DISTINCT-shingle formulation without paying for per-row dedup.
+
+    Gated scan spread (r14, the q181 idiom): everything downstream of
+    this frame is compute-dense per-row work (S shingle concats, then
+    6·S md5s in the MinHash paths), but the sf corpus ships as
+    single-row-group parquet, so the whole signature stage ran on ONE
+    scan task (measured: 1.78 s vs 0.94 s spread for the q52 signature
+    pass at sf0.1). On a healthy multi-row-group layout the gate is a
+    no-op and the stage inherits the scan's own parallelism — an
+    unconditional repartition would shuffle every document's text at
+    100 TB for nothing."""
+    par = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par, "doc_id")
     toks = d.select("doc_id", F.split("text", " ").alias("toks"))
     shs = F.filter(word_shingles(F.col("toks"), 3), lambda s: s != "")
     return toks.select("doc_id", shs.alias("shs")).filter(F.size("shs") > 0)

@@ -100,6 +100,24 @@ _PRIORITY: list[str] = [
     "q162_pq_trained_codes",
     "q165_ivf_training_recall",
     "q166_lloyd_inertia",
+    # (PageRank literal-n + gated rank broadcast)
+    "q126_pagerank",
+    # (shingle_arrays_of gated scan spread — the MinHash/Jaccard family)
+    "q52_minhash_signatures",
+    "q53_lsh_candidate_pairs",
+    "q54_ngram_jaccard",
+    "q57_neardup_components",
+    "q59_dedup_keep_one",
+    "q79_lev_verify_pairs",
+    "q146_minhash_jaccard_estimate",
+    "q147_neardup_cluster_stats",
+    "q150_split_leakage_check",
+    "q153_cluster_safe_split",
+    "q154_cross_source_dup_matrix",
+    "q155_dedup_threshold_sweep",
+    "q160_idf_weighted_jaccard",
+    "q177_lsh_incremental_parity",
+    "q244_prefix_filter_join",
     # (b) the fourteen promised r13 deferrals
     "q164_cap_telemetry",
     "q167_semdedup",
@@ -125,24 +143,8 @@ _PRIORITY: list[str] = [
     "q193_incremental_join_view",
     "q194_cdc_join_view",
     "q195_vector_index_retrain",
-    "q196_cdc_aggregate_view",
-    "q197_cdc_minmax_view",
-    "q198_cdc_left_join_view",
-    "q199_cdc_distinct_view",
-    "q200_cdc_topk_view",
-    "q201_cdc_view_suite",
-    "q202_quantile_sketch",
-    "q203_cdc_window_rollup",
-    "q204_gps_cdc_trip_rollup",
     "q205_cdc_vector_index",
     "q206_cdc_lsh_index",
-    "q207_cdc_cms_sketch",
-    "q208_cdc_view_time_travel",
-    "q209_cdc_join_agg_cascade",
-    "q210_cdc_quantile_view",
-    "q211_hybrid_rrf_search",
-    "q212_point_in_time_features",
-    "q213_cdc_hll_view",
 ]
 
 # MACHINE-CHECKABLE DISPLACEMENT LEDGER (r12 verdict task #5 — the

@@ -384,6 +384,13 @@ class CdcLshIndex:
         cdc = batch.localCheckpoint()
         state = cdc_state(self.doc_store, batch_id, "doc_id", prune=cdc)
         delta = cdc_delta(cdc, state, "doc_id", "_w")
+        # r14 note: an explicit delta repartition to defaultParallelism
+        # (the bootstrap_index._signed_partial move) was tried here and
+        # REGRESSED q206 ~3x: this merge runs ~10 small driver-paced
+        # jobs over the checkpointed banding, and 64-partition inputs
+        # multiply their task-scheduling cost past what the ~1 s of
+        # single-task md5 banding saves at this delta size. The banding
+        # stays at the delta's AQE-chosen parallelism.
         # bandings of the ± images, each under ITS OWN text's buckets —
         # the −1 rows retract the OLD image's postings
         post_delta = (
