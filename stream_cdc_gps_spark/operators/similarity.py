@@ -63,8 +63,10 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query side is broadcast; the candidate scan streams through codegen
     computing 64-d cosines per row — at cluster scale this is the exact-kNN
     baseline you run on a sample to validate the ANN path."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("emb")
+    e = _spread_scan(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("emb")
+        )
     )
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
@@ -92,6 +94,20 @@ _BUCKET_SQL = (
     "(CASE WHEN {e}[1] > 0 THEN 8 ELSE 0 END + CASE WHEN {e}[2] > 0 THEN 4 ELSE 0 END"
     " + CASE WHEN {e}[3] > 0 THEN 2 ELSE 0 END + CASE WHEN {e}[4] > 0 THEN 1 ELSE 0 END)"
 )
+
+
+def _spread_scan(df: DataFrame, key: str = "vec_id") -> DataFrame:
+    """Gated scan spread (r14, the q181 idiom) for the embedding scans:
+    every downstream stage is compute-dense per-row array math (64-dim
+    cosine/L2 folds per broadcast-joined query, k×dim argmin encodes),
+    but the sf corpus ships as single-row-group parquet so the whole
+    stage ran on ONE scan task (q60 measured 2.9 s vs 1.65 s spread at
+    sf0.1). No-op on any multi-row-group layout — at scale the scan's
+    own parallelism carries the fold work and nothing extra shuffles."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, key)
+    return df
 
 
 def _bucket(emb: F.Column) -> F.Column:
@@ -126,8 +142,10 @@ def q61_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Queries meet only same-bucket candidates — an equi join on the bucket
     key instead of a cross join, the structural move that makes ANN feasible
     at 100 TB (with more/better hash bits, same plan)."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("emb")
+    e = _spread_scan(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("emb")
+        )
     )
     e = e.withColumn("bucket", _bucket(F.col("emb")))
     q = e.filter(F.col("vec_id") < 50).select(
@@ -568,8 +586,10 @@ def q64_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline (q60's plan), per query — the self-evaluation loop every
     production ANN deployment runs on a sample to tune its hash bits /
     probe count. Pure DataFrame composition; both pipelines share the scan."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("emb")
+    e = _spread_scan(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("emb")
+        )
     )
     eb = e.withColumn("bucket", _bucket(F.col("emb")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "candidate_id")
@@ -1898,6 +1918,7 @@ def _ivfadc_encode(
     per-subspace code argmin). STATELESS per vector — the property that
     lets the serving index ingest new vectors incrementally with frozen
     codebooks (streaming/vector_index.py), exactly FAISS add()."""
+    e = _spread_scan(e)
     return e.select(
         "vec_id",
         _nearest_code_packed(F.col("emb"), cents)["code"].alias("cell"),

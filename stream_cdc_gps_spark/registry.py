@@ -102,6 +102,10 @@ _PRIORITY: list[str] = [
     "q166_lloyd_inertia",
     # (PageRank literal-n + gated rank broadcast)
     "q126_pagerank",
+    # (embedding-scan gated spread: q60/q61/q64 + _ivfadc_encode)
+    "q60_cosine_topk",
+    "q61_ann_bucketed_topk",
+    "q64_ann_recall",
     # (shingle_arrays_of gated scan spread — the MinHash/Jaccard family)
     "q52_minhash_signatures",
     "q53_lsh_candidate_pairs",
@@ -138,9 +142,6 @@ _PRIORITY: list[str] = [
     "q188_ivfpq_trained_recall",
     "q189_corpus_ingest_parity",
     "q190_ivfpq_incremental_index",
-    "q191_truncated_dim_recall",
-    "q192_mixture_materialize",
-    "q193_incremental_join_view",
     "q194_cdc_join_view",
     "q195_vector_index_retrain",
     "q205_cdc_vector_index",
