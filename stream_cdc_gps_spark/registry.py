@@ -159,11 +159,42 @@ _PRIORITY: list[str] = [
 #     editing this list mid-round cannot erase last round's promise; the
 #     current _PRIORITY must contain every name promised there.
 # r13's promise (q164, q167, q168, q173-q186) is consumed by tier (b)
-# above. r14 is an optimization round; this list is refilled at round
-# close with any rows the round's optimization-staled queries displace
-# past the slack cap (empty while the round is open — displacements are
-# recorded when the window composition is final).
-_PROMISED_NEXT: list[str] = []
+# above. r14's optimization-staled rows (36, all inside the window)
+# displaced these r7-r9-cohort rotation rows past the slack cap —
+# bridge-certified at r14 close via the committed full driver-sim
+# artifact (every registered query green at sf0.01), promised to lead
+# r15's stale tier. NOTE for r15 (OPTIMIZATION round 2): these overlap
+# heavily with the CdcAggregateView-family rows the r14 write-up names
+# as the first optimization target — consuming the promise and claiming
+# that family costs mostly the SAME slots.
+_PROMISED_NEXT: list[str] = [
+    "q191_truncated_dim_recall",
+    "q192_mixture_materialize",
+    "q193_incremental_join_view",
+    "q196_cdc_aggregate_view",
+    "q197_cdc_minmax_view",
+    "q198_cdc_left_join_view",
+    "q199_cdc_distinct_view",
+    "q200_cdc_topk_view",
+    "q201_cdc_view_suite",
+    "q202_quantile_sketch",
+    "q203_cdc_window_rollup",
+    "q204_gps_cdc_trip_rollup",
+    "q207_cdc_cms_sketch",
+    "q208_cdc_view_time_travel",
+    "q209_cdc_join_agg_cascade",
+    "q210_cdc_quantile_view",
+    "q211_hybrid_rrf_search",
+    "q212_point_in_time_features",
+    "q213_cdc_hll_view",
+    "q214_dsir_importance",
+    "q215_kmv_bottomk_sketch",
+    "q216_cdc_session_rollup",
+    "q217_schema_evolution_scan",
+    "q218_cdc_kmv_view",
+    "q219_retrieval_metrics",
+    "q220_skyline_pareto",
+]
 
 
 def all_queries() -> dict[str, QuerySpec]:
