@@ -32,6 +32,12 @@ of concentrating it on one): mins are the best estimate of true cost under
 bursty steal, medians make run-to-run stability visible (BASELINE.md
 variance notes). Headliners span every operator family so a regression
 anywhere shows up here.
+
+Since r15 (r13 verdict item 7): when the run's own spread flags co-tenant
+pollution (shared21 median-sum > 1.5x min-sum), the bench waits for an
+idle window (loadavg < 0.5, bounded at 10 min) and runs ONE more full
+pass; mins absorb the retry samples and the final line carries a ``retry``
+object recording what happened. All pre-existing keys keep their meaning.
 """
 
 from __future__ import annotations
@@ -166,6 +172,34 @@ def main() -> None:
     mins = {n: round(min(s), 3) for n, s in samples.items()}
     medians = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
 
+    # Idle-window retry (r13 verdict item 7, codified r15): when the run's
+    # own spread says it was polluted by co-tenant steal (shared21 medians
+    # ≫ mins), wait for an idle window and run ONE more full pass. Mins
+    # absorb the retry samples (same meaning: best observed cost); the
+    # medians of the ORIGINAL passes are kept untouched as the stability
+    # record of the main run. Additions only — every pre-existing key of
+    # the final JSON line keeps its meaning for cross-round comparison.
+    s21_min = sum(mins[n] for n in SHARED21)
+    s21_med = sum(medians[n] for n in SHARED21)
+    retry: dict = {"ran": False}
+    if s21_med > 1.5 * s21_min:
+        waited = 0.0
+        while os.getloadavg()[0] >= 0.5 and waited < 600.0:
+            time.sleep(15.0)
+            waited += 15.0
+        retry = {
+            "ran": True,
+            "loadavg": round(os.getloadavg()[0], 2),
+            "waited_s": int(waited),
+            "s21_min_before": round(s21_min, 3),
+        }
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            run(name)
+            samples[name].append(time.perf_counter() - t0)
+        mins = {n: round(min(s), 3) for n, s in samples.items()}
+        retry["s21_min_after"] = round(sum(mins[n] for n in SHARED21), 3)
+
     # Per-query detail FIRST: full names + min/median, one line per query
     # (head-truncation by the driver's tail capture loses nothing the
     # final line needs), plus the whole dump as an artifact.
@@ -178,6 +212,8 @@ def main() -> None:
         "spotlight": SPOTLIGHT,
         "reps": REPS,
         "sf": float(sf),
+        "retry": retry,
+        "samples": {n: [round(x, 3) for x in s] for n, s in samples.items()},
     }
     art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
     os.makedirs(art_dir, exist_ok=True)
@@ -197,6 +233,7 @@ def main() -> None:
             "shared21_min_sum": round(sum(mins[n] for n in SHARED21), 3),
             "shared21_median_sum": round(sum(medians[n] for n in SHARED21), 3),
             "spotlight_min_sum": round(sum(mins[n] for n in SPOTLIGHT), 3),
+            "retry": retry,
             "queries": {_short(n): round(mins[n], 2) for n in HEADLINE},
             "detail": "artifacts/bench_detail.json",
         },

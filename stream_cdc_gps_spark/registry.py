@@ -75,99 +75,23 @@ DRIVER_WINDOW = 50
 # instead require a committed full driver-sim artifact
 # (artifacts/driver_sim_full.json certifying a 0-fail run from this round).
 #
-# Round 14 (OPTIMIZATION round) front-loads, in order:
-# (b) the FOURTEEN rows r13's tier-(a) claims displaced one-for-one under
-#     the slack cap, bridge-certified at r13 close and promised as r14's
-#     lead (registry._PROMISED_NEXT at the round boundary, machine-checked
-#     by tests/test_registry_invariants.py::test_previous_round_promise_consumed):
-#     q164, q167, q168, q173-q186;
-# (c) the next staleness cohort in query order up to the slack cap
-#     (48 = window - 2): the r7-r9-era rows q187-q220 (trained IVFADC,
-#     the CDC view family, sketches). This round is an OPTIMIZATION
-#     round: queries whose code the optimizations stale are ALREADY
-#     concentrated in this cohort (q190/q194/q195/q198/q200/q205/q206/
-#     q209 et al.); any optimization touching a query outside it swaps
-#     into the (c) tail one-for-one, displaced rows recorded in
-#     _PROMISED_NEXT at close.
+# Round 15 (OPTIMIZATION round 2) front-loads, in order:
+# (a) the TWENTY-SIX rows r14's optimization-staled tier displaced under
+#     the slack cap, bridge-certified at r14 close (committed full
+#     driver-sim artifacts, 267/267 green) and promised as r15's lead
+#     (registry._PROMISED_NEXT at the round boundary, machine-checked by
+#     tests/test_registry_invariants.py::test_previous_round_promise_consumed):
+#     q191-q193, q196-q204, q207-q220. These overlap the CdcView-family
+#     rows this round's landing-consolidation optimization stales, so
+#     consuming the promise and certifying that optimization share slots.
+# (b) the queries staled by THIS round's optimizations that the promise
+#     does not already cover: the rest of the CdcView family (landing
+#     consolidation), the IVFADC encode/spread fix (q187/q188/q190/q195/
+#     q205), the CdcTokenTfView partial spread (q248/q265), and the
+#     PageRank re-probe decision (q126). Displaced rotation rows are
+#     recorded in _PROMISED_NEXT at round close.
 _PRIORITY: list[str] = [
-    # (a) queries staled by this round's optimizations (bootstrap family:
-    # expansion-stage repartition + integer-cents partials)
-    "q253_poisson_bootstrap",
-    "q254_cdc_bootstrap_ci",
-    "q260_cdc_drift_suite",
-    # (Lloyd trainer posexplode reshape + packed ADC LUT)
-    "q161_ivf_trained_topk",
-    "q162_pq_trained_codes",
-    "q165_ivf_training_recall",
-    "q166_lloyd_inertia",
-    # (PageRank literal-n + gated rank broadcast)
-    "q126_pagerank",
-    # (embedding-scan gated spread: q60/q61/q64 + _ivfadc_encode)
-    "q60_cosine_topk",
-    "q61_ann_bucketed_topk",
-    "q64_ann_recall",
-    # (shingle_arrays_of gated scan spread — the MinHash/Jaccard family)
-    "q52_minhash_signatures",
-    "q53_lsh_candidate_pairs",
-    "q54_ngram_jaccard",
-    "q57_neardup_components",
-    "q59_dedup_keep_one",
-    "q79_lev_verify_pairs",
-    "q146_minhash_jaccard_estimate",
-    "q147_neardup_cluster_stats",
-    "q150_split_leakage_check",
-    "q153_cluster_safe_split",
-    "q154_cross_source_dup_matrix",
-    "q155_dedup_threshold_sweep",
-    "q160_idf_weighted_jaccard",
-    "q177_lsh_incremental_parity",
-    "q244_prefix_filter_join",
-    # (b) the fourteen promised r13 deferrals
-    "q164_cap_telemetry",
-    "q167_semdedup",
-    "q168_triangle_count",
-    "q173_source_divergence",
-    "q174_twap",
-    "q175_triangle_estimate",
-    "q176_triangle_estimate_error",
-    "q178_score_auc",
-    "q179_k_anonymity",
-    "q181_feature_corr_matrix",
-    "q182_minhash_containment",
-    "q184_group_ols_trend",
-    "q185_touch_attribution",
-    "q186_ivfpq_search",
-    # (c) staleness rotation: r7-r9 cohort in query order to the cap
-    "q187_ivfpq_trained_search",
-    "q188_ivfpq_trained_recall",
-    "q189_corpus_ingest_parity",
-    "q190_ivfpq_incremental_index",
-    "q194_cdc_join_view",
-    "q195_vector_index_retrain",
-    "q205_cdc_vector_index",
-    "q206_cdc_lsh_index",
-]
-
-# MACHINE-CHECKABLE DISPLACEMENT LEDGER (r12 verdict task #5 — the
-# window-rotation promises used to live in prose in the comment above;
-# prose can be silently rewritten, data is asserted). Contract:
-#   - at round CLOSE, _PROMISED_NEXT lists every bridge-certified row the
-#     round's new tier-(a) entries displaced past the slack cap — the
-#     rows the NEXT round's _PRIORITY must consume first;
-#   - tests/test_registry_invariants.py::test_previous_round_promise_consumed
-#     reads _PROMISED_NEXT from the ROUND-BOUNDARY COMMIT (git show), so
-#     editing this list mid-round cannot erase last round's promise; the
-#     current _PRIORITY must contain every name promised there.
-# r13's promise (q164, q167, q168, q173-q186) is consumed by tier (b)
-# above. r14's optimization-staled rows (36, all inside the window)
-# displaced these r7-r9-cohort rotation rows past the slack cap —
-# bridge-certified at r14 close via the committed full driver-sim
-# artifact (every registered query green at sf0.01), promised to lead
-# r15's stale tier. NOTE for r15 (OPTIMIZATION round 2): these overlap
-# heavily with the CdcAggregateView-family rows the r14 write-up names
-# as the first optimization target — consuming the promise and claiming
-# that family costs mostly the SAME slots.
-_PROMISED_NEXT: list[str] = [
+    # (a) the twenty-six promised r14 deferrals
     "q191_truncated_dim_recall",
     "q192_mixture_materialize",
     "q193_incremental_join_view",
@@ -194,6 +118,73 @@ _PROMISED_NEXT: list[str] = [
     "q218_cdc_kmv_view",
     "q219_retrieval_metrics",
     "q220_skyline_pareto",
+    # (b) staled by this round's optimizations, outside the promise:
+    # CdcView-family landing consolidation reachers
+    "q194_cdc_join_view",
+    "q226_cdc_cascade_topk",
+    "q231_cdc_stable_sample",
+    "q238_cdc_drift_monitor",
+    "q239_cdc_mixture_weights",
+    "q251_cdc_weighted_median",
+    "q254_cdc_bootstrap_ci",
+    "q258_cdc_psi_drift",
+    "q259_cdc_km_survival",
+    "q260_cdc_drift_suite",
+    "q264_cdc_gini",
+    "q266_cdc_conformal",
+    "q267_cdc_sprt",
+    # IVFADC merge-path spread fix
+    "q187_ivfpq_trained_search",
+    "q188_ivfpq_trained_recall",
+    "q190_ivfpq_incremental_index",
+    "q195_vector_index_retrain",
+    "q205_cdc_vector_index",
+    # CdcTokenTfView signed-partial spread
+    "q248_cdc_lm_gate",
+    "q265_cdc_vocab_coverage",
+    # PageRank broadcast re-probe (VERDICT item 4)
+    "q126_pagerank",
+]
+
+# MACHINE-CHECKABLE DISPLACEMENT LEDGER (r12 verdict task #5 — the
+# window-rotation promises used to live in prose in the comment above;
+# prose can be silently rewritten, data is asserted). Contract:
+#   - at round CLOSE, _PROMISED_NEXT lists every bridge-certified row the
+#     round's new tier-(a) entries displaced past the slack cap — the
+#     rows the NEXT round's _PRIORITY must consume first;
+#   - tests/test_registry_invariants.py::test_previous_round_promise_consumed
+#     reads _PROMISED_NEXT from the ROUND-BOUNDARY COMMIT (git show), so
+#     editing this list mid-round cannot erase last round's promise; the
+#     current _PRIORITY must contain every name promised there.
+# r14's promise (q191-q193, q196-q204, q207-q220) is consumed by tier (a)
+# above. This round's tier-(b) optimization-staled rows (21) displaced the
+# next staleness-rotation cohort in query order (the r10-r12-era rows
+# q221-q245, minus those tier (b) itself re-certifies) past the slack
+# cap — bridge-certified at r15 close via the committed full driver-sim
+# artifact (every registered query green at sf0.01), promised to lead
+# r16's stale tier.
+_PROMISED_NEXT: list[str] = [
+    "q221_winsorized_stats",
+    "q222_calibration_bins",
+    "q223_mann_whitney_u",
+    "q224_benford_audit",
+    "q225_gini_spend",
+    "q227_km_survival",
+    "q228_spearman_corr",
+    "q229_fulfillment_sweepline",
+    "q230_cdc_sweepline_view",
+    "q232_theil_sen_trend",
+    "q233_mann_kendall",
+    "q234_cdc_decontamination",
+    "q235_cdc_shingle_novelty",
+    "q236_binned_ks",
+    "q237_truncation_loss",
+    "q240_kruskal_wallis",
+    "q241_weighted_median",
+    "q242_bloom_filter",
+    "q243_cdc_counting_bloom",
+    "q244_prefix_filter_join",
+    "q245_oneway_anova",
 ]
 
 

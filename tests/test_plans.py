@@ -51,16 +51,35 @@ def test_q08_star_join_broadcasts_dims(spark):
     assert set(cols) == {"l_orderkey", "l_extendedprice", "l_discount"}
 
 
+def _spread_exchange_count(df) -> int:
+    """Exchanges added by the gated scan spread (dedup.shingle_arrays_of /
+    similarity._spread_scan, r14): explicit REPARTITION_BY_NUM repartitions
+    that fire only when the input has fewer partitions than
+    defaultParallelism (single-row-group smoke fixture → fires; healthy
+    multi-row-group layout → no-op). These are sanctioned; any OTHER
+    exchange class appearing beyond a test's pinned count is a regression."""
+    import re
+
+    return len(re.findall(r"REPARTITION_BY_NUM", plan_string(df)))
+
+
 def test_q52_minhash_is_map_only(spark):
     df = Q["q52_minhash_signatures"](spark, SF_SMOKE)
-    assert exchange_count(df) == 0  # the whole signature stage is a map
+    # the whole signature stage is a map — the only permitted exchange is
+    # the gated scan spread (at most one, and it IS the spread)
+    spread = _spread_exchange_count(df)
+    assert spread <= 1
+    assert exchange_count(df) == spread
 
 
 def test_q54_jaccard_two_exchanges_no_joins(spark):
     df = Q["q54_ngram_jaccard"](spark, SF_SMOKE)
     # sizes ride inside the bucket structs: bucket groupBy + pair groupBy
-    # are the only shuffles, and there is no join anywhere in the plan
-    assert exchange_count(df) == 2
+    # are the only shuffles beyond the gated scan spread, and there is no
+    # join anywhere in the plan
+    spread = _spread_exchange_count(df)
+    assert spread <= 1
+    assert exchange_count(df) == 2 + spread
     assert "Join" not in plan_string(df)
 
 
